@@ -1,0 +1,221 @@
+"""FSST-style symbol-table string compression (vectorized, numpy-only).
+
+A lightweight variant of FSST (Boncz/Neumann/Leis, VLDB'20 — see
+PAPERS.md): a 255-entry table of 1- and 2-byte symbols learned from a
+sample; code 255 is the escape (next output byte is a literal). The
+reference's `Naive` table-lookup encode/decode
+(/root/reference/src/encoding/naive.rs:116-136) is the 4-entry,
+fixed-width degenerate case of this; here the table is learned and the
+output is byte-aligned.
+
+Everything is vectorized:
+  * candidate pair positions found with isin() on a uint16 pair view;
+  * greedy left-to-right non-overlap resolution = "take alternate
+    positions within each run of consecutive candidates" (exact greedy);
+  * matches never cross value boundaries, so per-value slices decode
+    independently (the analog of the reference storing logical length
+    out-of-band — SURVEY.md §2.2 D7).
+
+Layout: payload = [sym_lens: n_sym u8][sym_bytes][value_enc_lens: n+1 u32
+prefix offsets][code stream]. meta = counts + section sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ESCAPE = 255
+MAX_SYMBOLS = 255  # codes 0..254; 255 reserved for escape
+
+
+def train(sample_values: list[bytes], max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
+    """Learn a symbol table from sample byte-strings.
+
+    All distinct single bytes in the sample get a code (so common bytes
+    never pay the 2x escape penalty); remaining code space goes to the
+    most frequent adjacent pairs (not crossing value boundaries).
+    Deterministic: ties broken by byte value.
+    """
+    if not sample_values:
+        return []
+    buf = np.frombuffer(b"".join(sample_values), dtype=np.uint8)
+    if buf.size == 0:
+        return []
+    singles, s_counts = np.unique(buf, return_counts=True)
+    s_order = np.lexsort((singles, -s_counts))
+    table: list[bytes] = [bytes([b]) for b in singles[s_order]]
+
+    room = max_symbols - len(table)
+    if room > 0 and buf.size >= 2:
+        lens = np.array([len(v) for v in sample_values], dtype=np.int64)
+        ends = np.cumsum(lens)
+        pair = buf[:-1].astype(np.uint16) << np.uint16(8) | buf[1:]
+        valid = np.ones(buf.size - 1, dtype=bool)
+        b = ends[:-1] - 1  # pairs spanning a value boundary (guard empty values)
+        valid[b[(b >= 0) & (b < buf.size - 1)]] = False
+        pairs, p_counts = np.unique(pair[valid], return_counts=True)
+        keep = p_counts >= 4  # don't waste codes on rare pairs
+        pairs, p_counts = pairs[keep], p_counts[keep]
+        p_order = np.lexsort((pairs, -p_counts))[:room]
+        table += [bytes([int(p) >> 8, int(p) & 0xFF]) for p in pairs[p_order]]
+    return table[:max_symbols]
+
+
+def _greedy_nonoverlap(cand: np.ndarray) -> np.ndarray:
+    """Given sorted candidate start positions, return the greedy
+    left-to-right non-overlapping subset (pairs have length 2, so only
+    consecutive candidates conflict: within each run of consecutive
+    positions keep indices 0, 2, 4, ...)."""
+    if cand.size == 0:
+        return cand
+    run_start = np.concatenate(([True], np.diff(cand) > 1))
+    run_id = np.cumsum(run_start) - 1
+    run_first = cand[run_start]
+    pos_in_run = cand - run_first[run_id]
+    return cand[pos_in_run % 2 == 0]
+
+
+def encode(values: list[bytes], table: list[bytes]) -> tuple[bytes, dict]:
+    """Encode byte-strings with a trained table -> (payload, meta)."""
+    n = len(values)
+    raw = b"".join(values)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    lens = np.array([len(v) for v in values], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+
+    sym_lens = np.array([len(s) for s in table], dtype=np.uint8)
+    single_code = np.full(256, ESCAPE, dtype=np.uint8)
+    pair_codes: dict[int, int] = {}
+    for code, s in enumerate(table):
+        if len(s) == 1:
+            single_code[s[0]] = code
+        else:
+            pair_codes[(s[0] << 8) | s[1]] = code
+
+    header = sym_lens.tobytes() + b"".join(table)
+
+    if buf.size == 0:
+        offs = np.zeros(n + 1, dtype="<u4")
+        meta = {"n": n, "n_symbols": len(table), "header_nbytes": len(header),
+                "offsets_nbytes": offs.nbytes}
+        return header + offs.tobytes() + b"", meta
+
+    taken = np.zeros(buf.size, dtype=bool)
+    if pair_codes:
+        pair = buf[:-1].astype(np.uint16) << np.uint16(8) | buf[1:]
+        pk = np.fromiter(pair_codes.keys(), dtype=np.uint16, count=len(pair_codes))
+        cand_mask = np.isin(pair, pk)
+        ends = starts + lens
+        cross = ends[ends < buf.size] - 1  # last byte of each value can't start a pair
+        cand_mask[cross[cross >= 0]] = False
+        cand = _greedy_nonoverlap(np.flatnonzero(cand_mask))
+        taken[cand] = True
+    consumed = np.zeros(buf.size, dtype=bool)
+    consumed[1:] = taken[:-1]
+
+    sc = single_code[buf]
+    out_len = np.ones(buf.size, dtype=np.int64)          # single coded byte -> 1
+    out_len[consumed] = 0                                 # swallowed by pair
+    esc = (~taken) & (~consumed) & (sc == ESCAPE)
+    out_len[esc] = 2                                      # escape + literal
+    # taken pair start stays 1 (one pair code)
+
+    out_off = np.concatenate(([0], np.cumsum(out_len)))
+    total = int(out_off[-1])
+    out = np.empty(total, dtype=np.uint8)
+
+    single_pos = (~taken) & (~consumed) & (sc != ESCAPE)
+    out[out_off[:-1][single_pos]] = sc[np.flatnonzero(single_pos)]
+    if taken.any():
+        tpos = np.flatnonzero(taken)
+        pair_vals = buf[tpos].astype(np.uint16) << np.uint16(8) | buf[tpos + 1]
+        pair_lut = np.zeros(1 << 16, dtype=np.uint8)
+        for p, c in pair_codes.items():
+            pair_lut[p] = c
+        out[out_off[:-1][taken]] = pair_lut[pair_vals]
+    if esc.any():
+        epos = np.flatnonzero(esc)
+        out[out_off[:-1][esc]] = ESCAPE
+        out[out_off[:-1][esc] + 1] = buf[epos]
+
+    # per-value encoded byte lengths via output-offset differences
+    enc_lens = out_off[starts + lens] - out_off[starts]
+    offs = np.zeros(n + 1, dtype="<u4")
+    offs[1:] = np.cumsum(enc_lens)
+    meta = {"n": n, "n_symbols": len(table), "header_nbytes": len(header),
+            "offsets_nbytes": offs.nbytes}
+    return header + offs.tobytes() + out.tobytes(), meta
+
+
+def decode(payload: bytes, meta: dict) -> list[bytes]:
+    n = meta["n"]
+    n_sym = meta["n_symbols"]
+    sym_lens = np.frombuffer(payload, dtype=np.uint8, count=n_sym)
+    sym_blob_len = int(sym_lens.sum())
+    sym_flat = np.frombuffer(payload, dtype=np.uint8, count=sym_blob_len, offset=n_sym)
+    sym_off = np.zeros(n_sym + 1, dtype=np.int64)
+    np.cumsum(sym_lens, out=sym_off[1:])
+    base = meta["header_nbytes"]
+    offs = np.frombuffer(payload, dtype="<u4", count=n + 1, offset=base)
+    codes = np.frombuffer(payload, dtype=np.uint8, offset=base + meta["offsets_nbytes"])
+
+    if codes.size == 0:
+        return [b""] * n
+
+    # escape resolution: runs of consecutive 255s -> alternate are escapes
+    esc_cand = np.flatnonzero(codes == ESCAPE)
+    esc = np.zeros(codes.size, dtype=bool)
+    # a 255 is an escape unless consumed as the literal of the escape before it;
+    # but any byte can be a literal, so we must account for non-255 escapes'
+    # literals too. An escape consumes exactly the next position. Walk runs of
+    # candidate 255s, but a run's first element may itself be consumed if the
+    # previous position is an escape whose literal it is — previous position is
+    # 255 only within the run, and non-255 codes never consume. So the run-parity
+    # rule is exact.
+    if esc_cand.size:
+        run_start = np.concatenate(([True], np.diff(esc_cand) > 1))
+        run_id = np.cumsum(run_start) - 1
+        run_first = esc_cand[run_start]
+        pos_in_run = esc_cand - run_first[run_id]
+        esc[esc_cand[pos_in_run % 2 == 0]] = True
+    literal = np.zeros(codes.size, dtype=bool)
+    literal[1:] = esc[:-1]
+
+    out_len = np.zeros(codes.size, dtype=np.int64)
+    normal = (~esc) & (~literal)
+    lens64 = sym_lens.astype(np.int64)
+    out_len[normal] = lens64[codes[normal]]
+    out_len[literal] = 1
+
+    out_off = np.concatenate(([0], np.cumsum(out_len)))
+    total = int(out_off[-1])
+    out = np.empty(total, dtype=np.uint8)
+
+    # literals: copy own byte
+    if literal.any():
+        out[out_off[:-1][literal]] = codes[literal]
+    # normal symbols: gather from sym_flat
+    if normal.any():
+        npos = np.flatnonzero(normal)
+        reps = out_len[npos]
+        dst = np.repeat(out_off[npos], reps) + _intra(reps)
+        src = np.repeat(sym_off[codes[npos].astype(np.int64)], reps) + _intra(reps)
+        out[dst] = sym_flat[src]
+
+    # split per value: map encoded offsets -> decoded offsets
+    # encoded offset offs[i] is a position in `codes`; decoded offset = out_off at it
+    dec_bounds = out_off[offs.astype(np.int64)]
+    ob = out.tobytes()
+    return [ob[dec_bounds[i] : dec_bounds[i + 1]] for i in range(n)]
+
+
+def _intra(reps: np.ndarray) -> np.ndarray:
+    """[0..reps[0]), [0..reps[1]), ... concatenated."""
+    total = int(reps.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(reps)
+    out[0] = 0
+    out[ends[:-1]] = 1 - reps[:-1]
+    return np.cumsum(out)

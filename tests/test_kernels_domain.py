@@ -1,0 +1,143 @@
+"""DNA domain kernels vs the reference's golden values (FIXTURES.md §3)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kmers_spark.kernels import domain
+
+DNA = st.text(alphabet="ACGTacgt", min_size=1, max_size=32)
+
+
+def test_golden_k15_pack():
+    # naive.rs:296-355: TAAGGATTCTAATCA -> codes + u32 word 118354563
+    codes = domain.seq_to_codes("TAAGGATTCTAATCA")
+    assert list(codes) == [3, 0, 0, 2, 2, 0, 3, 3, 1, 3, 0, 0, 3, 1, 0]
+    word = domain.pack_word(codes)
+    assert word == 118354563
+    assert domain.unpack_word(word, 15) == "taaggattctaatca"
+
+
+def test_golden_k15_revcomp():
+    word = domain.pack_word(domain.seq_to_codes("TAAGGATTCTAATCA"))
+    rc = domain.revcomp_words(np.array([word], dtype=np.uint64), 15)[0]
+    assert domain.unpack_word(int(rc), 15) == "tgattagaatcctta"
+    assert domain.revcomp_str("TAAGGATTCTAATCA") == "TGATTAGAATCCTTA"
+
+
+def test_case_insensitive():
+    # kmer.rs:469-474: Kmer::from("aaa") == Kmer::from("AAA")
+    a = domain.pack_word(domain.seq_to_codes("aCgT"))
+    b = domain.pack_word(domain.seq_to_codes("ACGT"))
+    assert a == b
+
+
+def test_k33_rejected():
+    # kmer.rs:477-485: 32 ok, 33 panics
+    domain.pack_word(domain.seq_to_codes("A" * 32))
+    with pytest.raises(ValueError):
+        domain.pack_word(domain.seq_to_codes("A" * 33))
+
+
+def test_invalid_symbol_sentinel():
+    # encode_binary_u8 -> u64::MAX for invalid (mod.rs:40-50); ours -> 255
+    codes = domain.seq_to_codes("ANc")
+    assert codes[1] == domain.INVALID
+    with pytest.raises(ValueError):
+        domain.pack_word(codes)
+
+
+def test_kmer_extraction_golden():
+    # seq_vector.rs:342-356 / FIXTURES §3: ACTTGAT 3-mers act,ctt,ttg,tga,gat
+    codes = domain.seq_to_codes("ACTTGAT")
+    words = domain.kmer_words(codes, 3)
+    assert [domain.unpack_word(int(w), 3) for w in words] == ["act", "ctt", "ttg", "tga", "gat"]
+
+
+def test_valid_window_scan():
+    # canonical_kmer_iterator.rs:165-189: windows containing invalid symbols skipped
+    codes = domain.seq_to_codes("ACGNACGT")
+    mask = domain.valid_windows(codes, 3)
+    # windows at 0..5; those covering index 3 (N) invalid -> positions 1,2,3
+    assert list(mask) == [True, False, False, False, True, True]
+    assert list(domain.valid_windows(domain.seq_to_codes("ACG"), 3)) == [True]
+
+
+def test_canonical_min():
+    # kmer.rs:68-74: canonical = min(fw, rc)
+    w = np.array([domain.pack_word(domain.seq_to_codes("taa"))], dtype=np.uint64)
+    canon = domain.canonical_words(w, 3)[0]
+    # rc(taa) = tta; min as packed words
+    rc = domain.revcomp_words(w, 3)[0]
+    assert canon == min(int(w[0]), int(rc))
+
+
+@settings(max_examples=100, deadline=None)
+@given(DNA)
+def test_rc_involution(s):
+    # quickcheck rc_identity (kmer.rs:280-284): rc(rc(x)) == x
+    k = len(s)
+    w = np.array([domain.pack_word(domain.seq_to_codes(s))], dtype=np.uint64)
+    assert domain.revcomp_words(domain.revcomp_words(w, k), k)[0] == w[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(DNA)
+def test_canonical_is_canonical(s):
+    # quickcheck to_canonical_is_canonical (kmer.rs:286-290)
+    k = len(s)
+    w = np.array([domain.pack_word(domain.seq_to_codes(s))], dtype=np.uint64)
+    c = domain.canonical_words(w, k)
+    assert (domain.canonical_words(c, k) == c).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(DNA)
+def test_pack_unpack_roundtrip(s):
+    w = domain.pack_word(domain.seq_to_codes(s))
+    assert domain.unpack_word(w, len(s)) == s.lower()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="ACGT", min_size=1, max_size=200))
+def test_revcomp_words_match_string_domain(s):
+    k = min(len(s), 31)
+    words = domain.kmer_words(domain.seq_to_codes(s), k)
+    rcs = domain.revcomp_words(words, k)
+    for i in range(len(words)):
+        sub = s[i : i + k]
+        assert domain.unpack_word(int(rcs[i]), k) == domain.revcomp_str(sub).lower()
+
+
+class TestMinimizers:
+    def test_all_As_leftmost(self):
+        # minimizers.rs:220-235: ties keep the leftmost w-mer
+        codes = domain.seq_to_codes("AAAAAAA")
+        out = domain.minimizers(codes, k=5, w=3)
+        assert out == [(0, 0), (0, 0), (0, 0)]
+
+    def test_lexicographic_golden(self):
+        # LexHasher => lexicographically smallest w-mer (hash.rs:84-104);
+        # identity on packed words is NOT lex order, so compare via brute force
+        codes = domain.seq_to_codes("CACACACCAC")
+        k, w = 5, 3
+        out = domain.minimizers(codes, k, w)
+        # brute-force oracle: min over window by (key, pos)
+        wmers = domain.kmer_words(codes, w)
+        for j, (val, pos) in enumerate(out):
+            window = [(int(wmers[i]), i) for i in range(j, j + k - w + 1)]
+            exp_val, exp_pos = min(window)
+            assert (val, pos) == (exp_val, exp_pos)
+
+    def test_deque_matches_bruteforce_random(self):
+        rng = np.random.default_rng(42)
+        s = "".join(rng.choice(list("ACGT"), 300))
+        codes = domain.seq_to_codes(s)
+        k, w = 12, 5
+        out = domain.minimizers(codes, k, w)
+        wmers = domain.kmer_words(codes, w)
+        assert len(out) == len(s) - k + 1
+        for j, (val, pos) in enumerate(out):
+            window = [(int(wmers[i]), i) for i in range(j, j + k - w + 1)]
+            assert (val, pos) == min(window)
