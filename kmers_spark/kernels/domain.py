@@ -108,6 +108,19 @@ def canonical_words(words: np.ndarray, k: int) -> np.ndarray:
     return np.minimum(words, revcomp_words(words, k))
 
 
+def lex_keys(words: np.ndarray, k: int) -> np.ndarray:
+    """LexHasher semantics (naive_impl/hash.rs:22-72): a key whose integer
+    order equals the *lexicographic* order of the decoded sequence — the
+    base-pair bit-reversal of the word (no complement)."""
+    res = words.astype(np.uint64)
+    res = (res >> np.uint64(2) & _M2) | ((res & _M2) << np.uint64(2))
+    res = (res >> np.uint64(4) & _M4) | ((res & _M4) << np.uint64(4))
+    res = (res >> np.uint64(8) & _M8) | ((res & _M8) << np.uint64(8))
+    res = (res >> np.uint64(16) & _M16) | ((res & _M16) << np.uint64(16))
+    res = (res >> np.uint64(32) & _M32) | ((res & _M32) << np.uint64(32))
+    return res >> np.uint64(2 * (32 - k))
+
+
 _RC_STR = str.maketrans("ACGTacgt", "TGCAtgca")
 
 

@@ -112,10 +112,26 @@ def test_revcomp_words_match_string_domain(s):
 
 class TestMinimizers:
     def test_all_As_leftmost(self):
-        # minimizers.rs:220-235: ties keep the leftmost w-mer
+        # minimizers.rs:220-235 leftmost_mmer: ties keep the leftmost
+        # in-window w-mer — positions advance as the window slides
         codes = domain.seq_to_codes("AAAAAAA")
         out = domain.minimizers(codes, k=5, w=3)
-        assert out == [(0, 0), (0, 0), (0, 0)]
+        assert out == [(0, 0), (0, 1), (0, 2)]
+
+    def test_golden_lex_mmers(self):
+        # minimizers.rs:238-290 mmers0/1/2 under LexHasher
+        def lex(word):
+            return int(domain.lex_keys(np.array([word], dtype=np.uint64), 3)[0])
+
+        out = domain.minimizers(domain.seq_to_codes("AAACAAA"), 6, 3, hash_fn=lex)
+        assert out == [(0, 0), (0, 4)]
+
+        out = domain.minimizers(domain.seq_to_codes("AACCAAA"), 5, 3, hash_fn=lex)
+        assert out == [(0b010000, 0), (0b010100, 1), (0b000000, 4)]
+
+        out = domain.minimizers(domain.seq_to_codes("CACACACCAC"), 7, 3, hash_fn=lex)
+        aca = 0b000100
+        assert out == [(aca, 1), (aca, 1), (aca, 3), (aca, 3)]
 
     def test_lexicographic_golden(self):
         # LexHasher => lexicographically smallest w-mer (hash.rs:84-104);
