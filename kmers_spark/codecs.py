@@ -1,0 +1,215 @@
+"""Column-level codec layer: pd.Series <-> (payload bytes, meta dict).
+
+Sits between the Spark operators (operators/encode.py) and the numpy
+kernels. Handles what the reference deliberately does not store —
+logical lengths and validity — in block metadata, the lesson of
+`Naive::decode` emitting trailing pad symbols (SURVEY.md §2.2 D7:
+/root/reference/src/encoding/naive.rs:306,327 test comments).
+
+Block contract (all little-endian):
+  * meta is a JSON-safe dict: {"codec", "type", "n", "null_nbytes", ...}
+  * nulls: validity bitmap (np.packbits little) prepended to the payload;
+    null slots are encoded as the type's zero value and restored to None.
+  * string round-trips are bit-identical: values travel as UTF-8 bytes.
+
+Logical types: string, binary, int64, timestamp (int64 us), double.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .kernels import bitpack, dictenc, foren, fsst, rle
+
+STRING_CODECS = ("plain", "dict", "dict_rle", "fsst")
+INT_CODECS = ("plain", "for_bitpack", "dict_rle_int", "rle_int")
+TYPE_DEFAULT_CODEC = {
+    "string": "fsst",
+    "binary": "fsst",
+    "int64": "for_bitpack",
+    "timestamp": "for_bitpack",
+    "double": "plain",
+}
+
+
+# ---------------------------------------------------------------- validity
+
+def _split_nulls(series: pd.Series):
+    mask = series.notna().to_numpy(dtype=bool)
+    has_nulls = not mask.all()
+    vblob = np.packbits(mask, bitorder="little").tobytes() if has_nulls else b""
+    return mask, vblob
+
+
+def _validity(meta: dict, payload: bytes, n: int):
+    nb = meta.get("null_nbytes", 0)
+    if nb == 0:
+        return None, payload
+    mask = np.unpackbits(np.frombuffer(payload, np.uint8, count=nb), count=n, bitorder="little").astype(bool)
+    return mask, payload[nb:]
+
+
+# ---------------------------------------------------------------- bytes domain
+
+def _to_bytes_list(series: pd.Series, mask: np.ndarray, typ: str) -> list[bytes]:
+    vals = series.to_numpy(dtype=object)
+    if typ == "string":
+        return [vals[i].encode("utf-8") if mask[i] else b"" for i in range(len(vals))]
+    return [bytes(vals[i]) if mask[i] else b"" for i in range(len(vals))]
+
+
+def _from_bytes_list(values: list[bytes], mask, typ: str) -> pd.Series:
+    out = np.empty(len(values), dtype=object)
+    if typ == "string":
+        for i, v in enumerate(values):
+            out[i] = v.decode("utf-8")
+    else:
+        for i, v in enumerate(values):
+            out[i] = v
+    if mask is not None:
+        out[~mask] = None
+    return pd.Series(out, dtype=object)
+
+
+def _to_int64(series: pd.Series, mask: np.ndarray, typ: str) -> np.ndarray:
+    if typ == "timestamp":
+        v = series.astype("datetime64[us]").to_numpy().view(np.int64).copy()
+        v[~mask] = 0
+        return v
+    return series.astype("Int64").fillna(0).to_numpy(dtype=np.int64)
+
+
+def _from_int64(arr: np.ndarray, mask, typ: str) -> pd.Series:
+    if typ == "timestamp":
+        ts = pd.Series(arr.view("datetime64[us]"))
+        if mask is not None:
+            ts[~mask] = pd.NaT
+        return ts
+    out = pd.Series(arr.astype(np.int64), dtype="Int64")
+    if mask is not None:
+        out[~mask] = pd.NA
+    return out
+
+
+# ---------------------------------------------------------------- encode/decode
+
+def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]:
+    """Encode one column chunk. Deterministic for a given (series, codec)."""
+    n = len(series)
+    mask, vblob = _split_nulls(series)
+    meta: dict = {"codec": codec, "type": typ, "n": n, "null_nbytes": len(vblob)}
+
+    if typ in ("string", "binary"):
+        data = _to_bytes_list(series, mask, typ)
+        if codec == "plain":
+            offs = np.zeros(n + 1, dtype="<u8")
+            offs[1:] = np.cumsum([len(v) for v in data], dtype=np.uint64)
+            body = offs.tobytes() + b"".join(data)
+        elif codec in ("dict", "dict_rle"):
+            arr = np.empty(n, dtype=object)
+            arr[:] = data
+            codes, dictionary = dictenc.build_dictionary(arr)
+            width = bitpack.width_for(max(len(dictionary) - 1, 0))
+            dict_blob = dictenc.serialize_dictionary(dictionary)
+            meta["dict_size"] = len(dictionary)
+            meta["dict_nbytes"] = len(dict_blob)
+            meta["code_width"] = width
+            if codec == "dict":
+                body = dict_blob + bitpack.pack(codes.astype(np.uint64), width)
+            else:
+                rle_blob, rmeta = rle.encode(codes.astype(np.uint64))
+                meta["rle"] = rmeta
+                body = dict_blob + rle_blob
+        elif codec == "fsst":
+            sample = data[: min(n, 4096)]
+            table = fsst.train(sample)
+            body, fmeta = fsst.encode(data, table)
+            meta["fsst"] = fmeta
+        else:
+            raise ValueError(f"codec {codec!r} not valid for type {typ!r}")
+
+    elif typ in ("int64", "timestamp"):
+        v = _to_int64(series, mask, typ)
+        if codec == "plain":
+            body = v.astype("<i8").tobytes()
+        elif codec == "for_bitpack":
+            body, fmeta = foren.encode(v)
+            meta["for"] = fmeta
+        elif codec == "rle_int":
+            body, rmeta = rle.encode(v.view(np.uint64))
+            meta["rle"] = rmeta
+        elif codec == "dict_rle_int":
+            # dict over distinct ints (low-cardinality ids), then RLE
+            uniq, codes = np.unique(v, return_inverse=True)
+            rle_blob, rmeta = rle.encode(codes.astype(np.uint64))
+            meta["rle"] = rmeta
+            meta["dict_size"] = len(uniq)
+            body = uniq.astype("<i8").tobytes() + rle_blob
+        else:
+            raise ValueError(f"codec {codec!r} not valid for type {typ!r}")
+
+    elif typ == "double":
+        if codec != "plain":
+            raise ValueError(f"codec {codec!r} not valid for type 'double'")
+        v = series.to_numpy(dtype=np.float64).copy()
+        v[~mask] = 0.0
+        body = v.astype("<f8").tobytes()
+    else:
+        raise ValueError(f"unknown type {typ!r}")
+
+    return vblob + body, meta
+
+
+def decode_column(payload: bytes, meta: dict) -> pd.Series:
+    n, typ, codec = meta["n"], meta["type"], meta["codec"]
+    mask, body = _validity(meta, payload, n)
+
+    if typ in ("string", "binary"):
+        if codec == "plain":
+            offs = np.frombuffer(body, dtype="<u8", count=n + 1).astype(np.int64)
+            base = 8 * (n + 1)
+            data = [body[base + offs[i] : base + offs[i + 1]] for i in range(n)]
+        elif codec in ("dict", "dict_rle"):
+            dict_blob = body[: meta["dict_nbytes"]]
+            dictionary = dictenc.deserialize_dictionary(dict_blob)
+            rest = body[meta["dict_nbytes"] :]
+            if codec == "dict":
+                codes = bitpack.unpack(rest, meta["code_width"], n)
+            else:
+                codes = rle.decode(rest, meta["rle"])
+            lut = np.empty(max(len(dictionary), 1), dtype=object)
+            for i, v in enumerate(dictionary):
+                lut[i] = v
+            data = list(lut[codes.astype(np.int64)]) if n else []
+        elif codec == "fsst":
+            data = fsst.decode(body, meta["fsst"])
+        else:
+            raise ValueError(f"unknown codec {codec!r}")
+        return _from_bytes_list(data, mask, typ)
+
+    if typ in ("int64", "timestamp"):
+        if codec == "plain":
+            v = np.frombuffer(body, dtype="<i8", count=n).astype(np.int64)
+        elif codec == "for_bitpack":
+            v = foren.decode(body, meta["for"])
+        elif codec == "rle_int":
+            v = rle.decode(body, meta["rle"]).view(np.int64)
+        elif codec == "dict_rle_int":
+            ds = meta["dict_size"]
+            uniq = np.frombuffer(body, dtype="<i8", count=ds).astype(np.int64)
+            codes = rle.decode(body[8 * ds :], meta["rle"])
+            v = uniq[codes.astype(np.int64)] if n else np.zeros(0, dtype=np.int64)
+        else:
+            raise ValueError(f"unknown codec {codec!r}")
+        return _from_int64(np.asarray(v), mask, typ)
+
+    if typ == "double":
+        v = np.frombuffer(body, dtype="<f8", count=n).astype(np.float64)
+        if mask is None:
+            return pd.Series(v)
+        out = pd.Series(v, dtype="Float64")
+        out[~mask] = pd.NA
+        return out
+
+    raise ValueError(f"unknown type {typ!r}")

@@ -1,0 +1,129 @@
+"""Per-(partition, column) codec auto-selection from sampled statistics.
+
+The reference hard-codes one dictionary of 4 and picks among 24 code
+assignments (encoding/naive.rs:49-74); here the "assignment" decision is
+generalized to *which codec family* fits the sampled distribution:
+
+    stats: n, distinct (exact on the sample), mean run length,
+           byte entropy (strings), sortedness (ints/timestamps)
+
+    decision tree (recorded per block in the lineage manifest):
+      string/binary:
+        distinct==1           -> dict_rle (degenerate: ~0 bits/value)
+        distinct/n small AND mean_run high -> dict_rle
+        distinct/n small      -> dict
+        byte_entropy low      -> fsst
+        else                  -> plain
+      int64/timestamp:
+        distinct==1           -> rle_int
+        mean_run high         -> rle_int (or dict_rle_int for small dicts)
+        near-sorted or bounded range -> for_bitpack (delta picks itself)
+        else                  -> plain
+      double: plain (float codecs are a later round: XOR/Gorilla)
+
+All thresholds are explicit module constants so the selector is
+deterministic and its decisions are reproducible from the manifest.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+DICT_MAX_CARD_FRAC = 0.1      # dictionary pays off when distinct/n below this
+DICT_MAX_CARD_ABS = 1 << 16   # and dictionary small enough to broadcast in-block
+RLE_MIN_MEAN_RUN = 2.0        # mean run length where RLE beats plain codes
+FSST_MAX_ENTROPY = 6.5        # bits/byte; above this, text is incompressible
+
+
+def column_stats(series: pd.Series, typ: str, sample_max: int = 8192) -> dict:
+    """Deterministic stats over (a prefix sample of) one column chunk."""
+    s = series.iloc[:sample_max]
+    n = len(s)
+    mask = s.notna()
+    dense = s[mask]
+    stats: dict = {"n": n, "n_null": int((~mask).sum())}
+    if n == 0 or len(dense) == 0:
+        stats.update(distinct=0, mean_run=0.0)
+        return stats
+
+    vals = dense.to_numpy(dtype=object)
+    stats["distinct"] = int(pd.unique(dense).shape[0])
+
+    # mean run length over the full (null-filled) sequence
+    codes, _ = pd.factorize(s, use_na_sentinel=False)
+    changes = int((codes[1:] != codes[:-1]).sum()) + 1 if n > 1 else 1
+    stats["mean_run"] = n / changes
+
+    if typ in ("string", "binary"):
+        blob = b"".join(
+            v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in vals[:1024]
+        )
+        if blob:
+            counts = np.bincount(np.frombuffer(blob, dtype=np.uint8), minlength=256)
+            p = counts[counts > 0] / len(blob)
+            stats["byte_entropy"] = float(-(p * np.log2(p)).sum())
+        else:
+            stats["byte_entropy"] = 0.0
+        stats["avg_len"] = float(np.mean([len(v) for v in vals]))
+    elif typ in ("int64", "timestamp"):
+        iv = (
+            dense.astype("datetime64[us]").to_numpy().view(np.int64)
+            if typ == "timestamp"
+            else dense.astype("Int64").to_numpy(dtype=np.int64)
+        )
+        stats["sortedness"] = float((np.diff(iv) >= 0).mean()) if len(iv) > 1 else 1.0
+        rng = int(iv.max()) - int(iv.min())
+        stats["range_bits"] = max(rng, 0).bit_length()
+    return stats
+
+
+def select_codec(stats: dict, typ: str) -> str:
+    """Map stats -> codec name (see module docstring for the tree)."""
+    n = max(stats.get("n", 0) - stats.get("n_null", 0), 1)
+    distinct = stats.get("distinct", n)
+    mean_run = stats.get("mean_run", 1.0)
+
+    if typ in ("string", "binary"):
+        low_card = distinct <= max(2, n * DICT_MAX_CARD_FRAC) and distinct <= DICT_MAX_CARD_ABS
+        if distinct <= 1:
+            return "dict_rle"
+        if low_card and mean_run >= RLE_MIN_MEAN_RUN:
+            return "dict_rle"
+        if low_card:
+            return "dict"
+        if stats.get("byte_entropy", 8.0) <= FSST_MAX_ENTROPY:
+            return "fsst"
+        return "plain"
+
+    if typ in ("int64", "timestamp"):
+        if distinct <= 1:
+            return "rle_int"
+        if mean_run >= RLE_MIN_MEAN_RUN and distinct <= DICT_MAX_CARD_ABS:
+            return "dict_rle_int" if distinct <= 256 else "rle_int"
+        if stats.get("range_bits", 64) < 64 or stats.get("sortedness", 0.0) >= 0.5:
+            return "for_bitpack"
+        return "plain"
+
+    if typ == "double":
+        return "plain"
+    raise ValueError(f"unknown type {typ!r}")
+
+
+def spark_type_name(dt) -> str:
+    """Spark DataType -> our logical type name."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "int64"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return "double"
+    raise ValueError(f"unsupported Spark type {dt!r}")

@@ -1,0 +1,126 @@
+"""Column-level codec layer: nulls, types, selector decisions (FIXTURES §4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kmers_spark import codecs, selector
+
+
+def _assert_series_equal(out: pd.Series, expect: pd.Series, typ: str):
+    assert len(out) == len(expect)
+    for i in range(len(out)):
+        a, b = out.iloc[i], expect.iloc[i]
+        a_null = a is None or a is pd.NA or (isinstance(a, float) and np.isnan(a)) or a is pd.NaT
+        b_null = b is None or b is pd.NA or (isinstance(b, float) and np.isnan(b)) or b is pd.NaT
+        if b_null:
+            assert a_null, f"row {i}: expected null, got {a!r}"
+        else:
+            assert not a_null and a == b, f"row {i}: {a!r} != {b!r}"
+
+
+STRING_CASES = [
+    pd.Series(["en"] * 10 + ["de"] * 3 + [None, ""] * 2, dtype=object),
+    pd.Series([], dtype=object),
+    pd.Series([None, None], dtype=object),
+    pd.Series(["x" * 31, "y" * 32, "z" * 33, "", None], dtype=object),
+    pd.Series(["héllo wörld", "日本語", "a b", ""], dtype=object),  # non-ASCII
+]
+
+
+@pytest.mark.parametrize("codec", codecs.STRING_CODECS)
+@pytest.mark.parametrize("case", range(len(STRING_CASES)))
+def test_string_roundtrip(codec, case):
+    s = STRING_CASES[case]
+    payload, meta = codecs.encode_column(s, codec, "string")
+    out = codecs.decode_column(payload, meta)
+    _assert_series_equal(out, s, "string")
+
+
+def test_binary_roundtrip_dirty():
+    s = pd.Series([b"<html>\xff\xfe\x80\x00</html>", b"", None, b"\x00" * 40], dtype=object)
+    for codec in codecs.STRING_CODECS:
+        payload, meta = codecs.encode_column(s, codec, "binary")
+        _assert_series_equal(codecs.decode_column(payload, meta), s, "binary")
+
+
+@pytest.mark.parametrize("codec", codecs.INT_CODECS)
+def test_int64_roundtrip(codec):
+    s = pd.Series([1, 2, 2, 2, None, -5, 2**62, 0], dtype="Int64")
+    payload, meta = codecs.encode_column(s, codec, "int64")
+    _assert_series_equal(codecs.decode_column(payload, meta), s, "int64")
+
+
+@pytest.mark.parametrize("codec", ["plain", "for_bitpack"])
+def test_timestamp_roundtrip(codec):
+    s = pd.Series(
+        pd.to_datetime(
+            ["2024-01-01 00:00:00.000001", "2024-01-01 00:05:00", None, "2024-06-30 23:59:59.999999"],
+            format="ISO8601",
+        )
+    ).astype("datetime64[us]")
+    payload, meta = codecs.encode_column(s, codec, "timestamp")
+    out = codecs.decode_column(payload, meta)
+    _assert_series_equal(out, s, "timestamp")
+
+
+def test_double_roundtrip():
+    s = pd.Series([1.5, -0.0, float("nan"), None, 3.14159], dtype=object)
+    payload, meta = codecs.encode_column(s, "plain", "double")
+    out = codecs.decode_column(payload, meta)
+    # bit-identity for non-null floats
+    assert out.iloc[0] == 1.5 and str(out.iloc[1]) == "-0.0"
+    assert out.iloc[4] == 3.14159
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=50))
+def test_string_property_all_codecs(vals):
+    s = pd.Series(vals, dtype=object)
+    for codec in codecs.STRING_CODECS:
+        payload, meta = codecs.encode_column(s, codec, "string")
+        _assert_series_equal(codecs.decode_column(payload, meta), s, "string")
+
+
+class TestSelector:
+    def test_low_card_runs_picks_dict_rle(self):
+        s = pd.Series(["en"] * 600 + ["de"] * 100 + ["fr"] * 50, dtype=object)
+        stats = selector.column_stats(s, "string")
+        assert selector.select_codec(stats, "string") == "dict_rle"
+
+    def test_high_card_text_picks_fsst(self):
+        s = pd.Series([f"the quick brown fox {i} jumps" for i in range(500)], dtype=object)
+        stats = selector.column_stats(s, "string")
+        assert selector.select_codec(stats, "string") == "fsst"
+
+    def test_random_binary_picks_plain(self):
+        rng = np.random.default_rng(3)
+        s = pd.Series([rng.bytes(64) for _ in range(300)], dtype=object)
+        stats = selector.column_stats(s, "binary")
+        assert selector.select_codec(stats, "binary") == "plain"
+
+    def test_near_sorted_ts_picks_for(self):
+        ts = pd.Series(
+            pd.to_datetime(1_700_000_000_000_000 + np.cumsum(np.arange(1000) % 600), unit="us")
+        ).astype("datetime64[us]")
+        stats = selector.column_stats(ts, "timestamp")
+        assert selector.select_codec(stats, "timestamp") == "for_bitpack"
+
+    def test_constant_picks_rle(self):
+        s = pd.Series([7] * 100, dtype="Int64")
+        stats = selector.column_stats(s, "int64")
+        assert selector.select_codec(stats, "int64") == "rle_int"
+
+    def test_selected_codec_always_roundtrips(self):
+        cases = [
+            (pd.Series(["a"] * 50 + ["b"] * 50, dtype=object), "string"),
+            (pd.Series([f"url{i}" for i in range(100)], dtype=object), "string"),
+            (pd.Series(np.arange(100), dtype="Int64"), "int64"),
+            (pd.Series([1, 1, 1, 2, 2, 3] * 20, dtype="Int64"), "int64"),
+        ]
+        for s, typ in cases:
+            codec = selector.select_codec(selector.column_stats(s, typ), typ)
+            payload, meta = codecs.encode_column(s, codec, typ)
+            _assert_series_equal(codecs.decode_column(payload, meta), s, typ)
