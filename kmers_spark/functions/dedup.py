@@ -1,0 +1,164 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> md5 minhash -> band
+buckets -> candidate join), SimHash, and n-gram Jaccard verification.
+
+Cross-engine determinism: every hash is md5 (identical hex in Spark and
+DuckDB), and min-hash = the lexicographic MIN of salted md5 hex digests
+— a valid min-wise hash family, chosen because both engines compute it
+identically (no engine-specific 64-bit hash functions anywhere).
+
+Scale notes (the 100 TB story):
+  * exact dedup: one shuffle on the digest; map-side partial agg.
+  * minhash: signatures are per-doc aggregations (shuffle on doc_id is
+    avoided — shingles are built with explode and aggregated right back);
+    LSH banding turns all-pairs into an equi-join on (band, band_key),
+    which AQE can split on skewed bands.
+  * candidate verification joins only within buckets — never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_PERM = 8          # minhash permutations (bands of 2 rows -> 4 bands)
+BAND_ROWS = 2
+SHINGLE_W = 3       # word shingles
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copy(doc_id+100000): a deterministic corpus that
+    *contains* duplicates, so dedup operators have nonempty output to
+    verify against the oracle (synthetic docs are collision-free)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text")
+    return d.unionAll(dup)
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 digest: groups with >1 member, keeper = min id."""
+    d = _docs_with_dups(spark, sf_dir).filter(F.col("text").isNotNull())
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("digest"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def _shingles(d: DataFrame, w: int = SHINGLE_W) -> DataFrame:
+    """(doc_id, shingle) distinct word w-shingles; split on single space
+    (same semantics in DuckDB string_split)."""
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= w)
+    return toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - w)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("i") + 1, w)).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str, n_perm: int = N_PERM) -> DataFrame:
+    """(doc_id, perm, sig): sig = min over shingles of md5(perm || ':' || shingle).
+
+    The lexicographic min of a uniform hex hash is a valid min-hash; salt
+    `perm` gives independent permutations. DuckDB computes the identical
+    value (md5 + string min are engine-portable).
+    """
+    sh = _shingles(_docs_with_dups(spark, sf_dir).filter(F.col("text").isNotNull()))
+    perms = spark.range(n_perm).select(F.col("id").cast("int").alias("perm"))
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("perm"), F.col("shingle")))).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n_perm: int = N_PERM,
+                      band_rows: int = BAND_ROWS) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band.
+
+    band key = concat of the band's signature rows; equi-join on
+    (band, key) — never an all-pairs comparison.
+    """
+    sigs = minhash_signatures(spark, sf_dir, n_perm)
+    bands = (
+        sigs.withColumn("band", (F.col("perm") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list("sig"))).alias("band_key"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """Verify LSH candidates with exact shingle Jaccard (the verify stage
+    of the dedup pipeline; joins only candidate pairs)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sh = _shingles(_docs_with_dups(spark, sf_dir).filter(F.col("text").isNotNull()))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    # intersection size via equi-join on shingle, restricted to candidates
+    sa = sh.withColumnRenamed("doc_id", "doc_a")
+    sb = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na")
+    nb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb")
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash from token md5 nibbles: per bit, sign of sum(±1).
+
+    Expressed portably: bit b of token-hash = (int from md5 hex nibble)
+    >> ... computed via conv(); per-doc per-bit vote, then bits -> int.
+    """
+    d = _docs_with_dups(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    # 16 bits from the first 4 hex chars of md5(tok)
+    h = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long").alias("h16")
+    )
+    bits = h.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+        "h16",
+    ).select(
+        "doc_id",
+        "bit",
+        (F.shiftright(F.col("h16"), F.col("bit").cast("int")).bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return (
+        votes.withColumn("bitval", F.when(F.col("v") > 0, F.shiftleft(F.lit(1), F.col("bit").cast("int"))).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

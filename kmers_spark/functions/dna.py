@@ -1,0 +1,131 @@
+"""Reference query semantics (SURVEY.md §2.8 crosswalk) as Spark plans.
+
+The `documents.text` column is the sequence corpus: `seq` is its
+ACGT-alphabet projection (upper + strip non-ACGT), per FIXTURES.md §2.
+All operators are pure DataFrame expressions — whole-stage-codegen'd,
+no Python in the hot path; the windowed ones use explode(sequence())
+(the lateral-window form of SeqVecKmerIterator, seq_vector.rs:260-300)
+or bounded window frames (SeqVecMinimizerIter, minimizers.rs:38-142).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+RC_FROM, RC_TO = "ACGT", "TGCA"
+
+
+def _docs_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq"),
+    ).filter(F.col("seq").isNotNull())
+
+
+def _rc(col):
+    """reverse complement, string domain — oracle form of
+    Kmer::to_reverse_complement (naive_impl/kmer.rs:124-136)."""
+    return F.reverse(F.translate(col, RC_FROM, RC_TO))
+
+
+def _kmers(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, pos, kmer) for all overlapping windows — W7."""
+    seqs = _docs_seq(spark, sf_dir).filter(F.length("seq") >= k)
+    return seqs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("seq") - (k - 1))).alias("pos"),
+        "seq",
+    ).select("doc_id", "pos", F.expr(f"substring(seq, pos, {k})").alias("kmer"))
+
+
+def kmer_extract(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    return _kmers(spark, sf_dir, k)
+
+
+def revcomp_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: per-document reverse complement of the full seq."""
+    return _docs_seq(spark, sf_dir).select(
+        "doc_id", "seq", _rc(F.col("seq")).alias("revcomp")
+    )
+
+
+def canonical_kmers(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """T7: canonical = least(kmer, rc(kmer))."""
+    km = _kmers(spark, sf_dir, k)
+    return km.select(
+        "doc_id",
+        "pos",
+        "kmer",
+        F.least(F.col("kmer"), _rc(F.col("kmer"))).alias("canonical"),
+    )
+
+
+def canonical_count(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """T7 + groupBy: abundance of each canonical k-mer (partial agg map-side;
+    the shuffle key is the canonical form, mirroring canonical-key joins)."""
+    return (
+        canonical_kmers(spark, sf_dir, k)
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def minimizer_lex(spark: SparkSession, sf_dir: str, k: int = 9, w: int = 4) -> DataFrame:
+    """W10 under LexHasher (lex order == hash order, hash.rs:84-104):
+    per k-window minimum w-mer via a bounded window frame — Spark's
+    window exec maintains the same monotonic structure the reference's
+    deque does (minimizers.rs:60-81)."""
+    from pyspark.sql import Window as W
+
+    wmers = _kmers(spark, sf_dir, w).withColumnRenamed("kmer", "wmer")
+    frame = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, k - w)
+    )
+    n_k = F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    return (
+        wmers.withColumn("minimizer", F.min("wmer").over(frame))
+        .withColumn("_n_wmers", n_k)
+        .filter(F.col("pos") <= F.col("_n_wmers") - (k - w))
+        .select("doc_id", F.col("pos").alias("kpos"), "minimizer")
+    )
+
+
+def valid_window_scan(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
+    """W8: windows over the *raw* uppercased text, emitting only windows of
+    valid symbols (CanonicalKmerIterator skip rule) with their positions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.select("doc_id", F.upper(F.col("text")).alias("raw")).filter(
+        F.col("raw").isNotNull() & (F.length("raw") >= k)
+    )
+    win = raw.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("raw") - (k - 1))).alias("pos"),
+        "raw",
+    ).select("doc_id", "pos", F.expr(f"substring(raw, pos, {k})").alias("window"))
+    return win.filter(F.col("window").rlike("^[ACGT]+$")).select(
+        "doc_id", "pos", F.col("window").alias("kmer")
+    )
+
+
+def kmer_pack_roundtrip(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """E4+D5: pack each k-mer into a u64 (2-bit, low-bits-first) with a
+    vectorized pandas kernel and unpack it back; returns the word and the
+    decoded string (oracle: decoded == lower(kmer) identity projection)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels import domain
+
+    @F.pandas_udf("struct<word: long, decoded: string>")
+    def pack_unpack(kmers: pd.Series) -> pd.DataFrame:
+        words = np.array(
+            [domain.pack_word(domain.seq_to_codes(s)) for s in kmers], dtype=np.uint64
+        )
+        dec = [domain.unpack_word(int(wd), k) for wd in words]
+        return pd.DataFrame({"word": words.view(np.int64), "decoded": dec})
+
+    km = _kmers(spark, sf_dir, k)
+    return km.select(
+        "doc_id", "pos", "kmer", pack_unpack(F.col("kmer")).alias("pu")
+    ).select("doc_id", "pos", "kmer", F.col("pu.decoded").alias("decoded"))

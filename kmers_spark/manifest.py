@@ -1,0 +1,83 @@
+"""Lineage manifest + checkpoint state for encode jobs.
+
+Plays the role Iceberg metadata would (SURVEY.md §7 Plan B — no Iceberg
+runtime jar in this sandbox): snapshot id, schema, per-bucket commit
+markers, per-(bucket, column) codec choices and size stats, and the
+seeds that make encoding reproducible (the reference records its code
+assignment as an enum discriminant — naive.rs:49-74; we record ours
+here). Updated atomically via write-tmp-then-rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+MANIFEST_NAME = "manifest.json"
+
+
+def _path(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_NAME)
+
+
+def load(out_dir: str) -> dict[str, Any] | None:
+    p = _path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def init(out_dir: str, *, snapshot_id: str, schema: dict[str, str], num_buckets: int,
+         key: str, seed: int = 42) -> dict[str, Any]:
+    m = load(out_dir)
+    if m is not None:
+        if m["num_buckets"] != num_buckets or m["schema"] != schema:
+            raise ValueError("existing manifest is incompatible with this job config")
+        return m
+    m = {
+        "format_version": 1,
+        "snapshot_id": snapshot_id,
+        "schema": schema,          # {column: logical type}
+        "key": key,                # ordering/bucketing key column
+        "num_buckets": num_buckets,
+        "seed": seed,
+        "committed_buckets": [],   # checkpoint markers
+        "blocks": {},              # str(bucket) -> [{column, codec, n_rows, raw, enc}]
+        "hot_keys": {},            # skew salting decisions {host: n_salts}
+        "created_unix": int(time.time()),
+    }
+    save(out_dir, m)
+    return m
+
+
+def save(out_dir: str, m: dict[str, Any]) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = _path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(tmp, _path(out_dir))
+
+
+def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]]) -> dict[str, Any]:
+    """Record per-bucket block stats and mark the buckets committed."""
+    m = load(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    done = set(m["committed_buckets"])
+    for b, blocks in bucket_stats.items():
+        m["blocks"][str(b)] = blocks
+        done.add(int(b))
+    m["committed_buckets"] = sorted(done)
+    save(out_dir, m)
+    return m
+
+
+def pending_buckets(out_dir: str) -> list[int]:
+    m = load(out_dir)
+    if m is None:
+        return []
+    done = set(m["committed_buckets"])
+    return [b for b in range(m["num_buckets"]) if b not in done]

@@ -1,0 +1,55 @@
+"""The decode job: block table -> original rows, bit-identical.
+
+Mirrors the reference's round-trip contract (decode(encode(x)) == x,
+naive.rs golden tests) at table scale: every column is reproduced
+byte-identical per url — the north-rule invariant. Each bucket decodes
+independently (blocks are self-describing), so decode parallelism ==
+bucket count and no shuffle is needed beyond the scan's grouping.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import codecs, manifest
+from .encode import read_blocks
+
+_SPARK_TYPE = {
+    "string": "string",
+    "binary": "binary",
+    "int64": "long",
+    "timestamp": "timestamp",
+    "double": "double",
+}
+
+
+def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = None) -> DataFrame:
+    m = manifest.load(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    schema = m["schema"]  # {column: logical type} — insertion order preserved
+    out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
+    cols = list(schema.keys())
+
+    blocks = read_blocks(spark, out_dir)
+    if buckets is not None:
+        blocks = blocks.filter(blocks.bucket.isin(buckets))
+
+    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        series = {}
+        for _, row in pdf.iterrows():
+            meta = json.loads(row["meta"])
+            series[row["column"]] = codecs.decode_column(bytes(row["payload"]), meta)
+        n = len(next(iter(series.values()))) if series else 0
+        data = {}
+        for c in cols:
+            s = series[c]
+            if schema[c] == "binary":
+                s = s.map(lambda v: None if v is None else bytes(v))
+            data[c] = s.reset_index(drop=True)
+        return pd.DataFrame(data, columns=cols) if n else pd.DataFrame(columns=cols)
+
+    return blocks.groupBy("bucket").applyInPandas(decode_group, out_schema)

@@ -1,0 +1,152 @@
+"""The encode job: DataFrame -> compressed block table + lineage manifest.
+
+Pipeline (all declarative until the codec kernels):
+    input df
+      -> salted skew-aware bucket assignment (partitioning.with_bucket)
+      -> groupBy(bucket).applyInPandas(encode kernels)   [Arrow batches]
+      -> block table parquet, partitioned by bucket      [resume unit]
+      -> manifest commit markers + per-block codec/size stats
+
+Block row: (bucket, column, codec, n_rows, raw_nbytes, enc_nbytes,
+payload binary, meta json). Rows within a block are sorted by the key
+column so encoding is deterministic under Spark's nondeterministic
+partition ordering — order is part of the format (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import codecs, manifest, selector
+from . import partitioning
+
+BLOCK_SCHEMA = (
+    "bucket int, column string, codec string, n_rows long, "
+    "raw_nbytes long, enc_nbytes long, payload binary, meta string"
+)
+
+
+def _raw_nbytes(series: pd.Series, typ: str) -> int:
+    if typ in ("int64", "timestamp", "double"):
+        return 8 * len(series)
+    if typ == "string":
+        return int(series.dropna().map(lambda v: len(v.encode("utf-8"))).sum())
+    return int(series.dropna().map(len).sum())
+
+
+def make_encode_fn(schema: dict[str, str], key: str, codec_overrides: dict[str, str] | None):
+    """Build the applyInPandas group encoder. Everything it captures is a
+    small plain dict (cheap closure pickling)."""
+    overrides = codec_overrides or {}
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key, kind="mergesort").reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else -1
+        out = []
+        for col, typ in schema.items():
+            s = pdf[col]
+            codec = overrides.get(col) or selector.select_codec(
+                selector.column_stats(s, typ), typ
+            )
+            payload, meta = codecs.encode_column(s, codec, typ)
+            out.append(
+                {
+                    "bucket": bucket,
+                    "column": col,
+                    "codec": codec,
+                    "n_rows": len(s),
+                    "raw_nbytes": _raw_nbytes(s, typ),
+                    "enc_nbytes": len(payload),
+                    "payload": payload,
+                    "meta": json.dumps(meta, sort_keys=True),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return encode_group
+
+
+def plan_buckets(df: DataFrame, num_buckets: int, hot_keys: dict[str, int],
+                 key: str = "url") -> DataFrame:
+    return partitioning.with_bucket(df, num_buckets, hot_keys, url_col=key)
+
+
+def encode_table(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    key: str = "url",
+    num_buckets: int = 32,
+    codec_overrides: dict[str, str] | None = None,
+    snapshot_id: str = "snap-0",
+    detect_skew: bool = True,
+    resume: bool = True,
+    fail_buckets_over: int | None = None,
+) -> dict:
+    """Run the encode job; returns the updated manifest dict.
+
+    `fail_buckets_over` keeps only buckets < N (test hook: simulates a
+    job killed partway so resume can be exercised — FIXTURES.md §4).
+    """
+    spark = df.sparkSession
+    schema = {f.name: selector.spark_type_name(f.dataType) for f in df.schema.fields}
+
+    m = manifest.load(out_dir)
+    if m is None or not resume:
+        hot = partitioning.detect_hot_keys(df, num_buckets, key) if detect_skew else {}
+        m = manifest.init(
+            out_dir, snapshot_id=snapshot_id, schema=schema, num_buckets=num_buckets,
+            key=key,
+        )
+        m["hot_keys"] = hot
+        m["codec_overrides"] = codec_overrides or {}
+        manifest.save(out_dir, m)
+    hot = m["hot_keys"]
+
+    done = set(m["committed_buckets"])
+    bucketed = plan_buckets(df, num_buckets, hot, key)
+    if done:
+        bucketed = bucketed.filter(~F.col("bucket").isin(sorted(done)))
+    if fail_buckets_over is not None:
+        bucketed = bucketed.filter(F.col("bucket") < fail_buckets_over)
+
+    blocks = bucketed.groupBy("bucket").applyInPandas(
+        make_encode_fn(schema, key, codec_overrides), BLOCK_SCHEMA
+    )
+    (
+        blocks.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(_blocks_path(out_dir))
+    )
+
+    # read back the stats (not the payloads: column pruning keeps this cheap)
+    written = (
+        df.sparkSession.read.parquet(_blocks_path(out_dir))
+        .select("bucket", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes")
+        .filter(~F.col("bucket").isin(sorted(done)) if done else F.lit(True))
+        .collect()
+    )
+    stats: dict[int, list[dict]] = {}
+    for r in written:
+        stats.setdefault(int(r["bucket"]), []).append(
+            {
+                "column": r["column"],
+                "codec": r["codec"],
+                "n_rows": r["n_rows"],
+                "raw_nbytes": r["raw_nbytes"],
+                "enc_nbytes": r["enc_nbytes"],
+            }
+        )
+    return manifest.commit_buckets(out_dir, stats)
+
+
+def _blocks_path(out_dir: str) -> str:
+    return f"{out_dir}/blocks"
+
+
+def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(_blocks_path(out_dir))

@@ -1,0 +1,76 @@
+"""Skew-aware salted bucketing for the encode job.
+
+Blocks are grouped by *host* (url prefix) so values inside a block are
+similar — that's what makes dict/FSST pay off — but Zipf-skewed hosts
+(FIXTURES.md §1: Zipf a=1.3) would make single-host blocks arbitrarily
+large. Hot hosts therefore get split across `n_salts` sub-buckets via a
+second hash of the full url: bucket = xxhash64(host, salt) % B.
+
+The salt is derived from the row itself (url), so assignment is
+deterministic and recorded in the manifest — decode doesn't need it
+(blocks are self-describing) but resume does (identical re-assignment).
+
+AQE's skew handling only covers joins, not applyInPandas groups — hence
+explicit salting here (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HOST_PATTERN = r"^[a-z]+://([^/]+)"
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("_host", F.regexp_extract(F.col(url_col), HOST_PATTERN, 1))
+
+
+def detect_hot_keys(df: DataFrame, num_buckets: int, url_col: str = "url",
+                    sample_fraction: float | None = None) -> dict[str, int]:
+    """hosts whose row count would overflow one bucket -> n_salts to split into.
+
+    One aggregation over (a sample of) the input; the result is a small
+    driver-side dict (hot hosts are few by definition of skew).
+    """
+    d = with_host(df, url_col)
+    if sample_fraction and sample_fraction < 1.0:
+        d = d.sample(fraction=sample_fraction, seed=42)
+    total_and_counts = d.groupBy("_host").count()
+    rows = total_and_counts.collect()
+    total = sum(r["count"] for r in rows)
+    if total == 0:
+        return {}
+    target = max(total / num_buckets, 1.0)
+    hot = {}
+    for r in rows:
+        n_salts = int(r["count"] // target) + 1
+        if n_salts > 1:
+            hot[r["_host"]] = n_salts
+    return hot
+
+
+def with_bucket(df: DataFrame, num_buckets: int, hot_keys: dict[str, int],
+                url_col: str = "url") -> DataFrame:
+    """Add a `bucket` column: hash(host, salt) % B with per-hot-host salts.
+
+    hot_keys is a small dict -> broadcast join (no shuffle of the big side
+    beyond the groupBy that follows anyway).
+    """
+    d = with_host(df, url_col)
+    if hot_keys:
+        spark = df.sparkSession
+        hot_df = spark.createDataFrame(
+            [(k, v) for k, v in hot_keys.items()], "_host string, _n_salts int"
+        )
+        d = d.join(F.broadcast(hot_df), "_host", "left")
+        salt = F.when(
+            F.col("_n_salts").isNotNull(),
+            F.pmod(F.xxhash64(F.col(url_col)), F.col("_n_salts")),
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    d = d.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col("_host"), salt.cast("long")), F.lit(num_buckets)).cast("int"),
+    )
+    return d.drop("_host", "_n_salts") if hot_keys else d.drop("_host")
