@@ -1,38 +1,298 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: auto-codec encode+decode of sf0.001 tables,
+                 returns per-(table, column) codec/ratio stats.
+queries()      — one entry per implemented operator (SURVEY.md §2.8 + the
+                 training-data-pipeline ops).
+oracle_sql()   — DuckDB-equivalent SQL; identical column aliases so the
+                 driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+K = 5          # default k-mer width for query surface
+MIN_K, MIN_W = 9, 4   # minimizer params (frame = k-w = 5)
+
+
+# --------------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode+decode documents & events at sf0.001 with the codec
+    auto-selector; verify decode equals input; return codec/ratio stats."""
+    from kmers_spark.operators.roundtrip import roundtrip
+    from kmers_spark.operators.encode import BLOCK_SCHEMA, make_encode_fn
+    from kmers_spark import selector
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = []
+    for table, key in (("documents", "doc_id"), ("events", "event_id")):
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        schema = {f.name: selector.spark_type_name(f.dataType) for f in df.schema.fields}
+        bucketed = df.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(4)).cast("int")
+        )
+        blocks = bucketed.groupBy("bucket").applyInPandas(
+            make_encode_fn(schema, key, None), BLOCK_SCHEMA
+        )
+        stats = (
+            blocks.groupBy("column", "codec")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("raw_nbytes").alias("raw_nbytes"),
+                F.sum("enc_nbytes").alias("enc_nbytes"),
+            )
+            .withColumn("table", F.lit(table))
+        )
+        out.append(stats)
+    res = out[0].unionAll(out[1]).select(
+        "table", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes",
+        F.round(F.col("enc_nbytes") / F.col("raw_nbytes"), 4).alias("ratio"),
+    )
+    return res.orderBy("table", "column")
+
+
+# ------------------------------------------------------------------- queries
+
+def _codec_roundtrip(table: str, key: str, cols: list[str] | None = None,
+                     overrides: dict[str, str] | None = None):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from kmers_spark.operators.roundtrip import roundtrip
+
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if cols:
+            df = df.select(*cols)
+        return roundtrip(df, key, codec_overrides=overrides)
+
+    return q
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kmers_spark.functions import ann, dedup, dna, multimodal, textqc
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- reference DNA semantics (SURVEY §2.8 crosswalk) ---
+        "kmer_extract": lambda s, d: dna.kmer_extract(s, d, K),
+        "revcomp_doc": dna.revcomp_doc,
+        "canonical_kmers": lambda s, d: dna.canonical_kmers(s, d, K),
+        "canonical_count": lambda s, d: dna.canonical_count(s, d, K),
+        "minimizer_lex": lambda s, d: dna.minimizer_lex(s, d, MIN_K, MIN_W),
+        "valid_window_scan": lambda s, d: dna.valid_window_scan(s, d, 3),
+        "kmer_pack_roundtrip": lambda s, d: dna.kmer_pack_roundtrip(s, d, K),
+        # --- codec round-trips (oracle = identity projection) ---
+        "codec_roundtrip_documents": _codec_roundtrip("documents", "doc_id"),
+        "codec_roundtrip_events": _codec_roundtrip("events", "event_id"),
+        "codec_dict_rle_lang": _codec_roundtrip(
+            "documents", "doc_id", ["doc_id", "lang"], {"lang": "dict_rle"}
+        ),
+        "codec_fsst_text": _codec_roundtrip(
+            "documents", "doc_id", ["doc_id", "text"], {"text": "fsst"}
+        ),
+        "codec_for_timestamps": _codec_roundtrip(
+            "events", "event_id", ["event_id", "ts"], {"ts": "for_bitpack"}
+        ),
+        "codec_bitpack_ids": _codec_roundtrip(
+            "lineitem", "l_orderkey", ["l_orderkey", "l_partkey", "l_linenumber"],
+            {"l_partkey": "for_bitpack", "l_linenumber": "dict_rle_int"}
+        ),
+        "codec_plain_doubles": _codec_roundtrip(
+            "events", "event_id", ["event_id", "value"], {"value": "plain"}
+        ),
+        # --- training-data pipeline ops ---
+        "dedup_exact": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "ngram_jaccard": dedup.ngram_jaccard,
+        "simhash": dedup.simhash,
+        "token_count": textqc.token_count,
+        "quality_score": textqc.quality_score,
+        "lang_id": textqc.lang_id,
+        "fingerprint": textqc.fingerprint,
+        "ann_cosine_topk": ann.cosine_topk,
+        "ann_topk_lsh": ann.ann_topk_lsh,
+        # --- multimodal plumbing (decode stubbed; metadata oracle-checked) ---
+        "media_meta": multimodal.media_meta,
+        "media_features": lambda s, d: multimodal.extract_features(
+            multimodal.media_table(s, d)
+        ).select("doc_id", "media_type", "n_bytes", "width", "height"),
+    }
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+_SEQS = (
+    "SELECT doc_id, regexp_replace(upper(text), '[^ACGT]', '', 'g') AS seq "
+    "FROM documents WHERE text IS NOT NULL"
+)
+_KMERS = (
+    f"WITH seqs AS ({_SEQS}), "
+    f"km AS (SELECT doc_id, seq, unnest(generate_series(1, length(seq) - {K - 1}))::BIGINT AS pos "
+    f"       FROM seqs WHERE length(seq) >= {K}) "
+    f"SELECT doc_id, pos, substr(seq, pos::INT, {K}) AS kmer FROM km"
+)
+_RC = "reverse(translate({0}, 'ACGT', 'TGCA'))"
+
+_DOCS_DUP = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents"
+)
+_SHINGLES = (
+    "SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + 3], ' ') AS shingle "
+    "FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 3)) AS i "
+    "      FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+    "            FROM dd WHERE text IS NOT NULL) "
+    "      WHERE len(toks) >= 3)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    w, k = MIN_W, MIN_K
+    frame = k - w
+    sql = {
+        "kmer_extract": _KMERS,
+        "revcomp_doc": f"WITH seqs AS ({_SEQS}) SELECT doc_id, seq, {_RC.format('seq')} AS revcomp FROM seqs",
+        "canonical_kmers": (
+            f"WITH km AS ({_KMERS}) SELECT doc_id, pos, kmer, "
+            f"least(kmer, {_RC.format('kmer')}) AS canonical FROM km"
+        ),
+        "canonical_count": (
+            f"WITH km AS ({_KMERS}) SELECT least(kmer, {_RC.format('kmer')}) AS canonical, "
+            f"count(*) AS cnt FROM km GROUP BY 1"
+        ),
+        "minimizer_lex": (
+            f"WITH seqs AS ({_SEQS}), "
+            f"wm AS (SELECT doc_id, seq, unnest(generate_series(1, length(seq) - {w - 1}))::BIGINT AS pos "
+            f"       FROM seqs WHERE length(seq) >= {w}), "
+            f"wmers AS (SELECT doc_id, pos, substr(seq, pos::INT, {w}) AS wmer FROM wm) "
+            f"SELECT doc_id, pos AS kpos, "
+            f"min(wmer) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {frame} FOLLOWING) AS minimizer "
+            f"FROM wmers QUALIFY pos <= count(*) OVER (PARTITION BY doc_id) - {frame}"
+        ),
+        "valid_window_scan": (
+            "WITH raw AS (SELECT doc_id, upper(text) AS raw FROM documents "
+            "             WHERE text IS NOT NULL AND length(text) >= 3), "
+            "win AS (SELECT doc_id, raw, unnest(generate_series(1, length(raw) - 2))::BIGINT AS pos FROM raw) "
+            "SELECT doc_id, pos, substr(raw, pos::INT, 3) AS kmer FROM win "
+            "WHERE regexp_matches(substr(raw, pos::INT, 3), '^[ACGT]+$')"
+        ),
+        "kmer_pack_roundtrip": (
+            f"WITH km AS ({_KMERS}) SELECT doc_id, pos, kmer, lower(kmer) AS decoded FROM km"
+        ),
+        # codec round-trips: identity projections
+        "codec_roundtrip_documents": "SELECT * FROM documents",
+        "codec_roundtrip_events": "SELECT * FROM events",
+        "codec_dict_rle_lang": "SELECT doc_id, lang FROM documents",
+        "codec_fsst_text": "SELECT doc_id, text FROM documents",
+        "codec_for_timestamps": "SELECT event_id, ts FROM events",
+        "codec_bitpack_ids": "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem",
+        "codec_plain_doubles": "SELECT event_id, value FROM events",
+        # training-data ops
+        "dedup_exact": (
+            f"WITH dd AS ({_DOCS_DUP}) "
+            "SELECT md5(text) AS digest, count(*) AS cnt, min(doc_id) AS keeper "
+            "FROM dd WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "minhash_signatures": (
+            f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}) "
+            "SELECT doc_id, perm, min(md5(perm::VARCHAR || ':' || shingle)) AS sig "
+            "FROM sh, (SELECT unnest(generate_series(0, 7))::INT AS perm) p "
+            "GROUP BY doc_id, perm"
+        ),
+        "minhash_lsh_pairs": (
+            f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}), "
+            "sigs AS (SELECT doc_id, perm, min(md5(perm::VARCHAR || ':' || shingle)) AS sig "
+            "         FROM sh, (SELECT unnest(generate_series(0, 7))::INT AS perm) p "
+            "         GROUP BY doc_id, perm), "
+            "bands AS (SELECT doc_id, (perm // 2)::INT AS band, "
+            "          array_to_string(list_sort(list(sig)), '|') AS band_key "
+            "          FROM sigs GROUP BY doc_id, band) "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM bands a JOIN bands b USING (band, band_key) WHERE a.doc_id < b.doc_id"
+        ),
+        "ngram_jaccard": (
+            f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}), "
+            "sigs AS (SELECT doc_id, perm, min(md5(perm::VARCHAR || ':' || shingle)) AS sig "
+            "         FROM sh, (SELECT unnest(generate_series(0, 7))::INT AS perm) p "
+            "         GROUP BY doc_id, perm), "
+            "bands AS (SELECT doc_id, (perm // 2)::INT AS band, "
+            "          array_to_string(list_sort(list(sig)), '|') AS band_key "
+            "          FROM sigs GROUP BY doc_id, band), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "          FROM bands a JOIN bands b USING (band, band_key) WHERE a.doc_id < b.doc_id), "
+            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter "
+            "          FROM pairs p JOIN sh sa ON sa.doc_id = p.doc_a "
+            "          JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle "
+            "          GROUP BY p.doc_a, p.doc_b) "
+            "SELECT i.doc_a, i.doc_b, "
+            "round(n_inter / (na.n_sh + nb.n_sh - n_inter), 6) AS jaccard "
+            "FROM inter i JOIN sizes na ON na.doc_id = i.doc_a "
+            "JOIN sizes nb ON nb.doc_id = i.doc_b "
+            "WHERE n_inter / (na.n_sh + nb.n_sh - n_inter) >= 0.8"
+        ),
+        "simhash": (
+            f"WITH dd AS ({_DOCS_DUP}), "
+            "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "         FROM dd WHERE text IS NOT NULL AND length(text) > 0), "
+            "h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h16 "
+            "      FROM toks WHERE tok <> ''), "
+            "bits AS (SELECT doc_id, bit, ((h16 >> bit) & 1) * 2 - 1 AS vote "
+            "         FROM h, (SELECT unnest(generate_series(0, 15))::INT AS bit) b), "
+            "votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit) "
+            "SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash "
+            "FROM votes GROUP BY doc_id"
+        ),
+        "token_count": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "              FROM documents WHERE text IS NOT NULL AND text <> '') "
+            "SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct "
+            "FROM toks WHERE tok <> '' GROUP BY doc_id"
+        ),
+        "quality_score": (
+            "WITH toks AS (SELECT doc_id, length(text) AS n_chars, "
+            "              unnest(string_split(text, ' ')) AS tok "
+            "              FROM documents WHERE text IS NOT NULL AND text <> '') "
+            "SELECT doc_id, max(n_chars) AS n_chars, count(*) AS n_tokens, "
+            "round(avg(length(tok)), 6) AS mean_tok_len, "
+            "round(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','it','on','for') "
+            "THEN 1 ELSE 0 END) / count(*), 6) AS stopword_ratio "
+            "FROM toks WHERE tok <> '' GROUP BY doc_id"
+        ),
+        "lang_id": (
+            "WITH feats AS (SELECT doc_id, lang, "
+            "  (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) "
+            "   / length(text)::DOUBLE AS vr "
+            "  FROM documents WHERE text IS NOT NULL AND length(text) > 0) "
+            "SELECT doc_id, lang, round(vr, 6) AS vowel_ratio, "
+            "CASE WHEN vr >= 0.40 THEN 'vowel_heavy' "
+            "     WHEN vr >= 0.25 THEN 'latin_like' ELSE 'other' END AS guess "
+            "FROM feats"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint "
+            "FROM documents WHERE text IS NOT NULL"
+        ),
+        "media_meta": (
+            "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image/png' "
+            "WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type, "
+            "octet_length(encode(text)) AS n_bytes "
+            "FROM documents WHERE text IS NOT NULL"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b "
+            "      FROM embeddings e, q WHERE e.vec_id <> 0), "
+            "s AS (SELECT vec_id, sum(a * b) AS dp, sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb "
+            "      FROM z GROUP BY vec_id) "
+            "SELECT vec_id, round(dp / (na * nb), 6) AS cosine FROM s "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+    }
+    return sql

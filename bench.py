@@ -1,0 +1,162 @@
+"""Bench harness: headline encode/decode throughput + query timings.
+
+Prints ONE JSON line:
+  {"metric": "bench_suite_seconds", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "encode": {"gbps_hi": ..., "gbps_lo": ..., "scaling_efficiency": ...,
+              "ratio_overall": ..., "ratio_by_column": {...}}}
+
+Scaling evidence (BASELINE.md protocol): the same encode job runs at
+local[8] and local[32] on the same cached deterministic pages snapshot;
+efficiency = gbps_32 / (4 * gbps_8). Everything else runs at local[N]
+with N = $SPARK_GRAFT_CPUS (default 32) over $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LO_CPUS = max(CPUS // 4, 1)
+SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
+PAGES_ROWS = int(4_000_000 * SF)          # sf0.1 -> 400k rows (~200 MB logical)
+N_BUCKETS = 2 * CPUS                       # two waves at the high level
+CACHE = Path(__file__).resolve().parent / ".bench_cache" / f"pages_{PAGES_ROWS}"
+
+
+def _spark(master_cores: int):
+    from kmers_spark.session import get_spark
+
+    s = get_spark(f"bench_{master_cores}", master=f"local[{master_cores}]",
+                  shuffle_partitions=N_BUCKETS)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def ensure_pages():
+    if not (CACHE / "_SUCCESS").exists():
+        s = _spark(CPUS)
+        from kmers_spark import pages
+
+        pages.pages_df(s, PAGES_ROWS, partitions=N_BUCKETS).write.mode(
+            "overwrite"
+        ).parquet(str(CACHE))
+        s.stop()
+
+
+def encode_run(cores: int) -> dict:
+    """One measured encode job; returns {sec, raw_bytes, enc_bytes, per-col}."""
+    from pyspark.sql import functions as F
+
+    from kmers_spark.operators import encode as enc
+
+    s = _spark(cores)
+    df = s.read.parquet(str(CACHE))
+    out = tempfile.mkdtemp(prefix=f"bench_enc_{cores}_")
+    try:
+        t0 = time.perf_counter()
+        enc.encode_table(
+            df, out, num_buckets=N_BUCKETS, detect_skew=True, snapshot_id="bench"
+        )
+        sec = time.perf_counter() - t0
+        stats = (
+            enc.read_blocks(s, out)
+            .groupBy("column")
+            .agg(F.sum("raw_nbytes").alias("raw"), F.sum("enc_nbytes").alias("enc"))
+            .collect()
+        )
+        raw = sum(r["raw"] for r in stats)
+        encb = sum(r["enc"] for r in stats)
+        percol = {r["column"]: round(r["enc"] / r["raw"], 4) for r in stats}
+        return {"sec": sec, "raw": raw, "enc": encb, "per_col": percol, "out": out}
+    finally:
+        s.stop()
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def main():
+    timings: dict[str, float] = {}
+    t_suite = time.perf_counter()
+
+    ensure_pages()
+
+    # --- scaling pair (warm-up at high level first, discarded) ---
+    warm = encode_run(CPUS)
+    hi = encode_run(CPUS)
+    lo = encode_run(LO_CPUS)
+    timings["encode_pages_hi"] = round(hi["sec"], 3)
+    timings["encode_pages_lo"] = round(lo["sec"], 3)
+    gbps_hi = hi["raw"] / hi["sec"] / 1e9
+    gbps_lo = lo["raw"] / lo["sec"] / 1e9
+    eff = gbps_hi / ((CPUS / LO_CPUS) * gbps_lo)
+
+    # --- decode + query timings at the high level ---
+    s = _spark(CPUS)
+    try:
+        from kmers_spark.operators import encode as enc, decode as dec
+
+        out = tempfile.mkdtemp(prefix="bench_dec_")
+        df = s.read.parquet(str(CACHE))
+        enc.encode_table(df, out, num_buckets=N_BUCKETS, snapshot_id="bench")
+        t0 = time.perf_counter()
+        n = dec.decode_table(s, out).count()
+        timings["decode_pages"] = round(time.perf_counter() - t0, 3)
+        assert n == PAGES_ROWS, f"decode row count {n} != {PAGES_ROWS}"
+        shutil.rmtree(out, ignore_errors=True)
+
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in (
+            "canonical_count",
+            "minimizer_lex",
+            "token_count",
+            "quality_score",
+            "dedup_exact",
+            "minhash_lsh_pairs",
+            "ann_cosine_topk",
+            "codec_roundtrip_documents",
+        ):
+            t0 = time.perf_counter()
+            qs[name](s, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+    finally:
+        s.stop()
+
+    total = round(time.perf_counter() - t_suite, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF,
+                "encode": {
+                    "pages_rows": PAGES_ROWS,
+                    "logical_gb": round(hi["raw"] / 1e9, 3),
+                    "gbps_hi": round(gbps_hi, 4),
+                    "gbps_lo": round(gbps_lo, 4),
+                    "cores_hi": CPUS,
+                    "cores_lo": LO_CPUS,
+                    "scaling_efficiency": round(eff, 3),
+                    "ratio_overall": round(hi["enc"] / hi["raw"], 4),
+                    "ratio_by_column": hi["per_col"],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ TYPE_DEFAULT_CODEC = {
     "binary": "fsst",
     "int64": "for_bitpack",
     "timestamp": "for_bitpack",
+    "timestamp_ntz": "for_bitpack",
     "double": "plain",
 }
 
@@ -73,7 +74,7 @@ def _from_bytes_list(values: list[bytes], mask, typ: str) -> pd.Series:
 
 
 def _to_int64(series: pd.Series, mask: np.ndarray, typ: str) -> np.ndarray:
-    if typ == "timestamp":
+    if typ.startswith("timestamp"):
         v = series.astype("datetime64[us]").to_numpy().view(np.int64).copy()
         v[~mask] = 0
         return v
@@ -81,7 +82,7 @@ def _to_int64(series: pd.Series, mask: np.ndarray, typ: str) -> np.ndarray:
 
 
 def _from_int64(arr: np.ndarray, mask, typ: str) -> pd.Series:
-    if typ == "timestamp":
+    if typ.startswith("timestamp"):
         ts = pd.Series(arr.view("datetime64[us]"))
         if mask is not None:
             ts[~mask] = pd.NaT
@@ -129,7 +130,7 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
         else:
             raise ValueError(f"codec {codec!r} not valid for type {typ!r}")
 
-    elif typ in ("int64", "timestamp"):
+    elif typ in ("int64", "timestamp", "timestamp_ntz"):
         v = _to_int64(series, mask, typ)
         if codec == "plain":
             body = v.astype("<i8").tobytes()
@@ -188,7 +189,7 @@ def decode_column(payload: bytes, meta: dict) -> pd.Series:
             raise ValueError(f"unknown codec {codec!r}")
         return _from_bytes_list(data, mask, typ)
 
-    if typ in ("int64", "timestamp"):
+    if typ in ("int64", "timestamp", "timestamp_ntz"):
         if codec == "plain":
             v = np.frombuffer(body, dtype="<i8", count=n).astype(np.int64)
         elif codec == "for_bitpack":

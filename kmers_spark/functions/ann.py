@@ -84,7 +84,7 @@ def lsh_buckets(spark: SparkSession, sf_dir: str, n_planes: int = 8) -> DataFram
         (_dot(F.col("embedding"), F.col("w")) > 0).cast("int").alias("bit"),
     )
     return scored.groupBy("vec_id").agg(
-        F.sum(F.col("bit") * F.shiftleft(F.lit(1), F.col("plane"))).alias("bucket")
+        F.sum(F.expr("bit * shiftleft(1, plane)")).alias("bucket")
     )
 
 

@@ -154,11 +154,14 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "bit",
-        (F.shiftright(F.col("h16"), F.col("bit").cast("int")).bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+        F.expr("(shiftright(h16, bit::int) & 1) * 2 - 1").alias("vote"),
     )
     votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
     return (
-        votes.withColumn("bitval", F.when(F.col("v") > 0, F.shiftleft(F.lit(1), F.col("bit").cast("int"))).otherwise(F.lit(0)))
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit::int)")).otherwise(F.lit(0)),
+        )
         .groupBy("doc_id")
         .agg(F.sum("bitval").alias("simhash"))
     )

@@ -8,8 +8,7 @@ no Python in the hot path; the windowed ones use explode(sequence())
 or bounded window frames (SeqVecMinimizerIter, minimizers.rs:38-142).
 """
 
-from __future__ import annotations
-
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 RC_FROM, RC_TO = "ACGT", "TGCA"
@@ -112,20 +111,16 @@ def kmer_pack_roundtrip(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
     """E4+D5: pack each k-mer into a u64 (2-bit, low-bits-first) with a
     vectorized pandas kernel and unpack it back; returns the word and the
     decoded string (oracle: decoded == lower(kmer) identity projection)."""
-    import numpy as np
-    import pandas as pd
-
     from ..kernels import domain
 
-    @F.pandas_udf("struct<word: long, decoded: string>")
-    def pack_unpack(kmers: pd.Series) -> pd.DataFrame:
-        words = np.array(
-            [domain.pack_word(domain.seq_to_codes(s)) for s in kmers], dtype=np.uint64
+    @F.pandas_udf("string")
+    def pack_unpack(kmers: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                domain.unpack_word(domain.pack_word(domain.seq_to_codes(s)), k)
+                for s in kmers
+            ]
         )
-        dec = [domain.unpack_word(int(wd), k) for wd in words]
-        return pd.DataFrame({"word": words.view(np.int64), "decoded": dec})
 
     km = _kmers(spark, sf_dir, k)
-    return km.select(
-        "doc_id", "pos", "kmer", pack_unpack(F.col("kmer")).alias("pu")
-    ).select("doc_id", "pos", "kmer", F.col("pu.decoded").alias("decoded"))
+    return km.select("doc_id", "pos", "kmer", pack_unpack(F.col("kmer")).alias("decoded"))

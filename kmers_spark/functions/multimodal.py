@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+`_decode_image_stub` raises NotImplementedError unless the deterministic
+fake decoder is requested. Everything Spark-side — schema, batch shape,
+partitioning, UDF signatures — is real and tested, so swapping in a real
+decoder (PIL / torchaudio / pyav) is a one-function change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media binary, media_type string, n_bytes long, magic string"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, width int, height int, "
+    "feature array<float>"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an opaque-binary media column from documents (the real
+    pipeline reads WARC payloads; here text bytes stand in as payload)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("media"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    ).select(
+        "doc_id",
+        "media",
+        "media_type",
+        F.length("media").cast("long").alias("n_bytes"),
+        F.hex(F.substring(F.col("media"), 1, 4)).alias("magic"),
+    )
+
+
+def _decode_image_stub(payload: bytes, *, fake: bool = True) -> tuple[int, int, np.ndarray]:
+    """STUB: real impl would be PIL.Image.open(io.BytesIO(payload)).
+
+    The deterministic fake derives (width, height, 8-dim feature) from the
+    payload bytes so tests are stable and the Arrow plumbing is exercised
+    with realistic shapes.
+    """
+    if not fake:
+        raise NotImplementedError("image decoding requires PIL; not in this container")
+    h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
+    width = int(64 + (len(payload) % 1024))
+    height = int(64 + (h[:8].sum() % 1024))
+    feat = (h.reshape(8, 8).mean(axis=1) / 255.0).astype(np.float32)
+    return width, height, feat
+
+
+def extract_features(media_df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary media columns.
+
+    Batch shape: iterator of pandas DataFrames (Arrow record batches);
+    per batch, vectorized numpy over the payload bytes. This is the
+    exact plumbing a real decoder drops into.
+    """
+    def extract(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload, mtype, nb in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"], pdf["n_bytes"]
+            ):
+                w, h, feat = _decode_image_stub(bytes(payload), fake=True)
+                rows.append((doc_id, mtype, nb, w, h, feat.tolist()))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "n_bytes", "width", "height", "feature"],
+            )
+
+    return media_df.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: typed metadata of the media column (oracle-
+    checkable: octet length of the payload is plain SQL in both engines)."""
+    return media_table(spark, sf_dir).select("doc_id", "media_type", "n_bytes")

@@ -22,6 +22,7 @@ _SPARK_TYPE = {
     "binary": "binary",
     "int64": "long",
     "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
     "double": "double",
 }
 

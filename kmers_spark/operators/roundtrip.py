@@ -1,0 +1,59 @@
+"""In-memory encode->shuffle->decode round-trip over any DataFrame.
+
+This is the correctness-gate form of the pipeline: stage 1 encodes each
+bucket's columns into block rows (applyInPandas), the block payloads
+cross a real shuffle as binary, stage 2 decodes them back. The driver's
+DuckDB oracle is the identity projection — if every byte survives two
+Arrow crossings and a shuffle, the codec layer is honest.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import codecs, selector
+from .encode import BLOCK_SCHEMA, make_encode_fn
+
+_SPARK_TYPE = {
+    "string": "string",
+    "binary": "binary",
+    "int64": "long",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
+    "double": "double",
+}
+
+
+def roundtrip(df: DataFrame, key: str, *, num_buckets: int = 8,
+              codec_overrides: dict[str, str] | None = None) -> DataFrame:
+    """encode+decode df, returning the same rows (order undefined)."""
+    schema = {f.name: selector.spark_type_name(f.dataType) for f in df.schema.fields}
+    cols = list(schema.keys())
+    out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
+
+    bucketed = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
+    )
+    blocks = bucketed.groupBy("bucket").applyInPandas(
+        make_encode_fn(schema, key, codec_overrides), BLOCK_SCHEMA
+    )
+
+    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        series = {}
+        for _, row in pdf.iterrows():
+            meta = json.loads(row["meta"])
+            series[row["column"]] = codecs.decode_column(bytes(row["payload"]), meta)
+        if not series:
+            return pd.DataFrame(columns=cols)
+        data = {}
+        for c in cols:
+            s = series[c]
+            if schema[c] == "binary":
+                s = s.map(lambda v: None if v is None else bytes(v))
+            data[c] = s.reset_index(drop=True)
+        return pd.DataFrame(data, columns=cols)
+
+    return blocks.groupBy("bucket").applyInPandas(decode_group, out_schema)

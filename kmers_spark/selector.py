@@ -68,10 +68,10 @@ def column_stats(series: pd.Series, typ: str, sample_max: int = 8192) -> dict:
         else:
             stats["byte_entropy"] = 0.0
         stats["avg_len"] = float(np.mean([len(v) for v in vals]))
-    elif typ in ("int64", "timestamp"):
+    elif typ in ("int64", "timestamp", "timestamp_ntz"):
         iv = (
             dense.astype("datetime64[us]").to_numpy().view(np.int64)
-            if typ == "timestamp"
+            if typ.startswith("timestamp")
             else dense.astype("Int64").to_numpy(dtype=np.int64)
         )
         stats["sortedness"] = float((np.diff(iv) >= 0).mean()) if len(iv) > 1 else 1.0
@@ -98,7 +98,7 @@ def select_codec(stats: dict, typ: str) -> str:
             return "fsst"
         return "plain"
 
-    if typ in ("int64", "timestamp"):
+    if typ in ("int64", "timestamp", "timestamp_ntz"):
         if distinct <= 1:
             return "rle_int"
         if mean_run >= RLE_MIN_MEAN_RUN and distinct <= DICT_MAX_CARD_ABS:
@@ -124,6 +124,8 @@ def spark_type_name(dt) -> str:
         return "int64"
     if isinstance(dt, T.TimestampType):
         return "timestamp"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp_ntz"
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         return "double"
     raise ValueError(f"unsupported Spark type {dt!r}")

@@ -1,0 +1,116 @@
+"""Spark-side smoke + semantics tests for the query-surface functions
+(full cross-engine equivalence is asserted by tests/oracle_harness.py,
+run in test_oracle_parity.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmer_extract_matches_kernel(spark):
+    from kmers_spark.functions import dna
+    from kmers_spark.kernels import domain
+
+    rows = dna.kmer_extract(spark, SF, 5).filter(F.col("doc_id") == 0).orderBy("pos").collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter("doc_id = 0").collect()
+    import re
+
+    seq = re.sub("[^ACGT]", "", docs[0]["text"].upper())
+    expected = [seq[i : i + 5] for i in range(len(seq) - 4)]
+    assert [r["kmer"] for r in rows] == expected
+
+
+def test_canonical_equals_kernel_semantics(spark):
+    from kmers_spark.functions import dna
+    from kmers_spark.kernels import domain
+    import numpy as np
+
+    rows = dna.canonical_kmers(spark, SF, 7).limit(200).collect()
+    for r in rows:
+        w = np.array([domain.pack_word(domain.seq_to_codes(r["kmer"]))], dtype=np.uint64)
+        canon_word = int(domain.canonical_words(w, 7)[0])
+        assert r["canonical"].lower() == domain.unpack_word(canon_word, 7)
+
+
+def test_minimizer_plan_uses_bounded_window(spark):
+    from kmers_spark.functions import dna
+
+    plan = dna.minimizer_lex(spark, SF, 9, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+
+
+def test_dedup_exact_finds_injected_dups(spark):
+    from kmers_spark.functions import dedup
+
+    out = dedup.exact_dedup(spark, SF)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["cnt"] >= 2 for r in rows)
+    # keeper is always the original (low) doc_id
+    assert all(r["keeper"] < 100000 for r in rows)
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    from kmers_spark.functions import dedup
+
+    pairs = dedup.minhash_lsh_pairs(spark, SF).collect()
+    pairset = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # every injected duplicate (d, d+100000) must be a candidate pair
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("text").isNotNull() & (F.size(F.split("text", " ")) >= 3)
+    )
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    missing = [(d, d + 100000) for d in ids if (d, d + 100000) not in pairset]
+    assert not missing, f"missing {len(missing)} injected dup pairs"
+
+
+def test_ngram_jaccard_dups_score_1(spark):
+    from kmers_spark.functions import dedup
+
+    out = dedup.ngram_jaccard(spark, SF, threshold=0.99).collect()
+    exact = [r for r in out if r["doc_b"] == r["doc_a"] + 100000]
+    assert exact and all(abs(r["jaccard"] - 1.0) < 1e-9 for r in exact)
+
+
+def test_simhash_identical_for_dups(spark):
+    from kmers_spark.functions import dedup
+
+    sh = dedup.simhash(spark, SF)
+    a = sh.filter(F.col("doc_id") < 100000).withColumnRenamed("simhash", "h_a")
+    b = sh.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_id"), F.col("simhash").alias("h_b")
+    )
+    joined = a.join(b, "doc_id")
+    assert joined.filter(F.col("h_a") != F.col("h_b")).count() == 0
+
+
+def test_ann_bruteforce_topk(spark):
+    from kmers_spark.functions import ann
+
+    rows = ann.cosine_topk(spark, SF, query_id=0, k=5).collect()
+    assert len(rows) == 5
+    sims = [r["cosine"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_ann_lsh_subset_of_bruteforce_space(spark):
+    from kmers_spark.functions import ann
+
+    lsh = ann.ann_topk_lsh(spark, SF, query_id=0, k=5, n_planes=4).collect()
+    assert len(lsh) >= 1  # bucket contains neighbors
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in lsh)
+
+
+def test_multimodal_feature_plumbing(spark):
+    from kmers_spark.functions import multimodal
+
+    media = multimodal.media_table(spark, SF)
+    feats = multimodal.extract_features(media)
+    rows = feats.limit(20).collect()
+    assert rows and all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["width"] >= 64 and r["height"] >= 64 for r in rows)
+    # deterministic: same input -> same features
+    again = multimodal.extract_features(media).limit(20).collect()
+    assert [r["feature"] for r in rows] == [r["feature"] for r in again]
