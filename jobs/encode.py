@@ -1,0 +1,71 @@
+"""spark-submit entry point for the encode job.
+
+Usage:
+  spark-submit --py-files dist/kmers_spark.zip jobs/encode.py \
+      --input /path/to/pages_parquet --output /path/to/snapshot \
+      [--key url] [--num-buckets 256] [--resume] [--snapshot-id snap-1]
+
+Reads the input table, runs the salted skew-aware encode with codec
+auto-selection, writes blocks + lineage manifest, prints the manifest
+summary. Re-running with --resume completes only pending buckets
+(exact resume from checkpoint markers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--key", default="url")
+    ap.add_argument("--num-buckets", type=int, default=256)
+    ap.add_argument("--snapshot-id", default="snap-1")
+    ap.add_argument("--no-skew-detect", action="store_true")
+    ap.add_argument("--fresh", action="store_true", help="ignore existing manifest")
+    args = ap.parse_args()
+
+    from kmers_spark.session import get_spark
+    from kmers_spark.operators import encode as enc
+
+    spark = get_spark("kmers_spark_encode")
+    df = spark.read.parquet(args.input)
+    m = enc.encode_table(
+        df,
+        args.output,
+        key=args.key,
+        num_buckets=args.num_buckets,
+        snapshot_id=args.snapshot_id,
+        detect_skew=not args.no_skew_detect,
+        resume=not args.fresh,
+    )
+    totals = {"raw": 0, "enc": 0}
+    for blocks in m["blocks"].values():
+        for b in blocks:
+            totals["raw"] += b["raw_nbytes"]
+            totals["enc"] += b["enc_nbytes"]
+    print(
+        json.dumps(
+            {
+                "snapshot_id": m["snapshot_id"],
+                "committed_buckets": len(m["committed_buckets"]),
+                "num_buckets": m["num_buckets"],
+                "raw_nbytes": totals["raw"],
+                "enc_nbytes": totals["enc"],
+                "ratio": round(totals["enc"] / max(totals["raw"], 1), 4),
+                "hot_keys": len(m["hot_keys"]),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -104,7 +104,8 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
     if typ in ("string", "binary"):
         data = _to_bytes_list(series, mask, typ)
         if codec == "plain":
-            offs = np.zeros(n + 1, dtype="<u8")
+            # u32 offsets: block sizing keeps payloads << 4 GiB
+            offs = np.zeros(n + 1, dtype="<u4")
             offs[1:] = np.cumsum([len(v) for v in data], dtype=np.uint64)
             body = offs.tobytes() + b"".join(data)
         elif codec in ("dict", "dict_rle"):
@@ -168,8 +169,8 @@ def decode_column(payload: bytes, meta: dict) -> pd.Series:
 
     if typ in ("string", "binary"):
         if codec == "plain":
-            offs = np.frombuffer(body, dtype="<u8", count=n + 1).astype(np.int64)
-            base = 8 * (n + 1)
+            offs = np.frombuffer(body, dtype="<u4", count=n + 1).astype(np.int64)
+            base = 4 * (n + 1)
             data = [body[base + offs[i] : base + offs[i + 1]] for i in range(n)]
         elif codec in ("dict", "dict_rle"):
             dict_blob = body[: meta["dict_nbytes"]]

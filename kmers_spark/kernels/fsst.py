@@ -95,10 +95,9 @@ def encode(values: list[bytes], table: list[bytes]) -> tuple[bytes, dict]:
     header = sym_lens.tobytes() + b"".join(table)
 
     if buf.size == 0:
-        offs = np.zeros(n + 1, dtype="<u4")
         meta = {"n": n, "n_symbols": len(table), "header_nbytes": len(header),
-                "offsets_nbytes": offs.nbytes}
-        return header + offs.tobytes() + b"", meta
+                "len_width": 0, "lens_nbytes": 0}
+        return header, meta
 
     taken = np.zeros(buf.size, dtype=bool)
     if pair_codes:
@@ -138,13 +137,16 @@ def encode(values: list[bytes], table: list[bytes]) -> tuple[bytes, dict]:
         out[out_off[:-1][esc]] = ESCAPE
         out[out_off[:-1][esc] + 1] = buf[epos]
 
-    # per-value encoded byte lengths via output-offset differences
+    # per-value encoded byte lengths, bit-packed at minimum width (short
+    # strings would otherwise drown in fixed-width offset overhead)
+    from . import bitpack
+
     enc_lens = out_off[starts + lens] - out_off[starts]
-    offs = np.zeros(n + 1, dtype="<u4")
-    offs[1:] = np.cumsum(enc_lens)
+    lw = bitpack.width_for(int(enc_lens.max()) if n else 0)
+    lens_blob = bitpack.pack(enc_lens.astype(np.uint64), lw)
     meta = {"n": n, "n_symbols": len(table), "header_nbytes": len(header),
-            "offsets_nbytes": offs.nbytes}
-    return header + offs.tobytes() + out.tobytes(), meta
+            "len_width": lw, "lens_nbytes": len(lens_blob)}
+    return header + lens_blob + out.tobytes(), meta
 
 
 def decode(payload: bytes, meta: dict) -> list[bytes]:
@@ -155,9 +157,15 @@ def decode(payload: bytes, meta: dict) -> list[bytes]:
     sym_flat = np.frombuffer(payload, dtype=np.uint8, count=sym_blob_len, offset=n_sym)
     sym_off = np.zeros(n_sym + 1, dtype=np.int64)
     np.cumsum(sym_lens, out=sym_off[1:])
+    from . import bitpack
+
     base = meta["header_nbytes"]
-    offs = np.frombuffer(payload, dtype="<u4", count=n + 1, offset=base)
-    codes = np.frombuffer(payload, dtype=np.uint8, offset=base + meta["offsets_nbytes"])
+    enc_lens = bitpack.unpack(
+        payload[base : base + meta["lens_nbytes"]], meta["len_width"], n
+    ).astype(np.int64)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(enc_lens, out=offs[1:])
+    codes = np.frombuffer(payload, dtype=np.uint8, offset=base + meta["lens_nbytes"])
 
     if codes.size == 0:
         return [b""] * n

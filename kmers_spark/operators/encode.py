@@ -30,7 +30,7 @@ BLOCK_SCHEMA = (
 
 
 def _raw_nbytes(series: pd.Series, typ: str) -> int:
-    if typ in ("int64", "timestamp", "double"):
+    if typ in ("int64", "timestamp", "timestamp_ntz", "double"):
         return 8 * len(series)
     if typ == "string":
         return int(series.dropna().map(lambda v: len(v.encode("utf-8"))).sum())

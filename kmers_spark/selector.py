@@ -80,23 +80,35 @@ def column_stats(series: pd.Series, typ: str, sample_max: int = 8192) -> dict:
     return stats
 
 
+FSST_GAIN = 0.62   # measured FSST-lite body ratio on English-like text
+FSST_HEADER = 600  # symbol table + meta, amortized per block
+
+
 def select_codec(stats: dict, typ: str) -> str:
-    """Map stats -> codec name (see module docstring for the tree)."""
+    """Map stats -> codec name by *estimated encoded size* (robust at any
+    block size, unlike fixed cardinality-fraction thresholds)."""
     n = max(stats.get("n", 0) - stats.get("n_null", 0), 1)
     distinct = stats.get("distinct", n)
-    mean_run = stats.get("mean_run", 1.0)
+    mean_run = max(stats.get("mean_run", 1.0), 1.0)
 
     if typ in ("string", "binary"):
-        low_card = distinct <= max(2, n * DICT_MAX_CARD_FRAC) and distinct <= DICT_MAX_CARD_ABS
         if distinct <= 1:
             return "dict_rle"
-        if low_card and mean_run >= RLE_MIN_MEAN_RUN:
-            return "dict_rle"
-        if low_card:
-            return "dict"
-        if stats.get("byte_entropy", 8.0) <= FSST_MAX_ENTROPY:
-            return "fsst"
-        return "plain"
+        avg = stats.get("avg_len", 8.0)
+        width = max((distinct - 1).bit_length(), 1)
+        n_runs = n / mean_run
+        dict_cost = distinct * (avg + 5)
+        est = {
+            "dict": dict_cost + n * width / 8.0,
+            "dict_rle": dict_cost + n_runs * (width + 16) / 8.0,
+            "fsst": FSST_HEADER + n * (FSST_GAIN * avg + 0.75),
+            "plain": n * (avg + 4),
+        }
+        if distinct > DICT_MAX_CARD_ABS:
+            est.pop("dict"), est.pop("dict_rle")
+        if stats.get("byte_entropy", 8.0) > FSST_MAX_ENTROPY:
+            est.pop("fsst")
+        return min(est, key=lambda c: (est[c], c))
 
     if typ in ("int64", "timestamp", "timestamp_ntz"):
         if distinct <= 1:

@@ -40,9 +40,14 @@ def frame_hash(df: pd.DataFrame) -> str:
 
 def run(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
     import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
     from kmers_spark.session import get_spark
 
-    spark = get_spark("oracle_harness", master="local[8]", shuffle_partitions=8)
+    # reuse an already-active session (pytest fixture) and leave it running;
+    # only stop sessions this harness created itself
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark("oracle_harness", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
@@ -87,7 +92,8 @@ def run(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
             rec["spark_head"] = sdf.head(3).to_dict("records")
             rec["oracle_head"] = odf.head(3).to_dict("records")
         results[name] = rec
-    spark.stop()
+    if existing is None:
+        spark.stop()
     return results
 
 
