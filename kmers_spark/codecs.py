@@ -20,9 +20,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .kernels import bitpack, dictenc, foren, fsst, rle
+from .kernels import bitpack, dictenc, foren, fsst, rle, words
 
-STRING_CODECS = ("plain", "dict", "dict_rle", "fsst")
+STRING_CODECS = ("plain", "dict", "dict_rle", "fsst", "words")
 INT_CODECS = ("plain", "for_bitpack", "dict_rle_int", "rle_int")
 TYPE_DEFAULT_CODEC = {
     "string": "fsst",
@@ -128,6 +128,9 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
             table = fsst.train(sample)
             body, fmeta = fsst.encode(data, table)
             meta["fsst"] = fmeta
+        elif codec == "words":
+            body, wmeta = words.encode(data)
+            meta["words"] = wmeta
         else:
             raise ValueError(f"codec {codec!r} not valid for type {typ!r}")
 
@@ -186,6 +189,8 @@ def decode_column(payload: bytes, meta: dict) -> pd.Series:
             data = list(lut[codes.astype(np.int64)]) if n else []
         elif codec == "fsst":
             data = fsst.decode(body, meta["fsst"])
+        elif codec == "words":
+            data = words.decode(body, meta["words"])
         else:
             raise ValueError(f"unknown codec {codec!r}")
         return _from_bytes_list(data, mask, typ)

@@ -68,6 +68,21 @@ def column_stats(series: pd.Series, typ: str, sample_max: int = 8192) -> dict:
         else:
             stats["byte_entropy"] = 0.0
         stats["avg_len"] = float(np.mean([len(v) for v in vals]))
+        # token stats for the word-dictionary codec (space-separated text)
+        sample_bytes = [
+            v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in vals[:1024]
+        ]
+        tok_lists = [v.split(b" ") for v in sample_bytes]
+        n_tok = sum(len(t) for t in tok_lists)
+        if n_tok:
+            uniq_toks = set()
+            tok_len = 0
+            for t in tok_lists:
+                uniq_toks.update(t)
+                tok_len += sum(len(x) for x in t)
+            stats["tokens_per_value"] = n_tok / max(len(sample_bytes), 1)
+            stats["distinct_tokens"] = len(uniq_toks)
+            stats["avg_tok_len"] = tok_len / n_tok
     elif typ in ("int64", "timestamp", "timestamp_ntz"):
         iv = (
             dense.astype("datetime64[us]").to_numpy().view(np.int64)
@@ -104,6 +119,17 @@ def select_codec(stats: dict, typ: str) -> str:
             "fsst": FSST_HEADER + n * (FSST_GAIN * avg + 0.75),
             "plain": n * (avg + 4),
         }
+        tpv = stats.get("tokens_per_value", 0.0)
+        if tpv >= 2.0:
+            # word-dictionary: extrapolate sample token cardinality to the
+            # block (sub-linear growth: Heaps' law exponent ~0.7)
+            sample_n = min(n, 1024)
+            d_tok = stats["distinct_tokens"] * max(n / sample_n, 1.0) ** 0.7
+            t_total = tpv * n
+            tok_width = max(int(d_tok).bit_length(), 1)
+            est["words"] = (
+                d_tok * (stats["avg_tok_len"] + 5) + t_total * tok_width / 8.0 + n
+            )
         if distinct > DICT_MAX_CARD_ABS:
             est.pop("dict"), est.pop("dict_rle")
         if stats.get("byte_entropy", 8.0) > FSST_MAX_ENTROPY:

@@ -90,10 +90,16 @@ class TestSelector:
         stats = selector.column_stats(s, "string")
         assert selector.select_codec(stats, "string") == "dict_rle"
 
-    def test_high_card_text_picks_fsst(self):
-        s = pd.Series([f"the quick brown fox {i} jumps" for i in range(500)], dtype=object)
+    def test_high_card_urls_pick_fsst(self):
+        # no spaces -> word codec can't help; low byte entropy -> fsst
+        s = pd.Series([f"https://example.com/products/item-{i}" for i in range(500)], dtype=object)
         stats = selector.column_stats(s, "string")
         assert selector.select_codec(stats, "string") == "fsst"
+
+    def test_wordy_text_picks_words(self):
+        s = pd.Series([f"the quick brown fox {i} jumps" for i in range(500)], dtype=object)
+        stats = selector.column_stats(s, "string")
+        assert selector.select_codec(stats, "string") == "words"
 
     def test_random_binary_picks_plain(self):
         rng = np.random.default_rng(3)

@@ -157,3 +157,50 @@ class TestFSST:
         p1, _ = fsst.encode(vals, t1)
         p2, _ = fsst.encode(vals, t2)
         assert p1 == p2
+
+
+class TestWords:
+    def _roundtrip(self, values):
+        from kmers_spark.kernels import words
+
+        payload, meta = words.encode(values)
+        assert words.decode(payload, meta) == values
+        return payload, meta
+
+    def test_roundtrip_exact_spaces(self):
+        # split(' ')/join(' ') must preserve runs of spaces and edges
+        vals = [b"a b", b" leading", b"trailing ", b"double  space", b"", b" ", b"  "]
+        self._roundtrip(vals)
+
+    def test_compresses_zipf_text(self):
+        vocab = [f"word{i}".encode() for i in range(64)]
+        vals = [b" ".join(vocab[(i * 7 + j) % 64] for j in range(30)) for i in range(200)]
+        payload, _ = self._roundtrip(vals)
+        raw = sum(len(v) for v in vals)
+        assert len(payload) < 0.35 * raw
+
+    def test_column_layer_with_nulls(self):
+        import pandas as pd
+
+        from kmers_spark import codecs
+
+        s = pd.Series(["the quick fox", None, "", "the quick fox", "a  b "], dtype=object)
+        p, m = codecs.encode_column(s, "words", "string")
+        out = codecs.decode_column(p, m)
+        assert out[0] == "the quick fox" and out[1] is None
+        assert out[2] == "" and out[4] == "a  b "
+
+    def test_selector_picks_words_for_zipf_text(self):
+        import pandas as pd
+
+        from kmers_spark import selector
+
+        vocab = [f"w{i}" for i in range(128)]
+        s = pd.Series(
+            [
+                " ".join(vocab[(i * 37 + j * j * 11) % 128] for j in range(40)) + f" id{i}"
+                for i in range(800)
+            ]
+        )
+        stats = selector.column_stats(s, "string")
+        assert selector.select_codec(stats, "string") == "words"
