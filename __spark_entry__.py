@@ -75,7 +75,7 @@ def _codec_roundtrip(table: str, key: str, cols: list[str] | None = None,
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from kmers_spark.functions import ann, dedup, dna, multimodal, textqc
+    from kmers_spark.functions import ann, dedup, dna, multimodal, olap, textqc
 
     return {
         # --- reference DNA semantics (SURVEY §2.8 crosswalk) ---
@@ -117,6 +117,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": textqc.fingerprint,
         "ann_cosine_topk": ann.cosine_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        # --- reference 3-way equivalency + orientation (T13/T8) ---
+        "kmer_orientation": lambda s, d: olap.kmer_orientation(s, d, K),
+        "kmer_equivalency": lambda s, d: olap.kmer_equivalency(s, d, K),
+        # --- generic OLAP surface (engine completeness, SURVEY §2.7) ---
+        "agg_pricing_summary": olap.agg_pricing_summary,
+        "join_orders_customers": olap.join_orders_customers,
+        "topk_users_by_value": olap.topk_users_by_value,
+        "sessionize": olap.sessionize,
+        "asof_last_error": olap.asof_last_error,
         # --- multimodal plumbing (decode stubbed; metadata oracle-checked) ---
         "media_meta": multimodal.media_meta,
         "media_features": lambda s, d: multimodal.extract_features(
@@ -278,6 +287,54 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint "
             "FROM documents WHERE text IS NOT NULL"
+        ),
+        "kmer_orientation": (
+            f"WITH km AS ({_KMERS}) SELECT doc_id, pos, kmer, "
+            f"kmer <= {_RC.format('kmer')} AS is_canonical FROM km"
+        ),
+        "kmer_equivalency": (
+            f"WITH km AS ({_KMERS}), "
+            "nk AS (SELECT doc_id, pos, kmer, "
+            "       lead(kmer) OVER (PARTITION BY doc_id ORDER BY pos) AS next_kmer FROM km) "
+            "SELECT doc_id, pos, CASE WHEN kmer = next_kmer THEN 'identity' "
+            f"WHEN kmer = {_RC.format('next_kmer')} THEN 'twin' ELSE 'none' END AS match_type "
+            "FROM nk WHERE next_kmer IS NOT NULL"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "sum(l_extendedprice) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+            "round(avg(l_quantity), 6) AS avg_qty, count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "join_orders_customers": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 4) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "topk_users_by_value": (
+            "WITH pu AS (SELECT event_type, user_id, round(sum(value), 4) AS total_value "
+            "            FROM events GROUP BY event_type, user_id) "
+            "SELECT event_type, user_id, total_value, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY total_value DESC, user_id) AS rank "
+            "FROM pu QUALIFY rank <= 3"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT event_id, user_id, ts, "
+            "  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL "
+            "       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT event_id, user_id, "
+            "sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM g"
+        ),
+        "asof_last_error": (
+            "SELECT event_id, user_id, ts, "
+            "max(CASE WHEN event_type = 'error' THEN ts END) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_error_ts "
+            "FROM events QUALIFY event_type = 'click'"
         ),
         "media_meta": (
             "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image/png' "

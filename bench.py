@@ -29,16 +29,29 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LO_CPUS = max(CPUS // 4, 1)
 SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
-PAGES_ROWS = int(4_000_000 * SF)          # sf0.1 -> 400k rows (~200 MB logical)
-N_BUCKETS = 2 * CPUS                       # two waves at the high level
+PAGES_ROWS = int(40_000_000 * SF)         # sf0.1 -> 4M rows (~1.6 GB logical)
+N_BUCKETS = 4 * CPUS                       # waves of full-width tasks
 CACHE = Path(__file__).resolve().parent / ".bench_cache" / f"pages_{PAGES_ROWS}"
 
 
 def _spark(master_cores: int):
-    from kmers_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    s = get_spark(f"bench_{master_cores}", master=f"local[{master_cores}]",
-                  shuffle_partitions=N_BUCKETS)
+    # AQE partition coalescing (64 MB advisory) would merge the bucket
+    # shuffle into a handful of tasks at bench scale and serialize the
+    # encode — keep bucket-granular tasks instead.
+    s = (
+        SparkSession.builder.master(f"local[{master_cores}]")
+        .appName(f"bench_{master_cores}")
+        .config("spark.sql.shuffle.partitions", str(N_BUCKETS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     s.sparkContext.setLogLevel("ERROR")
     return s
 
@@ -54,7 +67,7 @@ def ensure_pages():
         s.stop()
 
 
-def encode_run(cores: int) -> dict:
+def encode_run(cores: int, keep_out: bool = False) -> dict:
     """One measured encode job; returns {sec, raw_bytes, enc_bytes, per-col}."""
     from pyspark.sql import functions as F
 
@@ -64,6 +77,15 @@ def encode_run(cores: int) -> dict:
     df = s.read.parquet(str(CACHE))
     out = tempfile.mkdtemp(prefix=f"bench_enc_{cores}_")
     try:
+        # tiny warm pass: spawns/initializes this level's python workers so
+        # the measured run times the encode, not interpreter startup
+        warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+        enc.encode_table(
+            df.limit(2000), warm_dir, num_buckets=cores, detect_skew=False,
+            snapshot_id="warm",
+        )
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
         t0 = time.perf_counter()
         enc.encode_table(
             df, out, num_buckets=N_BUCKETS, detect_skew=True, snapshot_id="bench"
@@ -81,7 +103,8 @@ def encode_run(cores: int) -> dict:
         return {"sec": sec, "raw": raw, "enc": encb, "per_col": percol, "out": out}
     finally:
         s.stop()
-        shutil.rmtree(out, ignore_errors=True)
+        if not keep_out:
+            shutil.rmtree(out, ignore_errors=True)
 
 
 def main():
@@ -90,9 +113,8 @@ def main():
 
     ensure_pages()
 
-    # --- scaling pair (warm-up at high level first, discarded) ---
-    warm = encode_run(CPUS)
-    hi = encode_run(CPUS)
+    # --- scaling pair (per-level warm pass inside encode_run) ---
+    hi = encode_run(CPUS, keep_out=True)
     lo = encode_run(LO_CPUS)
     timings["encode_pages_hi"] = round(hi["sec"], 3)
     timings["encode_pages_lo"] = round(lo["sec"], 3)
@@ -103,16 +125,13 @@ def main():
     # --- decode + query timings at the high level ---
     s = _spark(CPUS)
     try:
-        from kmers_spark.operators import encode as enc, decode as dec
+        from kmers_spark.operators import decode as dec
 
-        out = tempfile.mkdtemp(prefix="bench_dec_")
-        df = s.read.parquet(str(CACHE))
-        enc.encode_table(df, out, num_buckets=N_BUCKETS, snapshot_id="bench")
         t0 = time.perf_counter()
-        n = dec.decode_table(s, out).count()
+        n = dec.decode_table(s, hi["out"]).count()
         timings["decode_pages"] = round(time.perf_counter() - t0, 3)
         assert n == PAGES_ROWS, f"decode row count {n} != {PAGES_ROWS}"
-        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(hi["out"], ignore_errors=True)
 
         import __spark_entry__ as entrymod
 

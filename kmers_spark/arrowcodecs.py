@@ -1,0 +1,293 @@
+"""Arrow-native codec layer — the hot path for the encode/decode jobs.
+
+Produces payloads byte-compatible with codecs.encode_column (same block
+formats, same meta), but operates on Arrow buffers end-to-end:
+dictionary/token encoding via pyarrow.compute (C++), bit-level packing
+via numpy over the raw uint8 data buffer. No per-value Python objects —
+this is what makes the encode job scale across 32 cores instead of
+thrashing the allocator (see BENCH notes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import arrowview as av
+from .kernels import bitpack, dictenc, foren, fsst, rle
+
+
+def _freq_order_dictionary(indices: np.ndarray, dict_arr: pa.Array):
+    """Reorder an Arrow dictionary by (-count, value-bytes); returns
+    (perm-mapped codes, dictionary as list[bytes]) matching
+    kernels.dictenc.build_dictionary exactly."""
+    d = len(dict_arr)
+    if d == 0:
+        return indices.astype(np.int64), []
+    counts = np.bincount(indices, minlength=d)
+    data, offs = av.bytes_view(dict_arr)
+    vals = [data[offs[i] : offs[i + 1]].tobytes() for i in range(d)]
+    order = sorted(range(d), key=lambda i: (-int(counts[i]), vals[i]))
+    perm = np.empty(d, dtype=np.int64)
+    for rank, old in enumerate(order):
+        perm[old] = rank
+    return perm[indices], [vals[i] for i in order]
+
+
+def _dict_encode_arrow(arr: pa.Array):
+    """(codes int64 numpy, dictionary list[bytes]) — nulls map to b""."""
+    filled = arr.fill_null("" if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type) else b"")
+    denc = pc.dictionary_encode(filled)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return _freq_order_dictionary(indices, denc.dictionary)
+
+
+def encode_column_arrow(arr: pa.Array, codec: str, typ: str) -> tuple[bytes, dict]:
+    """Arrow array -> (payload, meta); byte-compatible with
+    codecs.encode_column on the same logical values."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    mask = av.validity_mask(arr)
+    vblob = np.packbits(mask, bitorder="little").tobytes() if mask is not None else b""
+    meta: dict = {"codec": codec, "type": typ, "n": n, "null_nbytes": len(vblob)}
+
+    if typ in ("string", "binary"):
+        buf, offs = av.bytes_view(arr)
+        lens = np.diff(offs)
+        if codec == "plain":
+            o32 = np.zeros(n + 1, dtype="<u4")
+            o32[1:] = np.cumsum(lens)
+            body = o32.tobytes() + buf.tobytes()
+        elif codec in ("dict", "dict_rle"):
+            codes, dictionary = _dict_encode_arrow(arr)
+            width = bitpack.width_for(max(len(dictionary) - 1, 0))
+            dict_blob = dictenc.serialize_dictionary(dictionary)
+            meta["dict_size"] = len(dictionary)
+            meta["dict_nbytes"] = len(dict_blob)
+            meta["code_width"] = width
+            if codec == "dict":
+                body = dict_blob + bitpack.pack(codes.astype(np.uint64), width)
+            else:
+                rle_blob, rmeta = rle.encode(codes.astype(np.uint64))
+                meta["rle"] = rmeta
+                body = dict_blob + rle_blob
+        elif codec == "fsst":
+            cut = int(offs[min(n, 4096)])
+            table = fsst.train_arrays(buf[:cut], lens[: min(n, 4096)])
+            body, fmeta = fsst.encode_arrays(buf, lens, table)
+            meta["fsst"] = fmeta
+        elif codec == "words":
+            body, wmeta = _words_encode_arrow(arr)
+            meta["words"] = wmeta
+        elif codec == "prefix":
+            body, pmeta = _prefix_encode_arrow(buf, offs)
+            meta["prefix"] = pmeta
+        else:
+            raise ValueError(f"codec {codec!r} not valid for type {typ!r}")
+
+    elif typ in ("int64", "timestamp", "timestamp_ntz"):
+        v = av.int64_values(arr)
+        if codec == "plain":
+            body = v.astype("<i8").tobytes()
+        elif codec == "for_bitpack":
+            body, fmeta = foren.encode(v)
+            meta["for"] = fmeta
+        elif codec == "rle_int":
+            body, rmeta = rle.encode(v.view(np.uint64))
+            meta["rle"] = rmeta
+        elif codec == "dict_rle_int":
+            uniq, codes = np.unique(v, return_inverse=True)
+            rle_blob, rmeta = rle.encode(codes.astype(np.uint64))
+            meta["rle"] = rmeta
+            meta["dict_size"] = len(uniq)
+            body = uniq.astype("<i8").tobytes() + rle_blob
+        else:
+            raise ValueError(f"codec {codec!r} not valid for type {typ!r}")
+
+    elif typ == "double":
+        if codec != "plain":
+            raise ValueError(f"codec {codec!r} not valid for type 'double'")
+        v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).copy()
+        if mask is not None:
+            v[~mask] = 0.0
+        body = v.astype("<f8").tobytes()
+    else:
+        raise ValueError(f"unknown type {typ!r}")
+
+    return vblob + body, meta
+
+
+def _words_encode_arrow(arr: pa.Array) -> tuple[bytes, dict]:
+    """Arrow path of kernels.words: split/flatten/dict-encode in C++."""
+    from .kernels import words as words_kernel  # format docs live there
+
+    is_str = pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+    filled = arr.fill_null("" if is_str else b"")
+    lst = pc.split_pattern(filled, " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    counts = np.diff(np.frombuffer(lst.buffers()[1], dtype=np.int32)[lst.offset : lst.offset + len(lst) + 1]).astype(np.int64)
+    flat = lst.flatten()
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes, dictionary = _freq_order_dictionary(indices, denc.dictionary)
+
+    n = len(arr)
+    width = bitpack.width_for(max(len(dictionary) - 1, 0))
+    dict_blob = dictenc.serialize_dictionary(dictionary)
+    codes_blob = bitpack.pack(codes.astype(np.uint64), width)
+    cw = bitpack.width_for(int(counts.max()) if n else 0)
+    counts_blob = bitpack.pack(counts.astype(np.uint64), cw)
+    meta = {
+        "n": n,
+        "n_tokens": int(len(codes)),
+        "dict_size": len(dictionary),
+        "dict_nbytes": len(dict_blob),
+        "code_width": width,
+        "codes_nbytes": len(codes_blob),
+        "count_width": cw,
+    }
+    return dict_blob + codes_blob + counts_blob, meta
+
+
+def _prefix_encode_arrow(buf: np.ndarray, offs: np.ndarray) -> tuple[bytes, dict]:
+    """Arrow path of kernels.prefix: padded-matrix common prefixes from
+    the raw buffer, suffix gather, FSST over suffixes."""
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    cps = np.zeros(n, dtype=np.int64)
+    if n > 1 and buf.size:
+        maxlen = int(lens.max())
+        if maxlen > 0:
+            idx = offs[:-1, None] + np.arange(maxlen)
+            valid = np.arange(maxlen) < lens[:, None]
+            mat = np.where(valid, buf[np.minimum(idx, buf.size - 1)], 0).astype(np.uint8)
+            eq = (mat[1:] == mat[:-1]) & valid[1:] & valid[:-1]
+            neq = ~eq
+            mismatch = np.argmax(neq, axis=1)
+            all_eq = ~neq.any(axis=1)
+            pairmin = np.minimum(lens[1:], lens[:-1])
+            mm = np.where(all_eq, pairmin, mismatch)
+            cps[1:] = np.minimum(mm, pairmin)
+    suf_lens = lens - cps
+    total = int(suf_lens.sum())
+    if total:
+        reps = suf_lens
+        intra = _intra(reps)
+        src = np.repeat(offs[:-1] + cps, reps) + intra
+        suf_buf = buf[src]
+    else:
+        suf_buf = np.zeros(0, dtype=np.uint8)
+    cw = bitpack.width_for(int(cps.max()) if n else 0)
+    cp_blob = bitpack.pack(cps.astype(np.uint64), cw)
+    cut_n = min(n, 4096)
+    cut = int(suf_lens[:cut_n].sum())
+    table = fsst.train_arrays(suf_buf[:cut], suf_lens[:cut_n])
+    body, fmeta = fsst.encode_arrays(suf_buf, suf_lens, table)
+    meta = {"n": n, "cp_width": cw, "cp_nbytes": len(cp_blob), "fsst": fmeta}
+    return cp_blob + body, meta
+
+
+def _intra(reps: np.ndarray) -> np.ndarray:
+    """[0..reps[0]), [0..reps[1]), ... concatenated; robust to zero reps."""
+    total = int(reps.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    gid = np.repeat(np.arange(len(reps)), reps)
+    starts = np.concatenate(([0], np.cumsum(reps)))[:-1]
+    return np.arange(total, dtype=np.int64) - starts[gid]
+
+
+# ------------------------------------------------------------------ stats
+
+def column_stats_arrow(arr: pa.Array, typ: str, sample_max: int = 8192) -> dict:
+    """Arrow-side mirror of selector.column_stats (same fields, computed
+    from buffers; no per-value Python objects)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = arr.slice(0, min(len(arr), sample_max))
+    n = len(s)
+    stats: dict = {"n": n, "n_null": s.null_count}
+    if n == 0 or s.null_count == n:
+        stats.update(distinct=0, mean_run=0.0)
+        return stats
+
+    stats["distinct"] = int(pc.count_distinct(s).as_py()) + (1 if s.null_count else 0)
+    if n > 1:
+        a, b = s.slice(1), s.slice(0, n - 1)
+        neq = pc.fill_null(pc.not_equal(a, b), True)
+        changes = int(pc.sum(neq.cast(pa.int32())).as_py() or 0) + 1
+        stats["mean_run"] = n / changes
+    else:
+        stats["mean_run"] = 1.0
+
+    if typ in ("string", "binary"):
+        sb = s.slice(0, min(n, 1024))
+        buf, offs = av.bytes_view(sb)
+        lens = np.diff(offs)
+        if buf.size:
+            counts = np.bincount(buf, minlength=256)
+            p = counts[counts > 0] / buf.size
+            stats["byte_entropy"] = float(-(p * np.log2(p)).sum())
+        else:
+            stats["byte_entropy"] = 0.0
+        n_valid = len(sb) - sb.null_count
+        stats["avg_len"] = float(buf.size / max(n_valid, 1))
+        # consecutive common prefix (sorted-key / front-coding signal)
+        sb512 = s.slice(0, min(n, 512))
+        b512, o512 = av.bytes_view(sb512)
+        if len(sb512) > 1:
+            stats["avg_common_prefix"] = float(
+                _common_prefix_lens_arrays(b512, o512)[1:].mean()
+            )
+        # token stats (word-dictionary signal)
+        is_str = pa.types.is_string(s.type) or pa.types.is_large_string(s.type)
+        try:
+            lst = pc.split_pattern(sb.fill_null("" if is_str else b""), " ")
+            flat = lst.flatten()
+            n_tok = len(flat)
+            if n_tok:
+                stats["tokens_per_value"] = n_tok / len(sb)
+                stats["distinct_tokens"] = int(pc.count_distinct(flat).as_py())
+                fb, _ = av.bytes_view(flat)
+                stats["avg_tok_len"] = fb.size / n_tok
+        except pa.ArrowInvalid:
+            pass
+    elif typ in ("int64", "timestamp", "timestamp_ntz"):
+        iv = av.int64_values(s)
+        mask = av.validity_mask(s)
+        if mask is not None:
+            iv = iv[mask]
+        if len(iv) > 1:
+            stats["sortedness"] = float((np.diff(iv) >= 0).mean())
+        else:
+            stats["sortedness"] = 1.0
+        if len(iv):
+            stats["range_bits"] = max(int(iv.max()) - int(iv.min()), 0).bit_length()
+    return stats
+
+
+def _common_prefix_lens_arrays(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    cps = np.zeros(n, dtype=np.int64)
+    if n > 1 and buf.size:
+        maxlen = int(lens.max())
+        if maxlen > 0:
+            idx = offs[:-1, None] + np.arange(maxlen)
+            valid = np.arange(maxlen) < lens[:, None]
+            mat = np.where(valid, buf[np.minimum(idx, buf.size - 1)], 0).astype(np.uint8)
+            eq = (mat[1:] == mat[:-1]) & valid[1:] & valid[:-1]
+            neq = ~eq
+            mismatch = np.argmax(neq, axis=1)
+            all_eq = ~neq.any(axis=1)
+            pairmin = np.minimum(lens[1:], lens[:-1])
+            mm = np.where(all_eq, pairmin, mismatch)
+            cps[1:] = np.minimum(mm, pairmin)
+    return cps

@@ -20,9 +20,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .kernels import bitpack, dictenc, foren, fsst, rle, words
+from .kernels import bitpack, dictenc, foren, fsst, prefix, rle, words
 
-STRING_CODECS = ("plain", "dict", "dict_rle", "fsst", "words")
+STRING_CODECS = ("plain", "dict", "dict_rle", "fsst", "words", "prefix")
 INT_CODECS = ("plain", "for_bitpack", "dict_rle_int", "rle_int")
 TYPE_DEFAULT_CODEC = {
     "string": "fsst",
@@ -131,6 +131,9 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
         elif codec == "words":
             body, wmeta = words.encode(data)
             meta["words"] = wmeta
+        elif codec == "prefix":
+            body, pmeta = prefix.encode(data)
+            meta["prefix"] = pmeta
         else:
             raise ValueError(f"codec {codec!r} not valid for type {typ!r}")
 
@@ -191,6 +194,8 @@ def decode_column(payload: bytes, meta: dict) -> pd.Series:
             data = fsst.decode(body, meta["fsst"])
         elif codec == "words":
             data = words.decode(body, meta["words"])
+        elif codec == "prefix":
+            data = prefix.decode(body, meta["prefix"])
         else:
             raise ValueError(f"unknown codec {codec!r}")
         return _from_bytes_list(data, mask, typ)

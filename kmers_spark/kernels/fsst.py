@@ -29,16 +29,22 @@ MAX_SYMBOLS = 255  # codes 0..254; 255 reserved for escape
 
 
 def train(sample_values: list[bytes], max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
-    """Learn a symbol table from sample byte-strings.
+    """Learn a symbol table from sample byte-strings (list wrapper)."""
+    if not sample_values:
+        return []
+    buf = np.frombuffer(b"".join(sample_values), dtype=np.uint8)
+    lens = np.array([len(v) for v in sample_values], dtype=np.int64)
+    return train_arrays(buf, lens, max_symbols)
+
+
+def train_arrays(buf: np.ndarray, lens: np.ndarray, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
+    """Learn a symbol table from a concatenated uint8 buffer + value lens.
 
     All distinct single bytes in the sample get a code (so common bytes
     never pay the 2x escape penalty); remaining code space goes to the
     most frequent adjacent pairs (not crossing value boundaries).
     Deterministic: ties broken by byte value.
     """
-    if not sample_values:
-        return []
-    buf = np.frombuffer(b"".join(sample_values), dtype=np.uint8)
     if buf.size == 0:
         return []
     singles, s_counts = np.unique(buf, return_counts=True)
@@ -47,7 +53,6 @@ def train(sample_values: list[bytes], max_symbols: int = MAX_SYMBOLS) -> list[by
 
     room = max_symbols - len(table)
     if room > 0 and buf.size >= 2:
-        lens = np.array([len(v) for v in sample_values], dtype=np.int64)
         ends = np.cumsum(lens)
         pair = buf[:-1].astype(np.uint16) << np.uint16(8) | buf[1:]
         valid = np.ones(buf.size - 1, dtype=bool)
@@ -76,11 +81,15 @@ def _greedy_nonoverlap(cand: np.ndarray) -> np.ndarray:
 
 
 def encode(values: list[bytes], table: list[bytes]) -> tuple[bytes, dict]:
-    """Encode byte-strings with a trained table -> (payload, meta)."""
-    n = len(values)
-    raw = b"".join(values)
-    buf = np.frombuffer(raw, dtype=np.uint8)
+    """Encode byte-strings with a trained table (list wrapper)."""
+    buf = np.frombuffer(b"".join(values), dtype=np.uint8)
     lens = np.array([len(v) for v in values], dtype=np.int64)
+    return encode_arrays(buf, lens, table)
+
+
+def encode_arrays(buf: np.ndarray, lens: np.ndarray, table: list[bytes]) -> tuple[bytes, dict]:
+    """Encode a concatenated uint8 buffer + per-value lens -> (payload, meta)."""
+    n = len(lens)
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
 
     sym_lens = np.array([len(s) for s in table], dtype=np.uint8)
@@ -150,6 +159,15 @@ def encode(values: list[bytes], table: list[bytes]) -> tuple[bytes, dict]:
 
 
 def decode(payload: bytes, meta: dict) -> list[bytes]:
+    out, bounds = decode_arrays(payload, meta)
+    ob = out.tobytes()
+    n = meta["n"]
+    return [ob[bounds[i] : bounds[i + 1]] for i in range(n)]
+
+
+def decode_arrays(payload: bytes, meta: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Decode to (uint8 buffer, int64 value offsets of n+1) — zero-copy
+    friendly for building Arrow string arrays."""
     n = meta["n"]
     n_sym = meta["n_symbols"]
     sym_lens = np.frombuffer(payload, dtype=np.uint8, count=n_sym)
@@ -168,7 +186,7 @@ def decode(payload: bytes, meta: dict) -> list[bytes]:
     codes = np.frombuffer(payload, dtype=np.uint8, offset=base + meta["lens_nbytes"])
 
     if codes.size == 0:
-        return [b""] * n
+        return np.zeros(0, dtype=np.uint8), np.zeros(n + 1, dtype=np.int64)
 
     # escape resolution: runs of consecutive 255s -> alternate are escapes
     esc_cand = np.flatnonzero(codes == ESCAPE)
@@ -213,8 +231,7 @@ def decode(payload: bytes, meta: dict) -> list[bytes]:
     # split per value: map encoded offsets -> decoded offsets
     # encoded offset offs[i] is a position in `codes`; decoded offset = out_off at it
     dec_bounds = out_off[offs.astype(np.int64)]
-    ob = out.tobytes()
-    return [ob[dec_bounds[i] : dec_bounds[i + 1]] for i in range(n)]
+    return out, dec_bounds.astype(np.int64)
 
 
 def _intra(reps: np.ndarray) -> np.ndarray:

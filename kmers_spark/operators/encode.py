@@ -69,6 +69,77 @@ def make_encode_fn(schema: dict[str, str], key: str, codec_overrides: dict[str, 
     return encode_group
 
 
+def make_encode_fn_arrow(schema: dict[str, str], key: str,
+                         codec_overrides: dict[str, str] | None):
+    """Arrow-native group encoder (the hot path): rows stay in Arrow
+    buffers end-to-end; sort/dictionary/token work happens in C++ and
+    the bit-level kernels in numpy. ~10x less allocator traffic than the
+    pandas path, which is what lets 32 cores actually scale (BENCH)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .. import arrowcodecs
+
+    overrides = codec_overrides or {}
+
+    def encode_group(table: "pa.Table") -> "pa.Table":
+        idx = pc.sort_indices(table.column(key))
+        table = table.take(idx)
+        bucket = table.column("bucket")[0].as_py() if table.num_rows else -1
+        rows = {k: [] for k in ("bucket", "column", "codec", "n_rows",
+                                "raw_nbytes", "enc_nbytes", "payload", "meta")}
+        for col, typ in schema.items():
+            arr = table.column(col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            codec = overrides.get(col) or selector.select_codec(
+                arrowcodecs.column_stats_arrow(arr, typ), typ
+            )
+            payload, meta = arrowcodecs.encode_column_arrow(arr, codec, typ)
+            if typ in ("string", "binary"):
+                from .. import arrowview as av
+
+                _, offs = av.bytes_view(arr)
+                raw = int(offs[-1] - offs[0])
+            else:
+                raw = 8 * len(arr)
+            rows["bucket"].append(bucket)
+            rows["column"].append(col)
+            rows["codec"].append(codec)
+            rows["n_rows"].append(len(arr))
+            rows["raw_nbytes"].append(raw)
+            rows["enc_nbytes"].append(len(payload))
+            rows["payload"].append(payload)
+            rows["meta"].append(json.dumps(meta, sort_keys=True))
+        return pa.table(
+            {
+                "bucket": pa.array(rows["bucket"], pa.int32()),
+                "column": pa.array(rows["column"], pa.string()),
+                "codec": pa.array(rows["codec"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                "raw_nbytes": pa.array(rows["raw_nbytes"], pa.int64()),
+                "enc_nbytes": pa.array(rows["enc_nbytes"], pa.int64()),
+                "payload": pa.array(rows["payload"], pa.binary()),
+                "meta": pa.array(rows["meta"], pa.string()),
+            }
+        )
+
+    return encode_group
+
+
+def encode_blocks_df(bucketed: DataFrame, schema: dict[str, str], key: str,
+                     codec_overrides: dict[str, str] | None) -> DataFrame:
+    """groupBy(bucket) -> block rows, preferring the Arrow path."""
+    grouped = bucketed.groupBy("bucket")
+    if hasattr(grouped, "applyInArrow"):
+        return grouped.applyInArrow(
+            make_encode_fn_arrow(schema, key, codec_overrides), BLOCK_SCHEMA
+        )
+    return grouped.applyInPandas(
+        make_encode_fn(schema, key, codec_overrides), BLOCK_SCHEMA
+    )
+
+
 def plan_buckets(df: DataFrame, num_buckets: int, hot_keys: dict[str, int],
                  key: str = "url") -> DataFrame:
     return partitioning.with_bucket(df, num_buckets, hot_keys, url_col=key)
@@ -113,12 +184,9 @@ def encode_table(
     if fail_buckets_over is not None:
         bucketed = bucketed.filter(F.col("bucket") < fail_buckets_over)
 
-    blocks = bucketed.groupBy("bucket").applyInPandas(
-        make_encode_fn(schema, key, codec_overrides), BLOCK_SCHEMA
-    )
+    blocks = encode_blocks_df(bucketed, schema, key, codec_overrides)
     (
-        blocks.repartition("bucket")
-        .write.mode("append")
+        blocks.write.mode("append")
         .partitionBy("bucket")
         .parquet(_blocks_path(out_dir))
     )

@@ -37,9 +37,9 @@ def roundtrip(df: DataFrame, key: str, *, num_buckets: int = 8,
     bucketed = df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
     )
-    blocks = bucketed.groupBy("bucket").applyInPandas(
-        make_encode_fn(schema, key, codec_overrides), BLOCK_SCHEMA
-    )
+    from .encode import encode_blocks_df
+
+    blocks = encode_blocks_df(bucketed, schema, key, codec_overrides)
 
     def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         series = {}

@@ -68,6 +68,13 @@ def column_stats(series: pd.Series, typ: str, sample_max: int = 8192) -> dict:
         else:
             stats["byte_entropy"] = 0.0
         stats["avg_len"] = float(np.mean([len(v) for v in vals]))
+        # consecutive common-prefix stat (front coding pays off on the
+        # sorted key column; order within a block is part of the format)
+        if len(vals) > 1:
+            from .kernels.prefix import _common_prefix_lens
+
+            sb = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in vals[:512]]
+            stats["avg_common_prefix"] = float(_common_prefix_lens(sb)[1:].mean())
         # token stats for the word-dictionary codec (space-separated text)
         sample_bytes = [
             v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in vals[:1024]
@@ -119,6 +126,9 @@ def select_codec(stats: dict, typ: str) -> str:
             "fsst": FSST_HEADER + n * (FSST_GAIN * avg + 0.75),
             "plain": n * (avg + 4),
         }
+        acp = stats.get("avg_common_prefix", 0.0)
+        if acp >= 4.0:
+            est["prefix"] = FSST_HEADER + n * (FSST_GAIN * (avg - acp) + 1.5)
         tpv = stats.get("tokens_per_value", 0.0)
         if tpv >= 2.0:
             # word-dictionary: extrapolate sample token cardinality to the

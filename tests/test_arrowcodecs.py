@@ -1,0 +1,113 @@
+"""Arrow-native codec path: byte-identical payloads to the pandas path,
+and round-trips through the existing decoders."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kmers_spark import arrowcodecs, codecs
+
+
+def _pd_series(arr: pa.Array, typ: str) -> pd.Series:
+    if typ in ("string", "binary"):
+        vals = arr.to_pylist()
+        return pd.Series(vals, dtype=object)
+    if typ.startswith("timestamp"):
+        return pd.Series(arr.to_pandas()).astype("datetime64[us]")
+    if typ == "int64":
+        return pd.Series(arr.to_pylist(), dtype="Int64")
+    return pd.Series(arr.to_pylist(), dtype=object)
+
+
+STR_CODECS = ["plain", "dict", "dict_rle", "fsst", "words", "prefix"]
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_string_paths_byte_identical(codec):
+    vals = (
+        ["the quick fox", "", None, "the quick fox", "a  b ", "héllo wörld"]
+        + [f"https://h{i % 5}.com/p/{i} tok{i % 7}" for i in range(200)]
+        + [None, ""]
+    )
+    arr = pa.array(vals, type=pa.string())
+    s = pd.Series(vals, dtype=object)
+    p_pd, m_pd = codecs.encode_column(s, codec, "string")
+    p_ar, m_ar = arrowcodecs.encode_column_arrow(arr, codec, "string")
+    assert m_pd == m_ar
+    assert p_pd == p_ar
+    out = codecs.decode_column(p_ar, m_ar)
+    for i, v in enumerate(vals):
+        if v is None:
+            assert out.iloc[i] is None
+        else:
+            assert out.iloc[i] == v
+
+
+@pytest.mark.parametrize("codec", ["plain", "fsst", "words", "prefix", "dict"])
+def test_binary_paths_byte_identical(codec):
+    vals = [b"<html>\xff\xfe\x00</html>", b"", None, b"\x00" * 40, b"ab cd ef"] * 20
+    arr = pa.array(vals, type=pa.binary())
+    s = pd.Series(vals, dtype=object)
+    p_pd, m_pd = codecs.encode_column(s, codec, "binary")
+    p_ar, m_ar = arrowcodecs.encode_column_arrow(arr, codec, "binary")
+    assert (p_pd, m_pd) == (p_ar, m_ar)
+    out = codecs.decode_column(p_ar, m_ar)
+    assert out.iloc[0] == vals[0] and out.iloc[2] is None
+
+
+@pytest.mark.parametrize("codec", ["plain", "for_bitpack", "rle_int", "dict_rle_int"])
+def test_int_paths_byte_identical(codec):
+    vals = [1, 2, 2, None, -5, 2**62, 0] * 30
+    arr = pa.array(vals, type=pa.int64())
+    s = pd.Series(vals, dtype="Int64")
+    p_pd, m_pd = codecs.encode_column(s, codec, "int64")
+    p_ar, m_ar = arrowcodecs.encode_column_arrow(arr, codec, "int64")
+    assert (p_pd, m_pd) == (p_ar, m_ar)
+    out = codecs.decode_column(p_ar, m_ar)
+    assert out.iloc[0] == 1 and out.iloc[3] is pd.NA
+
+
+def test_timestamp_paths_byte_identical():
+    base = 1_704_067_200_000_000
+    vals = [base + i * 250_000 for i in range(500)] + [None]
+    arr = pa.array(vals, type=pa.timestamp("us"))
+    s = pd.Series(np.array([v if v is not None else 0 for v in vals], dtype=np.int64).view("datetime64[us]"))
+    s[len(vals) - 1] = pd.NaT
+    for codec in ("plain", "for_bitpack"):
+        p_pd, m_pd = codecs.encode_column(s, codec, "timestamp")
+        p_ar, m_ar = arrowcodecs.encode_column_arrow(arr, codec, "timestamp")
+        assert (p_pd, m_pd) == (p_ar, m_ar), codec
+
+
+def test_double_paths_byte_identical():
+    vals = [1.5, -0.0, None, 3.25] * 10
+    arr = pa.array(vals, type=pa.float64())
+    s = pd.Series(vals, dtype=object)
+    p_pd, m_pd = codecs.encode_column(s, "plain", "double")
+    p_ar, m_ar = arrowcodecs.encode_column_arrow(arr, "plain", "double")
+    assert (p_pd, m_pd) == (p_ar, m_ar)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=60))
+def test_property_string_all_codecs(vals):
+    arr = pa.array(vals, type=pa.string())
+    s = pd.Series(vals, dtype=object)
+    for codec in STR_CODECS:
+        p_pd, m_pd = codecs.encode_column(s, codec, "string")
+        p_ar, m_ar = arrowcodecs.encode_column_arrow(arr, codec, "string")
+        assert (p_pd, m_pd) == (p_ar, m_ar), codec
+
+
+def test_sliced_array_offsets():
+    # Arrow slices carry a nonzero .offset — views must rebase correctly
+    vals = [f"v{i} tok" for i in range(100)]
+    arr = pa.array(vals).slice(13, 40)
+    s = pd.Series(vals[13:53], dtype=object)
+    for codec in ("plain", "fsst", "words", "prefix", "dict"):
+        p_pd, m_pd = codecs.encode_column(s, codec, "string")
+        p_ar, m_ar = arrowcodecs.encode_column_arrow(arr, codec, "string")
+        assert (p_pd, m_pd) == (p_ar, m_ar), codec

@@ -204,3 +204,34 @@ class TestWords:
         )
         stats = selector.column_stats(s, "string")
         assert selector.select_codec(stats, "string") == "words"
+
+
+class TestPrefix:
+    def _roundtrip(self, values):
+        from kmers_spark.kernels import prefix
+
+        payload, meta = prefix.encode(values)
+        assert prefix.decode(payload, meta) == values
+        return payload
+
+    def test_roundtrip_sorted_urls(self):
+        vals = sorted(f"https://host{i % 7}.example.com/path/{i}".encode() for i in range(300))
+        payload = self._roundtrip(vals)
+        assert len(payload) < 0.5 * sum(len(v) for v in vals)
+
+    def test_unsorted_and_edges(self):
+        self._roundtrip([b"b", b"a", b"", b"aa", b"a", b""])
+        self._roundtrip([])
+        self._roundtrip([b""])
+        self._roundtrip([b"same", b"same", b"same"])
+
+    def test_column_layer(self):
+        import pandas as pd
+
+        from kmers_spark import codecs
+
+        s = pd.Series(sorted([f"https://h{i%3}.com/p/{i}" for i in range(50)]) + [None], dtype=object)
+        p, m = codecs.encode_column(s, "prefix", "string")
+        out = codecs.decode_column(p, m)
+        assert list(out[:50]) == sorted([f"https://h{i%3}.com/p/{i}" for i in range(50)])
+        assert out[50] is None
