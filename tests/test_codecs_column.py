@@ -91,13 +91,26 @@ class TestSelector:
         assert selector.select_codec(stats, "string") == "dict_rle"
 
     def test_high_card_urls_pick_fsst(self):
-        # no spaces -> word codec can't help; low byte entropy -> fsst
-        s = pd.Series([f"https://example.com/products/item-{i}" for i in range(500)], dtype=object)
+        # shuffled multi-host urls: no shared consecutive prefix, no
+        # spaces -> neither front coding nor word-dict help; fsst wins
+        rng = np.random.default_rng(9)
+        urls = [f"https://host{rng.integers(0, 400)}.example.com/i{rng.integers(0, 10**6)}" for _ in range(500)]
+        s = pd.Series(urls, dtype=object)
         stats = selector.column_stats(s, "string")
         assert selector.select_codec(stats, "string") == "fsst"
 
+    def test_sorted_urls_pick_prefix(self):
+        s = pd.Series(sorted(f"https://example.com/products/item-{i}" for i in range(500)), dtype=object)
+        stats = selector.column_stats(s, "string")
+        assert selector.select_codec(stats, "string") == "prefix"
+
     def test_wordy_text_picks_words(self):
-        s = pd.Series([f"the quick brown fox {i} jumps" for i in range(500)], dtype=object)
+        words = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel"]
+        rng = np.random.default_rng(11)
+        s = pd.Series(
+            [" ".join(rng.choice(words, 25)) + f" u{i}" for i in range(500)],
+            dtype=object,
+        )
         stats = selector.column_stats(s, "string")
         assert selector.select_codec(stats, "string") == "words"
 
