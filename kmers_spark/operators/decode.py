@@ -38,6 +38,32 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
     blocks = read_blocks(spark, out_dir)
     if buckets is not None:
         blocks = blocks.filter(blocks.bucket.isin(buckets))
+    return decode_blocks_df(blocks, schema, out_schema)
+
+
+def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str) -> DataFrame:
+    """block rows -> original rows; Arrow path when available."""
+    cols = list(schema.keys())
+    grouped = blocks.groupBy("bucket")
+
+    if hasattr(grouped, "applyInArrow"):
+        import pyarrow as pa
+
+        from .. import arrowcodecs
+
+        def decode_group_arrow(table: "pa.Table") -> "pa.Table":
+            arrays: dict[str, pa.Array] = {}
+            col_names = table.column("column").to_pylist()
+            metas = table.column("meta").to_pylist()
+            payloads = table.column("payload")
+            for i, cname in enumerate(col_names):
+                meta = json.loads(metas[i])
+                arrays[cname] = arrowcodecs.decode_column_arrow(
+                    payloads[i].as_py(), meta
+                )
+            return pa.table({c: arrays[c] for c in cols})
+
+        return grouped.applyInArrow(decode_group_arrow, out_schema)
 
     def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         series = {}
@@ -53,4 +79,4 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
             data[c] = s.reset_index(drop=True)
         return pd.DataFrame(data, columns=cols) if n else pd.DataFrame(columns=cols)
 
-    return blocks.groupBy("bucket").applyInPandas(decode_group, out_schema)
+    return grouped.applyInPandas(decode_group, out_schema)

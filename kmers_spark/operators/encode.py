@@ -187,7 +187,11 @@ def encode_table(
     blocks = encode_blocks_df(bucketed, schema, key, codec_overrides)
     (
         blocks.write.mode("append")
-        .partitionBy("bucket")
+        # bucket stays a regular column: parquet row-group stats prune
+        # bucket-filtered reads, and a plain write scales where the
+        # dynamic-partition writer serializes (BENCH notes)
+        # payloads are already entropy-coded; snappy would only burn CPU
+        .option("compression", "none")
         .parquet(_blocks_path(out_dir))
     )
 

@@ -37,23 +37,8 @@ def roundtrip(df: DataFrame, key: str, *, num_buckets: int = 8,
     bucketed = df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
     )
+    from .decode import decode_blocks_df
     from .encode import encode_blocks_df
 
     blocks = encode_blocks_df(bucketed, schema, key, codec_overrides)
-
-    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        series = {}
-        for _, row in pdf.iterrows():
-            meta = json.loads(row["meta"])
-            series[row["column"]] = codecs.decode_column(bytes(row["payload"]), meta)
-        if not series:
-            return pd.DataFrame(columns=cols)
-        data = {}
-        for c in cols:
-            s = series[c]
-            if schema[c] == "binary":
-                s = s.map(lambda v: None if v is None else bytes(v))
-            data[c] = s.reset_index(drop=True)
-        return pd.DataFrame(data, columns=cols)
-
-    return blocks.groupBy("bucket").applyInPandas(decode_group, out_schema)
+    return decode_blocks_df(blocks, schema, out_schema)

@@ -111,3 +111,69 @@ def test_sliced_array_offsets():
         p_pd, m_pd = codecs.encode_column(s, codec, "string")
         p_ar, m_ar = arrowcodecs.encode_column_arrow(arr, codec, "string")
         assert (p_pd, m_pd) == (p_ar, m_ar), codec
+
+
+class TestArrowDecode:
+    CODECS_STR = ["plain", "dict", "dict_rle", "fsst", "words", "prefix"]
+
+    def _roundtrip(self, vals, typ, codec):
+        from kmers_spark import arrowcodecs
+
+        atype = pa.string() if typ == "string" else pa.binary()
+        arr = pa.array(vals, type=atype)
+        p, m = arrowcodecs.encode_column_arrow(arr, codec, typ)
+        out = arrowcodecs.decode_column_arrow(p, m)
+        assert out.to_pylist() == vals, codec
+        return out
+
+    @pytest.mark.parametrize("codec", CODECS_STR)
+    def test_string_decode(self, codec):
+        vals = ["the quick fox", "", None, "the quick fox", "a  b "] + [
+            f"https://h{i % 5}.com/p/{i} tok{i % 7}" for i in range(100)
+        ]
+        self._roundtrip(vals, "string", codec)
+
+    @pytest.mark.parametrize("codec", ["plain", "fsst", "words", "prefix", "dict"])
+    def test_binary_decode(self, codec):
+        vals = [b"<html>\xff\xfe\x00</html>", b"", None, b"\x00" * 40, b"ab cd"] * 10
+        self._roundtrip(vals, "binary", codec)
+
+    @pytest.mark.parametrize("codec", ["plain", "for_bitpack", "rle_int", "dict_rle_int"])
+    def test_int_decode(self, codec):
+        from kmers_spark import arrowcodecs
+
+        vals = [1, 2, 2, None, -5, 2**62, 0] * 10
+        arr = pa.array(vals, type=pa.int64())
+        p, m = arrowcodecs.encode_column_arrow(arr, codec, "int64")
+        out = arrowcodecs.decode_column_arrow(p, m)
+        assert out.to_pylist() == vals
+
+    def test_timestamp_ntz_decode(self):
+        from kmers_spark import arrowcodecs
+
+        base = 1_704_067_200_000_000
+        vals = [base + i * 250_000 for i in range(100)] + [None]
+        arr = pa.array(vals, type=pa.timestamp("us"))
+        p, m = arrowcodecs.encode_column_arrow(arr, "for_bitpack", "timestamp_ntz")
+        out = arrowcodecs.decode_column_arrow(p, m)
+        assert out.cast(pa.int64()).to_pylist() == vals
+
+    def test_double_decode(self):
+        from kmers_spark import arrowcodecs
+
+        vals = [1.5, -0.0, None, 3.25]
+        arr = pa.array(vals, type=pa.float64())
+        p, m = arrowcodecs.encode_column_arrow(arr, "plain", "double")
+        out = arrowcodecs.decode_column_arrow(p, m)
+        assert out.to_pylist() == vals
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=60))
+    def test_property_decode(self, vals):
+        from kmers_spark import arrowcodecs
+
+        arr = pa.array(vals, type=pa.string())
+        for codec in self.CODECS_STR:
+            p, m = arrowcodecs.encode_column_arrow(arr, codec, "string")
+            out = arrowcodecs.decode_column_arrow(p, m)
+            assert out.to_pylist() == vals, codec
