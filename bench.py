@@ -6,11 +6,11 @@ Prints ONE JSON line:
    "encode": {"gbps_hi": ..., "gbps_lo": ..., "scaling_efficiency": ...,
               "ratio_overall": ..., "ratio_by_column": {...}}}
 
-Scaling evidence (BASELINE.md protocol): the same encode job runs at
-local[8] and local[32] on the same cached deterministic pages snapshot;
-efficiency = gbps_32 / (4 * gbps_8). Everything else runs at local[N]
-with N = $SPARK_GRAFT_CPUS (default 32) over $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1).
+Scaling evidence (BASELINE.md protocol, N vs 4N): the same encode job
+runs at local[4] and local[16] on the same cached deterministic pages
+snapshot; efficiency = gbps_16 / (4 * gbps_4). Peak throughput is
+additionally reported at local[$SPARK_GRAFT_CPUS] (default 32). Queries
+run over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 """
 
 from __future__ import annotations
