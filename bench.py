@@ -74,8 +74,12 @@ def ensure_pages():
         s.stop()
 
 
-def encode_run(cores: int, keep_out: bool = False) -> dict:
-    """One measured encode job; returns {sec, raw_bytes, enc_bytes, per-col}."""
+def encode_run(cores: int, keep_out: bool = False, n_runs: int = 1) -> dict:
+    """Measured encode jobs at one core count; median-of-n seconds
+    (BASELINE.md protocol: warm-up discarded, median reported — the
+    sandbox host shows bursty neighbor noise)."""
+    import statistics
+
     from pyspark.sql import functions as F
 
     from kmers_spark.operators import encode as enc
@@ -84,8 +88,8 @@ def encode_run(cores: int, keep_out: bool = False) -> dict:
     df = s.read.parquet(str(CACHE))
     out = tempfile.mkdtemp(prefix=f"bench_enc_{cores}_")
     try:
-        # tiny warm pass: spawns/initializes this level's python workers so
-        # the measured run times the encode, not interpreter startup
+        # warm pass: spawns this level's python workers so measured runs
+        # time the encode, not interpreter startup
         warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
         enc.encode_table(
             df.limit(2000), warm_dir, num_buckets=cores, detect_skew=False,
@@ -93,11 +97,18 @@ def encode_run(cores: int, keep_out: bool = False) -> dict:
         )
         shutil.rmtree(warm_dir, ignore_errors=True)
 
-        t0 = time.perf_counter()
-        enc.encode_table(
-            df, out, num_buckets=N_BUCKETS, detect_skew=True, snapshot_id="bench"
-        )
-        sec = time.perf_counter() - t0
+        secs = []
+        for i in range(n_runs):
+            run_out = out if i == n_runs - 1 else tempfile.mkdtemp(prefix="bench_enc_i_")
+            t0 = time.perf_counter()
+            enc.encode_table(
+                df, run_out, num_buckets=N_BUCKETS, detect_skew=True,
+                snapshot_id="bench",
+            )
+            secs.append(time.perf_counter() - t0)
+            if run_out != out:
+                shutil.rmtree(run_out, ignore_errors=True)
+        sec = statistics.median(secs)
         stats = (
             enc.read_blocks(s, out)
             .groupBy("column")
@@ -107,7 +118,8 @@ def encode_run(cores: int, keep_out: bool = False) -> dict:
         raw = sum(r["raw"] for r in stats)
         encb = sum(r["enc"] for r in stats)
         percol = {r["column"]: round(r["enc"] / r["raw"], 4) for r in stats}
-        return {"sec": sec, "raw": raw, "enc": encb, "per_col": percol, "out": out}
+        return {"sec": sec, "secs": [round(x, 2) for x in secs], "raw": raw,
+                "enc": encb, "per_col": percol, "out": out}
     finally:
         s.stop()
         if not keep_out:
@@ -122,8 +134,8 @@ def main():
 
     # --- scaling pair (per-level warm pass inside encode_run) ---
     peak = encode_run(CPUS, keep_out=True)
-    hi = encode_run(HI_CPUS)
-    lo = encode_run(LO_CPUS)
+    hi = encode_run(HI_CPUS, n_runs=3)
+    lo = encode_run(LO_CPUS, n_runs=3)
     timings["encode_pages_peak"] = round(peak["sec"], 3)
     timings["encode_pages_hi"] = round(hi["sec"], 3)
     timings["encode_pages_lo"] = round(lo["sec"], 3)
@@ -180,6 +192,8 @@ def main():
                     "cores_hi": HI_CPUS,
                     "cores_lo": LO_CPUS,
                     "scaling_efficiency": round(eff, 3),
+                    "hi_runs_sec": hi["secs"],
+                    "lo_runs_sec": lo["secs"],
                     "ratio_overall": round(peak["enc"] / peak["raw"], 4),
                     "ratio_by_column": peak["per_col"],
                 },

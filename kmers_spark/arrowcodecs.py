@@ -17,6 +17,19 @@ import pyarrow.compute as pc
 from . import arrowview as av
 from .kernels import bitpack, dictenc, foren, fsst, rle
 
+_PINNED = False
+
+
+def pin_worker_threads() -> None:
+    """Inside a Spark python worker, Arrow's internal thread pool must be
+    1: N workers x N-thread pools oversubscribe the host quadratically
+    (measured: local[32] slower than local[16] until pinned)."""
+    global _PINNED
+    if not _PINNED:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        _PINNED = True
+
 
 def _freq_order_dictionary(indices: np.ndarray, dict_arr: pa.Array):
     """Reorder an Arrow dictionary by (-count, value-bytes); returns

@@ -52,6 +52,7 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str)
         from .. import arrowcodecs
 
         def decode_group_arrow(table: "pa.Table") -> "pa.Table":
+            arrowcodecs.pin_worker_threads()
             arrays: dict[str, pa.Array] = {}
             col_names = table.column("column").to_pylist()
             metas = table.column("meta").to_pylist()

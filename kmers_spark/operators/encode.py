@@ -83,6 +83,7 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
     overrides = codec_overrides or {}
 
     def encode_group(table: "pa.Table") -> "pa.Table":
+        arrowcodecs.pin_worker_threads()
         idx = pc.sort_indices(table.column(key))
         table = table.take(idx)
         bucket = table.column("bucket")[0].as_py() if table.num_rows else -1
