@@ -27,15 +27,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# scaling pair: N vs 4N cores, sized so the parallel fraction dominates
-# the local-mode serial floor (stage barriers + scan planning ~8 s);
-# peak throughput is additionally reported at full width (CPUS).
-HI_CPUS = max(CPUS // 2, 2)
-LO_CPUS = max(HI_CPUS // 4, 1)
+# scaling pair: N vs 4N cores. The sandbox VM sustains ~4-8 cores of
+# memory-heavy work before the host throttles (see BENCH/BASELINE.md
+# analysis), so the pair sits in the measured linear region (1 vs 4);
+# the full 1/4/16/32 throughput curve is also reported.
+HI_CPUS = 4
+LO_CPUS = 1
 SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
-# sized so codec compute (~41 core-s/GB) dominates the local-mode serial
-# floor (~7 s): sf0.1 -> 20M rows, ~8 GB logical
-PAGES_ROWS = int(200_000_000 * SF)
+# sized so codec compute dominates the job overhead at the scaling-pair
+# core counts: sf0.1 -> 4M rows, ~1.6 GB logical
+PAGES_ROWS = int(40_000_000 * SF)
 N_BUCKETS = 4 * CPUS                       # waves of full-width tasks
 CACHE = Path(__file__).resolve().parent / ".bench_cache" / f"pages_{PAGES_ROWS}"
 
@@ -136,8 +137,9 @@ def main():
 
     ensure_pages()
 
-    # --- scaling pair (per-level warm pass inside encode_run) ---
+    # --- scaling pair + throughput curve (warm pass inside encode_run) ---
     peak = encode_run(CPUS, keep_out=True)
+    mid = encode_run(16, n_runs=2) if CPUS > 16 else None
     hi = encode_run(HI_CPUS, n_runs=3)
     lo = encode_run(LO_CPUS, n_runs=2)
     timings["encode_pages_peak"] = round(peak["sec"], 3)
@@ -198,6 +200,7 @@ def main():
                     "scaling_efficiency": round(eff, 3),
                     "hi_runs_sec": hi["secs"],
                     "lo_runs_sec": lo["secs"],
+                    "gbps_16": round(mid["raw"] / mid["sec"] / 1e9, 4) if mid else None,
                     "ratio_overall": round(peak["enc"] / peak["raw"], 4),
                     "ratio_by_column": peak["per_col"],
                 },

@@ -168,7 +168,13 @@ def encode_table(
 
     m = manifest.load(out_dir)
     if m is None or not resume:
-        hot = partitioning.detect_hot_keys(df, num_buckets, key) if detect_skew else {}
+        # hot-host detection from a sample: hot keys are, by definition,
+        # the ones a 5% sample cannot miss
+        hot = (
+            partitioning.detect_hot_keys(df, num_buckets, key, sample_fraction=0.05)
+            if detect_skew
+            else {}
+        )
         m = manifest.init(
             out_dir, snapshot_id=snapshot_id, schema=schema, num_buckets=num_buckets,
             key=key,
@@ -223,3 +229,37 @@ def _blocks_path(out_dir: str) -> str:
 
 def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(_blocks_path(out_dir))
+
+
+def encode_colocated_df(df: DataFrame, schema: dict[str, str], key: str,
+                        codec_overrides: dict[str, str] | None = None) -> DataFrame:
+    """Shuffle-free encode over a pre-bucketed table (mapInArrow).
+
+    For repeated encodes at 10^12-row scale the input should live
+    bucket-clustered on storage (Iceberg bucket partitioning / Spark
+    bucketBy); then each scan partition already holds whole buckets and
+    the encode is scan -> kernels -> write with NO shuffle — the
+    bucketed-join discipline from the PySpark guide applied to encoding.
+    Input must carry a `bucket` column; a partition may hold several
+    buckets (each becomes its own block set) but a bucket must not span
+    partitions.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fn = make_encode_fn_arrow(schema, key, codec_overrides)
+
+    def encode_partition(batches):
+        tables = [pa.Table.from_batches([b]) for b in batches]
+        if not tables:
+            return
+        table = pa.concat_tables(tables).combine_chunks()
+        if table.num_rows == 0:
+            return
+        buckets = pc.unique(table.column("bucket"))
+        for b in buckets:
+            sub = table.filter(pc.equal(table.column("bucket"), b))
+            for batch in fn(sub).to_batches():
+                yield batch
+
+    return df.mapInArrow(encode_partition, BLOCK_SCHEMA)

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .. import selector
-from ..operators.encode import BLOCK_SCHEMA, make_encode_fn
+from ..operators.encode import encode_blocks_df
 
 
 def encode_stream(stream_df: DataFrame, out_dir: str, *, key: str,
@@ -34,11 +34,10 @@ def encode_stream(stream_df: DataFrame, out_dir: str, *, key: str,
         bucketed = batch_df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).cast("int")
         )
-        blocks = bucketed.groupBy("bucket").applyInPandas(
-            make_encode_fn(schema, key, None), BLOCK_SCHEMA
-        )
+        blocks = encode_blocks_df(bucketed, schema, key, None)
         (
             blocks.write.mode("overwrite")
+            .option("compression", "none")
             .parquet(f"{out_dir}/blocks/epoch={epoch_id}")
         )
 

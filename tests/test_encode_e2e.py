@@ -139,3 +139,26 @@ def test_pages_generator_deterministic(spark):
 
     joined = pd.concat([c, d], ignore_index=True)
     assert joined.equals(a.reset_index(drop=True))
+
+
+def test_colocated_encode_matches_shuffled(spark, pages_df, tmp_path):
+    """Shuffle-free mapInArrow encode over a pre-bucketed layout produces
+    the same blocks (bucket, column, payload md5) as the groupBy path."""
+    from pyspark.sql import functions as F
+
+    from kmers_spark import selector
+    from kmers_spark.operators.encode import encode_blocks_df, encode_colocated_df
+
+    schema = {f.name: selector.spark_type_name(f.dataType) for f in pages_df.schema.fields}
+    b = pages_df.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
+    )
+    shuffled = encode_blocks_df(b, schema, "url", None)
+    colocated = encode_colocated_df(
+        b.repartition(N_BUCKETS, "bucket"), schema, "url", None
+    )
+    h = lambda df: sorted(
+        (r["bucket"], r["column"], r["h"])
+        for r in df.select("bucket", "column", F.md5("payload").alias("h")).collect()
+    )
+    assert h(shuffled) == h(colocated)
