@@ -323,8 +323,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sessionize": (
             "WITH g AS (SELECT event_id, user_id, ts, "
-            "  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL "
-            "       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess "
+            "  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL "
+            "       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess "
             "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
             "SELECT event_id, user_id, "
             "sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "

@@ -64,8 +64,9 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
     threshold — lag + running sum over an ordered window."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     return ev.select(
         "event_id",
         "user_id",

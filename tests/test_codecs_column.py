@@ -90,14 +90,24 @@ class TestSelector:
         stats = selector.column_stats(s, "string")
         assert selector.select_codec(stats, "string") == "dict_rle"
 
-    def test_high_card_urls_pick_fsst(self):
-        # shuffled multi-host urls: no shared consecutive prefix, no
-        # spaces -> neither front coding nor word-dict help; fsst wins
+    def test_selector_near_optimal_across_distributions(self):
+        # the estimate-based choice must land within 1.4x of the best
+        # measured codec on representative string distributions
         rng = np.random.default_rng(9)
-        urls = [f"https://host{rng.integers(0, 400)}.example.com/i{rng.integers(0, 10**6)}" for _ in range(500)]
-        s = pd.Series(urls, dtype=object)
-        stats = selector.column_stats(s, "string")
-        assert selector.select_codec(stats, "string") == "fsst"
+        cases = {
+            "urls": [f"https://host{rng.integers(0, 400)}.example.com/i{rng.integers(0, 10**6)}" for _ in range(500)],
+            "hex_ids": [rng.bytes(16).hex() for _ in range(500)],
+            "categories": [f"cat{rng.integers(0, 6)}" for _ in range(500)],
+        }
+        for name, vals in cases.items():
+            s = pd.Series(vals, dtype=object)
+            choice = selector.select_codec(selector.column_stats(s, "string"), "string")
+            sizes = {}
+            for codec in codecs.STRING_CODECS:
+                p, _ = codecs.encode_column(s, codec, "string")
+                sizes[codec] = len(p)
+            best = min(sizes.values())
+            assert sizes[choice] <= 1.4 * best, (name, choice, sizes)
 
     def test_sorted_urls_pick_prefix(self):
         s = pd.Series(sorted(f"https://example.com/products/item-{i}" for i in range(500)), dtype=object)
