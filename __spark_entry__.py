@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimizer_lex": lambda s, d: dna.minimizer_lex(s, d, MIN_K, MIN_W),
         "valid_window_scan": lambda s, d: dna.valid_window_scan(s, d, 3),
         "kmer_pack_roundtrip": lambda s, d: dna.kmer_pack_roundtrip(s, d, K),
+        "minimizer_seeded": lambda s, d: dna.minimizer_seeded(s, d, MIN_K, MIN_W, 42),
+        "space_sizes": lambda s, d: dna.space_sizes(s, d, 8),
         # --- codec round-trips (oracle = identity projection) ---
         "codec_roundtrip_documents": _codec_roundtrip("documents", "doc_id"),
         "codec_roundtrip_events": _codec_roundtrip("events", "event_id"),
@@ -193,6 +195,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmer_pack_roundtrip": (
             f"WITH km AS ({_KMERS}) SELECT doc_id, pos, kmer, lower(kmer) AS decoded FROM km"
+        ),
+        "minimizer_seeded": (
+            f"WITH seqs AS ({_SEQS}), "
+            f"wm AS (SELECT doc_id, seq, unnest(generate_series(1, length(seq) - {w - 1}))::BIGINT AS pos "
+            f"       FROM seqs WHERE length(seq) >= {w}), "
+            f"wmers AS (SELECT doc_id, pos, md5('42:' || substr(seq, pos::INT, {w})) AS h FROM wm) "
+            f"SELECT doc_id, pos AS kpos, "
+            f"min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {frame} FOLLOWING) AS minimizer_hash "
+            f"FROM wmers QUALIFY pos <= count(*) OVER (PARTITION BY doc_id) - {frame}"
+        ),
+        "space_sizes": (
+            "SELECT k::INT AS k, (4 ** k)::BIGINT AS kmer_space, "
+            "CASE WHEN k % 2 = 1 THEN (4 ** k)::BIGINT // 2 "
+            "ELSE (4 ** k)::BIGINT // 2 - 2 * k END::BIGINT AS canonical_space "
+            "FROM (SELECT unnest(generate_series(1, 8)) AS k)"
         ),
         # codec round-trips: identity projections
         "codec_roundtrip_documents": "SELECT * FROM documents",

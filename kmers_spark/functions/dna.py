@@ -124,3 +124,40 @@ def kmer_pack_roundtrip(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFra
 
     km = _kmers(spark, sf_dir, k)
     return km.select("doc_id", "pos", "kmer", pack_unpack(F.col("kmer")).alias("decoded"))
+
+
+def minimizer_seeded(spark: SparkSession, sf_dir: str, k: int = 9, w: int = 4,
+                     seed: int = 42) -> DataFrame:
+    """W9+H4: randomized minimizer selection with an explicit, recorded
+    seed (the reference uses std SipHash RandomState — kmer.rs:564; our
+    determinism requirement makes the seed part of the query). The hash
+    is md5(seed || wmer) so the DuckDB oracle computes the identical
+    permutation."""
+    from pyspark.sql import Window as W
+
+    wmers = _kmers(spark, sf_dir, w).withColumnRenamed("kmer", "wmer")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col("wmer")))
+    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, k - w)
+    n_k = F.count(F.lit(1)).over(W.partitionBy("doc_id"))
+    return (
+        wmers.withColumn("minimizer_hash", F.min(h).over(frame))
+        .withColumn("_n_wmers", n_k)
+        .filter(F.col("pos") <= F.col("_n_wmers") - (k - w))
+        .select("doc_id", F.col("pos").alias("kpos"), "minimizer_hash")
+    )
+
+
+def space_sizes(spark: SparkSession, sf_dir: str, max_k: int = 8) -> DataFrame:
+    """S3/S4: kmer_space(k) = 4^k and canonical_space(k) *as the
+    reference implements it* (utils.rs:27-38): odd k -> 4^k/2; even k ->
+    4^k/2 - 2k. The even-k formula is the crate's own definition (golden
+    values utils.rs:61-72, e.g. canonical_space(4)=120) — replicated as
+    documented behavior, not silently 'fixed' (SURVEY.md §5.3)."""
+    ks = spark.range(1, max_k + 1).select(F.col("id").cast("int").alias("k"))
+    four_k = F.expr("cast(pow(4, k) as long)")
+    canonical = F.when(
+        F.col("k") % 2 == 1, (four_k / 2).cast("long")
+    ).otherwise((four_k / 2).cast("long") - 2 * F.col("k"))
+    return ks.select(
+        "k", four_k.alias("kmer_space"), canonical.cast("long").alias("canonical_space")
+    )

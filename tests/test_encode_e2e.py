@@ -162,3 +162,19 @@ def test_colocated_encode_matches_shuffled(spark, pages_df, tmp_path):
         for r in df.select("bucket", "column", F.md5("payload").alias("h")).collect()
     )
     assert h(shuffled) == h(colocated)
+
+
+def test_stray_files_in_blocks_dir_ignored(spark, pages_df, tmp_path):
+    """Orphan temp files from a crashed writer must not corrupt decode:
+    spark.read.parquet ignores _-/.-prefixed paths (committer contract)."""
+    import os
+
+    out = str(tmp_path / "snap_stray")
+    enc.encode_table(pages_df, out, num_buckets=4)
+    os.makedirs(f"{out}/blocks/_temporary/0", exist_ok=True)
+    with open(f"{out}/blocks/_temporary/0/part-junk", "w") as f:
+        f.write("garbage from a killed task")
+    with open(f"{out}/blocks/.part-000-inprogress.parquet.crc", "w") as f:
+        f.write("junk")
+    decoded = dec.decode_table(spark, out)
+    _roundtrip_check(spark, pages_df, decoded)

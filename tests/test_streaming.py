@@ -42,3 +42,52 @@ def test_stream_encode_decode(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+@pytest.mark.slow
+def test_windowed_agg_stream_equals_batch(spark, tmp_path):
+    """Watermarked windowed aggregation over the events stream matches the
+    batch groupBy(window(...)) on the same data (late-data semantics are
+    a no-op here because the source replays in order)."""
+    src = "/root/testdata/sf0.001/events.parquet"
+    batch = spark.read.parquet(src).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # watermarks need TZ-aware event time
+    )
+
+    agg_batch = (
+        batch.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .collect()
+    )
+
+    import shutil as _sh
+
+    src_dir = str(tmp_path / "events_src")
+    import os as _os
+
+    _os.makedirs(src_dir, exist_ok=True)
+    _sh.copy(src, f"{src_dir}/events.parquet")
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_agg")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    agg_stream = spark.sql("SELECT * FROM win_agg").collect()
+
+    key = lambda r: (r["window"]["start"], r["event_type"])
+    b = {key(r): (r["n"], r["v"]) for r in agg_batch}
+    s = {key(r): (r["n"], r["v"]) for r in agg_stream}
+    assert b == s
