@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "ngram_jaccard": dedup.ngram_jaccard,
         "simhash": dedup.simhash,
         "token_count": textqc.token_count,
@@ -119,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": textqc.fingerprint,
         "ann_cosine_topk": ann.cosine_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        "embedding_dup_pairs": ann.embedding_dup_pairs,
         # --- reference 3-way equivalency + orientation (T13/T8) ---
         "kmer_orientation": lambda s, d: olap.kmer_orientation(s, d, K),
         "kmer_equivalency": lambda s, d: olap.kmer_equivalency(s, d, K),
@@ -242,6 +244,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM bands a JOIN bands b USING (band, band_key) WHERE a.doc_id < b.doc_id"
         ),
+        "dedup_clusters": (
+            f"WITH RECURSIVE dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}), "
+            "sigs AS (SELECT doc_id, perm, min(md5(perm::VARCHAR || ':' || shingle)) AS sig "
+            "         FROM sh, (SELECT unnest(generate_series(0, 7))::INT AS perm) p "
+            "         GROUP BY doc_id, perm), "
+            "bands AS (SELECT doc_id, (perm // 2)::INT AS band, "
+            "          array_to_string(list_sort(list(sig)), '|') AS band_key "
+            "          FROM sigs GROUP BY doc_id, band), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "          FROM bands a JOIN bands b USING (band, band_key) WHERE a.doc_id < b.doc_id), "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+            "          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs), "
+            "cc(node, label) AS ("
+            "  SELECT DISTINCT a AS node, a AS label FROM edges "
+            "  UNION "
+            "  SELECT e.a AS node, cc.label FROM edges e JOIN cc ON cc.node = e.b "
+            "  WHERE cc.label < e.a) "
+            "SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node"
+        ),
         "ngram_jaccard": (
             f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}), "
             "sigs AS (SELECT doc_id, perm, min(md5(perm::VARCHAR || ':' || shingle)) AS sig "
@@ -352,6 +373,26 @@ def oracle_sql() -> dict[str, str]:
             "max(CASE WHEN event_type = 'error' THEN ts END) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_error_ts "
             "FROM events QUALIFY event_type = 'click'"
+        ),
+        "embedding_dup_pairs": (
+            "WITH ee AS (SELECT vec_id, embedding FROM embeddings "
+            "            UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings), "
+            "z AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
+            "      generate_subscripts(embedding, 1) - 1 AS d FROM ee), "
+            "bits AS (SELECT z.vec_id, p.plane, "
+            "  CASE WHEN sum(z.v * (CASE WHEN (p.plane * 31 + z.d * 17) % 7 < 3 THEN 1.0 ELSE -1.0 END)) > 0 "
+            "  THEN 1 ELSE 0 END AS bit "
+            "  FROM z, (SELECT unnest(generate_series(0, 5))::INT AS plane) p "
+            "  GROUP BY z.vec_id, p.plane), "
+            "bk AS (SELECT vec_id, sum(bit * (1 << plane))::BIGINT AS bucket FROM bits GROUP BY vec_id), "
+            "eb AS (SELECT ee.vec_id, ee.embedding, bk.bucket FROM ee JOIN bk USING (vec_id)), "
+            "cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb2 "
+            "         FROM eb a JOIN eb b USING (bucket) WHERE a.vec_id < b.vec_id), "
+            "zz AS (SELECT vec_a, vec_b, unnest(ea)::DOUBLE AS x, unnest(eb2)::DOUBLE AS y FROM cand), "
+            "sc AS (SELECT vec_a, vec_b, sum(x * y) AS dp, sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb "
+            "       FROM zz GROUP BY vec_a, vec_b) "
+            "SELECT vec_a, vec_b, round(dp / (na * nb), 6) AS cosine FROM sc "
+            "WHERE round(dp / (na * nb), 6) >= 0.999"
         ),
         "media_meta": (
             "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image/png' "

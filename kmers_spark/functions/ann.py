@@ -111,3 +111,59 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 1
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ copy(vec_id+100000): deterministic duplicate vectors
+    so near-dup detection has nonempty, oracle-checkable output."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dup = e.select((F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding")
+    return e.unionAll(dup)
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str, n_planes: int = 6,
+                        threshold: float = 0.999) -> DataFrame:
+    """Embedding-cosine near-duplicates: hyperplane-LSH bucket equi-join
+    (identical/near vectors always share all sign bits), exact cosine
+    rescoring inside buckets only — never all-pairs.
+
+    Plane weights are the fixed deterministic pattern
+    w(p, d) = +1 if (31p + 17d) % 7 < 3 else -1 (documented; the SQL
+    oracle recomputes the identical planes)."""
+    e = _emb_with_dups(spark, sf_dir)
+    dims = e.select(F.size("embedding").alias("nd")).limit(1).collect()[0]["nd"]
+    planes = [
+        (p, [1.0 if (p * 31 + d * 17) % 7 < 3 else -1.0 for d in range(dims)])
+        for p in range(n_planes)
+    ]
+    planes_df = spark.createDataFrame(planes, "plane int, w array<double>")
+    bits = (
+        e.crossJoin(F.broadcast(planes_df))
+        .select(
+            "vec_id",
+            "plane",
+            (_dot(F.col("embedding"), F.col("w")) > 0).cast("int").alias("bit"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.expr("bit * shiftleft(1, plane)")).alias("bucket"))
+    )
+    eb = e.join(bits, "vec_id")
+    a = eb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = eb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -165,3 +165,44 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> DataFrame:
+    """Duplicate clusters from LSH candidate pairs via min-label
+    propagation (connected components): every doc converges to the
+    smallest doc_id reachable through candidate edges.
+
+    Scale shape: each iteration is one self-join + min-aggregate on the
+    label table (shuffle on doc_id); iterations ~ graph diameter, which
+    for dup clusters is tiny. No driver-side graph state.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate the iterative lineage
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc_id")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster"))
