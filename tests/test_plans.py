@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the declarative operators must actually get
+the Catalyst treatment they were designed for (pushdown, pruning,
+broadcast, partial aggregation) — a correct-but-slow plan is a bug."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_decode_bucket_filter_pushes_down(spark, tmp_path):
+    from kmers_spark import pages
+    from kmers_spark.operators import decode as dec, encode as enc
+
+    df = pages.pages_df(spark, 400, partitions=2)
+    out = str(tmp_path / "snap")
+    enc.encode_table(df, out, num_buckets=4, detect_skew=False)
+    plan = _plan(dec.decode_table(spark, out, buckets=[1]))
+    # the bucket predicate must reach the parquet scan (row-group pruning)
+    assert "PushedFilters" in plan and "bucket" in plan.split("PushedFilters")[1][:200]
+
+
+def test_dim_join_is_broadcast(spark):
+    from kmers_spark.functions import olap
+
+    plan = _plan(olap.join_orders_customers(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_canonical_count_has_partial_agg(spark):
+    from kmers_spark.functions import dna
+
+    plan = _plan(dna.canonical_count(spark, SF, 5))
+    # map-side partial aggregation before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_kmer_extract_prunes_columns(spark):
+    from kmers_spark.functions import dna
+
+    plan = _plan(dna.kmer_extract(spark, SF, 5))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "doc_id" in read
+    assert "lang" not in read and "source" not in read and "n_chars" not in read
+
+
+def test_encode_input_scan_not_wider_than_needed(spark):
+    # roundtrip on 2 columns must scan only those 2 columns
+    from kmers_spark.operators.roundtrip import roundtrip
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    plan = _plan(roundtrip(df, "doc_id"))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read and "lang" in read
+
+
+def test_ann_query_vector_is_broadcast(spark):
+    from kmers_spark.functions import ann
+
+    plan = _plan(ann.cosine_topk(spark, SF, 0, 5))
+    assert "Broadcast" in plan
+    # the final top-k is a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
