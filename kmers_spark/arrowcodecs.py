@@ -201,8 +201,9 @@ def _prefix_encode_arrow(buf: np.ndarray, offs: np.ndarray) -> tuple[bytes, dict
     cp_blob = bitpack.pack(cps.astype(np.uint64), cw)
     cut_n = min(n, 4096)
     cut = int(suf_lens[:cut_n].sum())
-    table = fsst.train_arrays(suf_buf[:cut], suf_lens[:cut_n])
-    body, fmeta = fsst.encode_arrays(suf_buf, suf_lens, table)
+    # short suffix fragments: full 1-2 byte table, no merge rounds (measured)
+    table = fsst.train_arrays(suf_buf[:cut], suf_lens[:cut_n], round1_cap=fsst.MAX_SYMBOLS)
+    body, fmeta = fsst.encode_arrays(suf_buf, suf_lens, table, merge_rounds=0)
     meta = {"n": n, "cp_width": cw, "cp_nbytes": len(cp_blob), "fsst": fmeta}
     return cp_blob + body, meta
 

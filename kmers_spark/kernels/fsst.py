@@ -25,7 +25,11 @@ from __future__ import annotations
 import numpy as np
 
 ESCAPE = 255
-MAX_SYMBOLS = 255  # codes 0..254; 255 reserved for escape
+MAX_SYMBOLS = 255   # codes 0..254; 255 reserved for escape
+ROUND1_MAX = 208    # round-1 table cap: leave code space for merge rounds
+MERGE_ROUNDS = 2    # pair-merge rounds on the code stream (symbols to 8 bytes)
+MIN_MERGE_COUNT = 4
+MAX_SYM_LEN = 8
 
 
 def train(sample_values: list[bytes], max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
@@ -37,7 +41,8 @@ def train(sample_values: list[bytes], max_symbols: int = MAX_SYMBOLS) -> list[by
     return train_arrays(buf, lens, max_symbols)
 
 
-def train_arrays(buf: np.ndarray, lens: np.ndarray, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
+def train_arrays(buf: np.ndarray, lens: np.ndarray, max_symbols: int = MAX_SYMBOLS,
+                 round1_cap: int = ROUND1_MAX) -> list[bytes]:
     """Learn a symbol table from a concatenated uint8 buffer + value lens.
 
     All distinct single bytes in the sample get a code (so common bytes
@@ -51,7 +56,7 @@ def train_arrays(buf: np.ndarray, lens: np.ndarray, max_symbols: int = MAX_SYMBO
     s_order = np.lexsort((singles, -s_counts))
     table: list[bytes] = [bytes([b]) for b in singles[s_order]]
 
-    room = max_symbols - len(table)
+    room = min(max_symbols, round1_cap) - len(table)
     if room > 0 and buf.size >= 2:
         ends = np.cumsum(lens)
         pair = buf[:-1].astype(np.uint16) << np.uint16(8) | buf[1:]
@@ -87,9 +92,20 @@ def encode(values: list[bytes], table: list[bytes]) -> tuple[bytes, dict]:
     return encode_arrays(buf, lens, table)
 
 
-def encode_arrays(buf: np.ndarray, lens: np.ndarray, table: list[bytes]) -> tuple[bytes, dict]:
-    """Encode a concatenated uint8 buffer + per-value lens -> (payload, meta)."""
+def encode_arrays(buf: np.ndarray, lens: np.ndarray, table: list[bytes],
+                  merge_rounds: int = MERGE_ROUNDS) -> tuple[bytes, dict]:
+    """Encode a concatenated uint8 buffer + per-value lens -> (payload, meta).
+
+    Round 1 applies the trained 1-2 byte table; then `merge_rounds`
+    passes greedily merge the most frequent adjacent *code* pairs into
+    longer symbols (up to MAX_SYM_LEN bytes, learned on the full stream,
+    deterministic) — the decoder is already generic over symbol length,
+    so only the table in the payload header grows. Escape+literal pairs
+    are atomic and never merge, which preserves the decoder's invariant
+    that every literal is immediately preceded by its escape.
+    """
     n = len(lens)
+    table = list(table)
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
 
     sym_lens = np.array([len(s) for s in table], dtype=np.uint8)
@@ -101,9 +117,8 @@ def encode_arrays(buf: np.ndarray, lens: np.ndarray, table: list[bytes]) -> tupl
         else:
             pair_codes[(s[0] << 8) | s[1]] = code
 
-    header = sym_lens.tobytes() + b"".join(table)
-
     if buf.size == 0:
+        header = sym_lens.tobytes() + b"".join(table)
         meta = {"n": n, "n_symbols": len(table), "header_nbytes": len(header),
                 "len_width": 0, "lens_nbytes": 0}
         return header, meta
@@ -146,16 +161,72 @@ def encode_arrays(buf: np.ndarray, lens: np.ndarray, table: list[bytes]) -> tupl
         out[out_off[:-1][esc]] = ESCAPE
         out[out_off[:-1][esc] + 1] = buf[epos]
 
-    # per-value encoded byte lengths, bit-packed at minimum width (short
-    # strings would otherwise drown in fixed-width offset overhead)
+    # per-value code counts (each output byte is one code)
+    enc_lens = out_off[starts + lens] - out_off[starts]
+
+    # --- merge rounds: grow symbols beyond 2 bytes on the code stream ---
+    codes = out
+    normal = np.ones(codes.size, dtype=bool)
+    if esc.any():
+        epos = out_off[:-1][esc]
+        normal[epos] = False
+        normal[epos + 1] = False
+    value_id = np.repeat(np.arange(n, dtype=np.int64), enc_lens)
+    slen = np.zeros(256, dtype=np.int64)
+    slen[: len(table)] = [len(s) for s in table]
+
+    for _ in range(merge_rounds):
+        room = MAX_SYMBOLS - len(table)
+        if room <= 0 or codes.size < 2:
+            break
+        ok = (
+            normal[:-1]
+            & normal[1:]
+            & (value_id[:-1] == value_id[1:])
+            & (slen[codes[:-1]] + slen[codes[1:]] <= MAX_SYM_LEN)
+        )
+        if not ok.any():
+            break
+        keys = codes[:-1].astype(np.uint16) << np.uint16(8) | codes[1:]
+        uniq, counts = np.unique(keys[ok], return_counts=True)
+        keep = counts >= MIN_MERGE_COUNT
+        uniq, counts = uniq[keep], counts[keep]
+        if uniq.size == 0:
+            break
+        order = np.lexsort((uniq, -counts))[:room]
+        new_pairs = uniq[order]
+        pair2code = np.full(1 << 16, ESCAPE, dtype=np.uint8)
+        for i, pk in enumerate(new_pairs):
+            pair2code[pk] = len(table) + i
+            slen[len(table) + i] = slen[pk >> 8] + slen[pk & 0xFF]
+        table += [table[int(pk) >> 8] + table[int(pk) & 0xFF] for pk in new_pairs]
+
+        cand_mask = ok & (pair2code[keys] != ESCAPE)
+        cand = _greedy_nonoverlap(np.flatnonzero(cand_mask))
+        if cand.size == 0:
+            break
+        taken2 = np.zeros(codes.size, dtype=bool)
+        taken2[cand] = True
+        consumed2 = np.zeros(codes.size, dtype=bool)
+        consumed2[1:] = taken2[:-1]
+        merged = codes.copy()
+        merged[cand] = pair2code[keys[cand]]
+        keep_mask = ~consumed2
+        codes = merged[keep_mask]
+        normal = normal[keep_mask]
+        value_id = value_id[keep_mask]
+
+    enc_lens = np.bincount(value_id, minlength=n).astype(np.int64)
+
     from . import bitpack
 
-    enc_lens = out_off[starts + lens] - out_off[starts]
+    sym_lens = np.array([len(s) for s in table], dtype=np.uint8)
+    header = sym_lens.tobytes() + b"".join(table)
     lw = bitpack.width_for(int(enc_lens.max()) if n else 0)
     lens_blob = bitpack.pack(enc_lens.astype(np.uint64), lw)
     meta = {"n": n, "n_symbols": len(table), "header_nbytes": len(header),
             "len_width": lw, "lens_nbytes": len(lens_blob)}
-    return header + lens_blob + out.tobytes(), meta
+    return header + lens_blob + codes.tobytes(), meta
 
 
 def decode(payload: bytes, meta: dict) -> list[bytes]:

@@ -50,8 +50,14 @@ def encode(values: list[bytes], table: list[bytes] | None = None) -> tuple[bytes
     cw = bitpack.width_for(int(cps.max()) if n else 0)
     cp_blob = bitpack.pack(cps.astype(np.uint64), cw)
     if table is None:
-        table = fsst.train(suffixes[: min(n, 4096)])
-    body, fmeta = fsst.encode(suffixes, table)
+        # suffixes are short fragments: a full 1-2 byte table beats
+        # spending code space on merge rounds (measured)
+        sbuf = np.frombuffer(b"".join(suffixes[: min(n, 4096)]), dtype=np.uint8)
+        slens = np.array([len(v) for v in suffixes[: min(n, 4096)]], dtype=np.int64)
+        table = fsst.train_arrays(sbuf, slens, round1_cap=fsst.MAX_SYMBOLS)
+    buf2 = np.frombuffer(b"".join(suffixes), dtype=np.uint8)
+    lens2 = np.array([len(v) for v in suffixes], dtype=np.int64)
+    body, fmeta = fsst.encode_arrays(buf2, lens2, table, merge_rounds=0)
     meta = {"n": n, "cp_width": cw, "cp_nbytes": len(cp_blob), "fsst": fmeta}
     return cp_blob + body, meta
 
