@@ -16,8 +16,11 @@ Everything is vectorized:
     independently (the analog of the reference storing logical length
     out-of-band — SURVEY.md §2.2 D7).
 
-Layout: payload = [sym_lens: n_sym u8][sym_bytes][value_enc_lens: n+1 u32
-prefix offsets][code stream]. meta = counts + section sizes.
+Layout: payload = [sym_lens: n_sym u8][sym_bytes][per-value code counts,
+bit-packed at minimum width][code stream]. meta = counts + section
+sizes. After round 1, optional merge rounds grow symbols up to 8 bytes
+(encode_arrays docstring); the decoder is length-generic so the format
+is unchanged.
 """
 
 from __future__ import annotations
