@@ -178,3 +178,22 @@ def test_stray_files_in_blocks_dir_ignored(spark, pages_df, tmp_path):
         f.write("junk")
     decoded = dec.decode_table(spark, out)
     _roundtrip_check(spark, pages_df, decoded)
+
+
+def test_metrics_tables(spark, pages_df, tmp_path):
+    from kmers_spark import metrics
+
+    out = str(tmp_path / "snap_metrics")
+    enc.encode_table(pages_df, out, num_buckets=4)
+
+    cm = {r["column"]: r for r in metrics.column_metrics(spark, out).collect()}
+    assert set(cm) == {"url", "warc_ts", "html", "text", "lang"}
+    assert all(r["ratio"] < 1.0 for r in cm.values())
+
+    bm = metrics.bucket_metrics(spark, out).collect()
+    assert len(bm) == 4
+
+    summary = metrics.snapshot_summary(spark, out)
+    assert summary["buckets_committed"] == 4
+    assert 0 < summary["ratio"] < 1.0
+    assert summary["skew_max_over_p50"] < 4.0  # salting keeps buckets even
