@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import arrowview as av
+from .codecs import _maybe_unzlib, _maybe_zlib
 from .kernels import bitpack, dictenc, foren, fsst, rle
 
 _PINNED = False
@@ -131,7 +132,7 @@ def encode_column_arrow(arr: pa.Array, codec: str, typ: str) -> tuple[bytes, dic
     else:
         raise ValueError(f"unknown type {typ!r}")
 
-    return vblob + body, meta
+    return _maybe_zlib(vblob + body, meta), meta
 
 
 def _words_encode_arrow(arr: pa.Array) -> tuple[bytes, dict]:
@@ -313,6 +314,7 @@ def decode_column_arrow(payload: bytes, meta: dict, spark_type: "pa.DataType | N
     """payload -> Arrow array (the decode hot path: values are assembled
     as buffers, dictionary/token expansion happens in C++)."""
     n, typ, codec = meta["n"], meta["type"], meta["codec"]
+    payload = _maybe_unzlib(payload, meta)
     nb = meta.get("null_nbytes", 0)
     mask = None
     if nb:

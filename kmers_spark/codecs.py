@@ -17,8 +17,27 @@ Logical types: string, binary, int64, timestamp (int64 us), double.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
+
+ZLIB_MIN_GAIN = 0.92  # keep zlib'd payload only if it shrinks >8%
+
+
+def _maybe_zlib(payload: bytes, meta: dict) -> bytes:
+    """Entropy backstop: deterministic zlib over the final payload when
+    the codec output still has byte-level redundancy (e.g. front-coded
+    url residuals). Decode inverts via meta["z"]."""
+    z = zlib.compress(payload, 6)
+    if len(z) < ZLIB_MIN_GAIN * len(payload):
+        meta["z"] = 1
+        return z
+    return payload
+
+
+def _maybe_unzlib(payload: bytes, meta: dict) -> bytes:
+    return zlib.decompress(payload) if meta.get("z") else payload
 
 from .kernels import bitpack, dictenc, foren, fsst, prefix, rle, words
 
@@ -166,11 +185,12 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
     else:
         raise ValueError(f"unknown type {typ!r}")
 
-    return vblob + body, meta
+    return _maybe_zlib(vblob + body, meta), meta
 
 
 def decode_column(payload: bytes, meta: dict) -> pd.Series:
     n, typ, codec = meta["n"], meta["type"], meta["codec"]
+    payload = _maybe_unzlib(payload, meta)
     mask, body = _validity(meta, payload, n)
 
     if typ in ("string", "binary"):
