@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import codecs, manifest
-from .encode import read_blocks
+from .encode import _blocks_path, read_blocks
 
 _SPARK_TYPE = {
     "string": "string",
@@ -81,3 +81,56 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str)
         return pd.DataFrame(data, columns=cols) if n else pd.DataFrame(columns=cols)
 
     return grouped.applyInPandas(decode_group, out_schema)
+
+
+def decode_colocated(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Shuffle-free decode: block files are written bucket-grouped, so a
+    mapInArrow pass can reassemble each bucket's columns without moving
+    payloads (the groupBy in decode_table re-shuffles ~enc_bytes; this
+    path only requires that a bucket's block rows share a scan partition,
+    which the encode write layout guarantees via one-file-per-task).
+    """
+    import pyarrow as pa
+
+    from .. import arrowcodecs
+
+    m = manifest.load(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    schema = m["schema"]
+    out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
+    cols = list(schema.keys())
+    n_cols = len(cols)
+
+    # whole files per scan partition so buckets never split
+    # (file-source option; one block file = one writer task = whole buckets)
+    blocks = spark.read.parquet(_blocks_path(out_dir))
+
+    def decode_partition(batches):
+        arrowcodecs.pin_worker_threads()
+        tables = [pa.Table.from_batches([b]) for b in batches]
+        if not tables:
+            return
+        table = pa.concat_tables(tables).combine_chunks()
+        buckets = table.column("bucket").to_pylist()
+        col_names = table.column("column").to_pylist()
+        metas = table.column("meta").to_pylist()
+        payloads = table.column("payload")
+        per_bucket: dict[int, dict] = {}
+        for i, b in enumerate(buckets):
+            per_bucket.setdefault(b, {})[col_names[i]] = i
+        for b, idx in per_bucket.items():
+            if len(idx) != n_cols:
+                raise ValueError(
+                    f"bucket {b} split across partitions ({len(idx)}/{n_cols} columns)"
+                )
+            arrays = {
+                c: arrowcodecs.decode_column_arrow(
+                    payloads[idx[c]].as_py(), json.loads(metas[idx[c]])
+                )
+                for c in cols
+            }
+            for batch in pa.table(arrays).to_batches():
+                yield batch
+
+    return blocks.mapInArrow(decode_partition, out_schema)

@@ -197,3 +197,10 @@ def test_metrics_tables(spark, pages_df, tmp_path):
     assert summary["buckets_committed"] == 4
     assert 0 < summary["ratio"] < 1.0
     assert summary["skew_max_over_p50"] < 4.0  # salting keeps buckets even
+
+
+def test_decode_colocated_matches(spark, pages_df, tmp_path):
+    out = str(tmp_path / "snap_coloc_dec")
+    enc.encode_table(pages_df, out, num_buckets=4)
+    decoded = dec.decode_colocated(spark, out)
+    _roundtrip_check(spark, pages_df, decoded)
