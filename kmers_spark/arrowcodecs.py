@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import arrowview as av
+from . import codecs as codecs_mod
 from .codecs import _maybe_unzlib, _maybe_zlib
 from .kernels import bitpack, dictenc, foren, fsst, rle
 
@@ -72,6 +73,7 @@ def encode_column_arrow(arr: pa.Array, codec: str, typ: str) -> tuple[bytes, dic
     if typ in ("string", "binary"):
         buf, offs = av.bytes_view(arr)
         lens = np.diff(offs)
+        codecs_mod._check_block_bytes(int(offs[-1] - offs[0]))
         if codec == "plain":
             o32 = np.zeros(n + 1, dtype="<u4")
             o32[1:] = np.cumsum(lens)
@@ -377,6 +379,8 @@ def decode_column_arrow(payload: bytes, meta: dict, spark_type: "pa.DataType | N
 
 
 def _bytes_array(atype, n, offs32, data: np.ndarray, mask) -> pa.Array:
+    if n and int(offs32[-1]) < 0:  # int32 overflow from a corrupt block
+        raise ValueError("decoded offsets overflow int32; corrupt block")
     null_buf = None
     nc = 0
     if mask is not None:

@@ -53,6 +53,21 @@ TYPE_DEFAULT_CODEC = {
 }
 
 
+MAX_BLOCK_BYTES = 1 << 31  # offsets are 32-bit (u32 on disk, int32 in Arrow)
+
+
+def _check_block_bytes(total: int) -> None:
+    """Block formats carry 32-bit offsets and decode to non-large Arrow
+    string/binary arrays (int32 offsets): a bucket-column over 2 GiB would
+    silently wrap instead of failing. Raise at encode time — the fix is
+    more buckets (smaller blocks), not wider offsets."""
+    if total >= MAX_BLOCK_BYTES:
+        raise ValueError(
+            f"bucket-column holds {total} bytes, over the 2 GiB block limit "
+            "(32-bit offsets); increase num_buckets so blocks shrink"
+        )
+
+
 # ---------------------------------------------------------------- validity
 
 def _split_nulls(series: pd.Series):
@@ -122,8 +137,9 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
 
     if typ in ("string", "binary"):
         data = _to_bytes_list(series, mask, typ)
+        _check_block_bytes(sum(len(v) for v in data))
         if codec == "plain":
-            # u32 offsets: block sizing keeps payloads << 4 GiB
+            # u32 offsets (checked above: blocks must stay < 2 GiB)
             offs = np.zeros(n + 1, dtype="<u4")
             offs[1:] = np.cumsum([len(v) for v in data], dtype=np.uint64)
             body = offs.tobytes() + b"".join(data)

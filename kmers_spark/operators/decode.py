@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import codecs, manifest
-from .encode import _blocks_path, read_blocks
+from .encode import _blocks_path, assert_utc_session, read_blocks
 
 _SPARK_TYPE = {
     "string": "string",
@@ -32,6 +32,7 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
     schema = m["schema"]  # {column: logical type} — insertion order preserved
+    assert_utc_session(spark, schema)
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
     cols = list(schema.keys())
 
@@ -55,6 +56,13 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str)
             arrowcodecs.pin_worker_threads()
             arrays: dict[str, pa.Array] = {}
             col_names = table.column("column").to_pylist()
+            if len(set(col_names)) != len(col_names):
+                raise ValueError(
+                    f"duplicate block rows for bucket "
+                    f"{table.column('bucket')[0].as_py()}: {sorted(col_names)} "
+                    "(stray rows from an uncommitted write, or a bucket that "
+                    "spanned partitions during encode_colocated)"
+                )
             metas = table.column("meta").to_pylist()
             payloads = table.column("payload")
             for i, cname in enumerate(col_names):
@@ -67,6 +75,11 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str)
         return grouped.applyInArrow(decode_group_arrow, out_schema)
 
     def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["column"].duplicated().any():
+            raise ValueError(
+                f"duplicate block rows for bucket {pdf['bucket'].iloc[0]}: "
+                f"{sorted(pdf['column'])}"
+            )
         series = {}
         for _, row in pdf.iterrows():
             meta = json.loads(row["meta"])
@@ -98,13 +111,27 @@ def decode_colocated(spark: SparkSession, out_dir: str) -> DataFrame:
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
     schema = m["schema"]
+    assert_utc_session(spark, schema)
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
     cols = list(schema.keys())
     n_cols = len(cols)
 
-    # whole files per scan partition so buckets never split
-    # (file-source option; one block file = one writer task = whole buckets)
-    blocks = spark.read.parquet(_blocks_path(out_dir))
+    # Whole files per scan partition so buckets never split: the default
+    # spark.sql.files.maxPartitionBytes (128MB) would split a large block
+    # file at row-group boundaries and scatter a bucket's rows. Session
+    # confs are session-scoped, so plan the read on an isolated newSession
+    # (same SparkContext) with both split knobs pushed to 1 TiB — each
+    # block file (one writer task = whole buckets) becomes one partition.
+    s2 = spark.newSession()
+    for conf in ("spark.sql.session.timeZone",
+                 "spark.sql.execution.arrow.maxRecordsPerBatch"):
+        try:
+            s2.conf.set(conf, spark.conf.get(conf))
+        except Exception:
+            pass
+    s2.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+    s2.conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
+    blocks = s2.read.parquet(_blocks_path(out_dir))
 
     def decode_partition(batches):
         arrowcodecs.pin_worker_threads()

@@ -29,6 +29,21 @@ BLOCK_SCHEMA = (
 )
 
 
+def assert_utc_session(spark: SparkSession, schema: dict[str, str]) -> None:
+    """tz-aware timestamps are stored as epoch-us; the pandas UDF path
+    receives session-local naive datetimes, so a non-UTC session would
+    write wall-clock micros while the Arrow path writes true epoch —
+    blocks from the two paths would disagree by the tz offset. Blocks are
+    only portable when the session is pinned to UTC (session.py does)."""
+    if "timestamp" in schema.values():
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"encode/decode of tz-aware timestamp columns requires "
+                f"spark.sql.session.timeZone=UTC (got {tz!r})"
+            )
+
+
 def _raw_nbytes(series: pd.Series, typ: str) -> int:
     if typ in ("int64", "timestamp", "timestamp_ntz", "double"):
         return 8 * len(series)
@@ -165,6 +180,7 @@ def encode_table(
     """
     spark = df.sparkSession
     schema = {f.name: selector.spark_type_name(f.dataType) for f in df.schema.fields}
+    assert_utc_session(spark, schema)
 
     m = manifest.load(out_dir)
     if m is None or not resume:

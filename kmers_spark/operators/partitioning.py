@@ -29,24 +29,25 @@ def detect_hot_keys(df: DataFrame, num_buckets: int, url_col: str = "url",
                     sample_fraction: float | None = None) -> dict[str, int]:
     """hosts whose row count would overflow one bucket -> n_salts to split into.
 
-    One aggregation over (a sample of) the input; the result is a small
-    driver-side dict (hot hosts are few by definition of skew).
+    One aggregation over (a sample of) the input. Only hosts that exceed
+    the per-bucket target reach the driver — at most `num_buckets` of them
+    can exist (each holds > total/num_buckets rows), so the collected dict
+    is bounded regardless of host cardinality (Common Crawl has ~10^8
+    distinct hosts; collecting all their counts would OOM the driver).
     """
     d = with_host(df, url_col)
     if sample_fraction and sample_fraction < 1.0:
         d = d.sample(fraction=sample_fraction, seed=42)
-    total_and_counts = d.groupBy("_host").count()
-    rows = total_and_counts.collect()
-    total = sum(r["count"] for r in rows)
+    counts = d.groupBy("_host").count()
+    total_row = counts.select(F.sum("count").alias("t")).collect()[0]
+    total = int(total_row["t"] or 0)
     if total == 0:
         return {}
     target = max(total / num_buckets, 1.0)
-    hot = {}
-    for r in rows:
-        n_salts = int(r["count"] // target) + 1
-        if n_salts > 1:
-            hot[r["_host"]] = n_salts
-    return hot
+    # executor-side filter: n_salts > 1  <=>  count >= target. Hot hosts
+    # are few by definition; everything else never leaves the executors.
+    rows = counts.filter(F.col("count") >= F.lit(target)).collect()
+    return {r["_host"]: int(r["count"] // target) + 1 for r in rows}
 
 
 def with_bucket(df: DataFrame, num_buckets: int, hot_keys: dict[str, int],

@@ -204,3 +204,47 @@ def test_decode_colocated_matches(spark, pages_df, tmp_path):
     enc.encode_table(pages_df, out, num_buckets=4)
     decoded = dec.decode_colocated(spark, out)
     _roundtrip_check(spark, pages_df, decoded)
+
+
+def test_hot_key_dict_bounded_on_high_cardinality(spark):
+    """detect_hot_keys must collect only hosts over the bucket target —
+    on an all-distinct host table nothing is hot, so nothing reaches the
+    driver (at 100 TB there are ~10^8 hosts; collecting them all OOMs)."""
+    from pyspark.sql import Row
+
+    rows = [Row(url=f"https://h{i}.example.com/p", v=i) for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    hot = partitioning.detect_hot_keys(df, num_buckets=8)
+    assert hot == {}
+    # and mathematically: at most num_buckets hosts can ever exceed
+    # total/num_buckets rows each, so the dict is bounded by construction.
+
+
+def test_decode_raises_on_duplicate_block_rows(spark, pages_df, tmp_path):
+    """Stray duplicate (bucket, column) rows (e.g. a crashed pre-manifest
+    write) must fail loudly, not silently drop part of the bucket."""
+    out = str(tmp_path / "snap_dup")
+    enc.encode_table(pages_df, out, num_buckets=4)
+    blocks = enc.read_blocks(spark, out)
+    one = blocks.limit(1)
+    one.write.mode("append").option("compression", "none").parquet(f"{out}/blocks")
+    with pytest.raises(Exception, match="duplicate block rows"):
+        dec.decode_table(spark, out).count()
+
+
+def test_decode_colocated_immune_to_small_maxPartitionBytes(spark, pages_df, tmp_path):
+    """decode_colocated plans its read on an isolated session with the
+    file-split knobs pinned huge; a tiny maxPartitionBytes in the caller's
+    session must not split block files (which would scatter buckets)."""
+    out = str(tmp_path / "snap_split")
+    enc.encode_table(pages_df, out, num_buckets=4)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        decoded = dec.decode_colocated(spark, out)
+        _roundtrip_check(spark, pages_df, decoded)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
