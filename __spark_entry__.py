@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimizer_lex": lambda s, d: dna.minimizer_lex(s, d, MIN_K, MIN_W),
         "valid_window_scan": lambda s, d: dna.valid_window_scan(s, d, 3),
         "kmer_pack_roundtrip": lambda s, d: dna.kmer_pack_roundtrip(s, d, K),
+        # multi-word packed domain, k > 32 ([u64; B] — kmer.rs:12-16 generic)
+        "kmer_pack_roundtrip_k45": lambda s, d: dna.kmer_pack_roundtrip(s, d, 45),
+        "kmer_canonical_packed_k64": lambda s, d: dna.kmer_canonical_packed(s, d, 64),
         "minimizer_seeded": lambda s, d: dna.minimizer_seeded(s, d, MIN_K, MIN_W, 42),
         "space_sizes": lambda s, d: dna.space_sizes(s, d, 8),
         # --- codec round-trips (oracle = identity projection) ---
@@ -144,12 +147,16 @@ _SEQS = (
     "SELECT doc_id, regexp_replace(upper(text), '[^ACGT]', '', 'g') AS seq "
     "FROM documents WHERE text IS NOT NULL"
 )
-_KMERS = (
-    f"WITH seqs AS ({_SEQS}), "
-    f"km AS (SELECT doc_id, seq, unnest(generate_series(1, length(seq) - {K - 1}))::BIGINT AS pos "
-    f"       FROM seqs WHERE length(seq) >= {K}) "
-    f"SELECT doc_id, pos, substr(seq, pos::INT, {K}) AS kmer FROM km"
-)
+def _kmers_sql(k: int) -> str:
+    return (
+        f"WITH seqs AS ({_SEQS}), "
+        f"km AS (SELECT doc_id, seq, unnest(generate_series(1, length(seq) - {k - 1}))::BIGINT AS pos "
+        f"       FROM seqs WHERE length(seq) >= {k}) "
+        f"SELECT doc_id, pos, substr(seq, pos::INT, {k}) AS kmer FROM km"
+    )
+
+
+_KMERS = _kmers_sql(K)
 _RC = "reverse(translate({0}, 'ACGT', 'TGCA'))"
 
 _DOCS_DUP = (
@@ -197,6 +204,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmer_pack_roundtrip": (
             f"WITH km AS ({_KMERS}) SELECT doc_id, pos, kmer, lower(kmer) AS decoded FROM km"
+        ),
+        "kmer_pack_roundtrip_k45": (
+            f"WITH km AS ({_kmers_sql(45)}) SELECT doc_id, pos, kmer, lower(kmer) AS decoded FROM km"
+        ),
+        # canonical on the PACKED value: low bits hold the first base, so
+        # packed order == lex order of the REVERSED sequence
+        "kmer_canonical_packed_k64": (
+            f"WITH km AS ({_kmers_sql(64)}), "
+            f"rcs AS (SELECT doc_id, pos, kmer, {_RC.format('kmer')} AS rc FROM km) "
+            "SELECT doc_id, pos, kmer, "
+            "CASE WHEN reverse(kmer) <= reverse(rc) THEN lower(kmer) ELSE lower(rc) END AS canonical_packed "
+            "FROM rcs"
         ),
         "minimizer_seeded": (
             f"WITH seqs AS ({_SEQS}), "

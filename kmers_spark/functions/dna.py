@@ -108,22 +108,43 @@ def valid_window_scan(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame
 
 
 def kmer_pack_roundtrip(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """E4+D5: pack each k-mer into a u64 (2-bit, low-bits-first) with a
-    vectorized pandas kernel and unpack it back; returns the word and the
-    decoded string (oracle: decoded == lower(kmer) identity projection)."""
+    """E4+D5 (any k, multi-word above 32): pack each k-mer into a
+    [u64; B] word array and unpack it back, whole Arrow batch at a time —
+    the batch is one (n, k) uint8 matrix, no per-string Python
+    (kernels.domain.pack_batch/unpack_batch). Oracle: decoded ==
+    lower(kmer) identity projection."""
     from ..kernels import domain
 
     @F.pandas_udf("string")
     def pack_unpack(kmers: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                domain.unpack_word(domain.pack_word(domain.seq_to_codes(s)), k)
-                for s in kmers
-            ]
-        )
+        if not len(kmers):
+            return pd.Series([], dtype=object)
+        words = domain.pack_batch(domain.codes_matrix(kmers.to_numpy(), k))
+        return pd.Series(domain.unpack_batch(words, k).astype(str))
 
     km = _kmers(spark, sf_dir, k)
     return km.select("doc_id", "pos", "kmer", pack_unpack(F.col("kmer")).alias("decoded"))
+
+
+def kmer_canonical_packed(spark: SparkSession, sf_dir: str, k: int = 45) -> DataFrame:
+    """T7/E8 in the packed multi-word domain (k > 32): canonical =
+    min(fw, rc) comparing the PACKED value (kmer.rs semantics — low bits
+    hold the first base, so the packed order is the lex order of the
+    REVERSED sequence; the SQL oracle replicates it with
+    reverse-string comparison). Full pipeline: string -> [u64; B] ->
+    revcomp/canonical in word domain -> decode back to string."""
+    from ..kernels import domain
+
+    @F.pandas_udf("string")
+    def canonical(kmers: pd.Series) -> pd.Series:
+        if not len(kmers):
+            return pd.Series([], dtype=object)
+        words = domain.pack_batch(domain.codes_matrix(kmers.to_numpy(), k))
+        canon = domain.canonical_batch(words, k)
+        return pd.Series(domain.unpack_batch(canon, k).astype(str))
+
+    km = _kmers(spark, sf_dir, k)
+    return km.select("doc_id", "pos", "kmer", canonical(F.col("kmer")).alias("canonical_packed"))
 
 
 def minimizer_seeded(spark: SparkSession, sf_dir: str, k: int = 9, w: int = 4,

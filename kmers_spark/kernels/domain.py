@@ -11,7 +11,9 @@ numpy reimplementation, not a translation):
   * reverse-complement = complement + 5-round SWAR bit-reversal, then
     shift down by 2*(32-k) — naive_impl/kmer.rs:124-136
   * canonical = min(fw, rc) by word compare at equal k — kmer.rs:55-74
-  * k <= 32 on u64 words (panic above — kmer.rs:234-239); we raise.
+  * k <= 32 on single u64 words (panic above — kmer.rs:234-239); we
+    raise there too, and cover k > 32 with the multi-word batch kernels
+    below ([u64; B] arrays, the generic Kmer<P, K, B> of kmer.rs:12-16).
   * invalid symbols map to a sentinel (encode_binary_u8 -> u64::MAX,
     mod.rs:40-50); we use code 255 in the byte domain.
 """
@@ -119,6 +121,98 @@ def lex_keys(words: np.ndarray, k: int) -> np.ndarray:
     res = (res >> np.uint64(16) & _M16) | ((res & _M16) << np.uint64(16))
     res = (res >> np.uint64(32) & _M32) | ((res & _M32) << np.uint64(32))
     return res >> np.uint64(2 * (32 - k))
+
+
+# ------------------------------------------------------------- multi-word
+# Batched analog of the generic Kmer<P, K, B> ([P; B] little-endian word
+# array, base i at bits [2i, 2i+1] of the flattened array — kmer.rs:12-16,
+# encoding/naive.rs:116-124) with P = u64, B = ceil(k/32). Covers any k
+# (the reference's k45pu64 / k65pu128 goldens, naive.rs:387-445); all ops
+# are vectorized over an (n, ...) batch, one numpy pass per word.
+
+
+def words_for_k(k: int) -> int:
+    """B = words needed for k bases on u64 (kmer.rs word_for_k)."""
+    return (k + 31) // 32
+
+
+def codes_matrix(kmers, k: int) -> np.ndarray:
+    """Batch of n length-k ASCII sequences -> (n, k) uint8 code matrix.
+    No per-string Python: the batch is viewed as fixed-width bytes."""
+    a = np.asarray(kmers, dtype=f"S{k}")
+    mat = a.view(np.uint8).reshape(len(a), k)
+    return NUC2CODE[mat]
+
+
+def pack_batch(codes: np.ndarray) -> np.ndarray:
+    """(n, k) uint8 codes -> (n, B) uint64 words (first base at low bits
+    of word 0). Raises on invalid symbols, like pack_word."""
+    n, k = codes.shape
+    if (codes == INVALID).any():
+        raise ValueError("invalid nucleotide")
+    B = words_for_k(k)
+    out = np.zeros((n, B), dtype=np.uint64)
+    c = codes.astype(np.uint64)
+    for w in range(B):
+        seg = c[:, w * 32 : min((w + 1) * 32, k)]
+        shifts = np.uint64(2) * np.arange(seg.shape[1], dtype=np.uint64)
+        out[:, w] = (seg << shifts).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def unpack_batch(words: np.ndarray, k: int) -> np.ndarray:
+    """(n, B) uint64 -> (n,) fixed-width bytes (lowercase, length k)."""
+    n, B = words.shape
+    chars = np.empty((n, k), dtype=np.uint8)
+    for w in range(B):
+        kk = min(32, k - w * 32)
+        shifts = np.uint64(2) * np.arange(kk, dtype=np.uint64)
+        seg = (words[:, w : w + 1] >> shifts) & np.uint64(3)
+        chars[:, w * 32 : w * 32 + kk] = CODE2NUC[seg.astype(np.int64)]
+    return chars.reshape(n * k).view(f"S{k}")
+
+
+def _swar_reverse_full(w: np.ndarray) -> np.ndarray:
+    """Reverse all 32 base pairs within each u64 (no shift-down)."""
+    res = (w >> np.uint64(2) & _M2) | ((w & _M2) << np.uint64(2))
+    res = (res >> np.uint64(4) & _M4) | ((res & _M4) << np.uint64(4))
+    res = (res >> np.uint64(8) & _M8) | ((res & _M8) << np.uint64(8))
+    res = (res >> np.uint64(16) & _M16) | ((res & _M16) << np.uint64(16))
+    res = (res >> np.uint64(32) & _M32) | ((res & _M32) << np.uint64(32))
+    return res
+
+
+def revcomp_batch(words: np.ndarray, k: int) -> np.ndarray:
+    """(n, B) -> (n, B) reverse complement (encoding/naive.rs:138-155
+    semantics: complement each base, reverse base order, same layout).
+
+    Vectorized: complement + per-word SWAR reversal, reversed word order
+    (= full 64B-bit base reversal), then a cross-word right shift by the
+    2*(32B - k) pad bits. The shift is always < 64 because k > 32(B-1).
+    """
+    n, B = words.shape
+    rev = _swar_reverse_full(~words.astype(np.uint64))[:, ::-1]
+    s = 2 * (32 * B - k)
+    if s == 0:
+        return rev
+    lo = rev >> np.uint64(s)
+    hi = np.zeros_like(rev)
+    hi[:, :-1] = rev[:, 1:] << np.uint64(64 - s)
+    return lo | hi
+
+
+def canonical_batch(fw: np.ndarray, k: int) -> np.ndarray:
+    """min(fw, rc) comparing the packed value as one 64B-bit integer
+    (kmer.rs canonicality is defined on the packed value; high word is
+    most significant)."""
+    rc = revcomp_batch(fw, k)
+    n, B = fw.shape
+    take_rc = np.zeros(n, dtype=bool)
+    decided = np.zeros(n, dtype=bool)
+    for w in range(B - 1, -1, -1):
+        take_rc |= (rc[:, w] < fw[:, w]) & ~decided
+        decided |= rc[:, w] != fw[:, w]
+    return np.where(take_rc[:, None], rc, fw)
 
 
 _RC_STR = str.maketrans("ACGTacgt", "TGCAtgca")

@@ -157,3 +157,65 @@ class TestMinimizers:
         for j, (val, pos) in enumerate(out):
             window = [(int(wmers[i]), i) for i in range(j, j + k - w + 1)]
             assert (val, pos) == min(window)
+
+
+# ------------------------------------------------------- multi-word (k > 32)
+# Goldens mirror /root/reference/src/encoding/naive.rs:387-445 (k45pu64 /
+# k65pu128); the u128 words are re-expressed as 3 little-endian u64s.
+
+K45_SEQ = "TAAGGATTCTAATCATAAGGATTCTAATCATAAGGATTCTAATCA"
+K45_WORDS = [3585846758293238403, 7397160]
+K45_RC = "TGATTAGAATCCTTATGATTAGAATCCTTATGATTAGAATCCTTA"
+K65_SEQ = "TAAGGATTCTAATCATAAGGATTCTAATCATAAGGATTCTAATCATAAGGATTCTAATCAGGGGG"
+K65_U128 = (226115275135941975929349834069397860995, 2)
+K65_RC = "CCCCCTGATTAGAATCCTTATGATTAGAATCCTTATGATTAGAATCCTTATGATTAGAATCCTTA"
+
+
+def test_pack_batch_k45_golden():
+    w = domain.pack_batch(domain.codes_matrix(np.array([K45_SEQ]), 45))
+    assert w.tolist() == [K45_WORDS]
+    assert domain.unpack_batch(w, 45).astype(str)[0] == K45_SEQ.lower()
+
+
+def test_revcomp_batch_k45_golden():
+    w = domain.pack_batch(domain.codes_matrix(np.array([K45_SEQ]), 45))
+    rc = domain.unpack_batch(domain.revcomp_batch(w, 45), 45).astype(str)[0]
+    assert rc == K45_RC.lower()
+
+
+def test_pack_batch_k65_golden():
+    lo, hi = K65_U128
+    expect = [lo & (2**64 - 1), lo >> 64, (lo >> 128) | (hi & (2**64 - 1))]
+    w = domain.pack_batch(domain.codes_matrix(np.array([K65_SEQ]), 65))
+    assert w.tolist() == [expect]
+    rc = domain.unpack_batch(domain.revcomp_batch(w, 65), 65).astype(str)[0]
+    assert rc == K65_RC.lower()
+
+
+def test_multiword_matches_single_word_below_32():
+    rng = np.random.default_rng(3)
+    seqs = np.array(["".join(rng.choice(list("ACGT"), 17)) for _ in range(64)])
+    wb = domain.pack_batch(domain.codes_matrix(seqs, 17))
+    assert wb.shape == (64, 1)
+    for i, s in enumerate(seqs):
+        assert int(wb[i, 0]) == domain.pack_word(domain.seq_to_codes(s))
+        rc1 = domain.revcomp_words(wb[i : i + 1, 0].copy(), 17)[0]
+        assert int(domain.revcomp_batch(wb[i : i + 1], 17)[0, 0]) == int(rc1)
+
+
+def test_canonical_batch_is_packed_value_min():
+    """canonical = min over the packed integer = min over the REVERSED
+    string lex order (low bits hold the first base)."""
+    rng = np.random.default_rng(5)
+    seqs = ["".join(rng.choice(list("ACGT"), 45)) for _ in range(300)]
+    wb = domain.pack_batch(domain.codes_matrix(np.array(seqs), 45))
+    canon = domain.unpack_batch(domain.canonical_batch(wb, 45), 45).astype(str)
+    rc_t = str.maketrans("ACGT", "TGCA")
+    for c, s in zip(canon, seqs):
+        expect = min(s, s.translate(rc_t)[::-1], key=lambda x: x[::-1])
+        assert c.upper() == expect
+
+
+def test_pack_batch_rejects_invalid():
+    with pytest.raises(ValueError):
+        domain.pack_batch(domain.codes_matrix(np.array(["ACGNA"]), 5))
