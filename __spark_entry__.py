@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmer_pack_roundtrip": lambda s, d: dna.kmer_pack_roundtrip(s, d, K),
         # multi-word packed domain, k > 32 ([u64; B] — kmer.rs:12-16 generic)
         "kmer_pack_roundtrip_k45": lambda s, d: dna.kmer_pack_roundtrip(s, d, 45),
+        "codec_xor10_roundtrip": lambda s, d: dna.xor10_roundtrip(s, d, 10),
         "kmer_canonical_packed_k64": lambda s, d: dna.kmer_canonical_packed(s, d, 64),
         "minimizer_seeded": lambda s, d: dna.minimizer_seeded(s, d, MIN_K, MIN_W, 42),
         "space_sizes": lambda s, d: dna.space_sizes(s, d, 8),
@@ -207,6 +208,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmer_pack_roundtrip_k45": (
             f"WITH km AS ({_kmers_sql(45)}) SELECT doc_id, pos, kmer, lower(kmer) AS decoded FROM km"
+        ),
+        "codec_xor10_roundtrip": (
+            f"WITH km AS ({_kmers_sql(10)}) SELECT doc_id, pos, kmer, kmer AS decoded, "
+            "translate(kmer, 'ACGT', 'TGCA') AS complemented FROM km"
         ),
         # canonical on the PACKED value: low bits hold the first base, so
         # packed order == lex order of the REVERSED sequence

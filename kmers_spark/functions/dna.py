@@ -147,6 +147,34 @@ def kmer_canonical_packed(spark: SparkSession, sf_dir: str, k: int = 45) -> Data
     return km.select("doc_id", "pos", "kmer", canonical(F.col("kmer")).alias("canonical_packed"))
 
 
+def xor10_roundtrip(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """E3+D3: the table-free arithmetic codec (xor10.rs:17-32) — encode
+    each k-mer via code = (ascii >> 1) & 0b11, pack to [u64; B], decode
+    back through BITS2NUC, and emit the xor10 complement (bits ^ 0b10,
+    xor10.rs:34-40). rev_comp is intentionally absent (buggy upstream).
+
+    Oracle: decoded == kmer; complemented == translate(kmer, ACGT->TGCA)
+    (complement WITHOUT reversal — xor10 complement is positionwise)."""
+    from ..kernels import domain
+
+    @F.pandas_udf("decoded string, complemented string")
+    def codec(kmers: pd.Series) -> pd.DataFrame:
+        if not len(kmers):
+            return pd.DataFrame({"decoded": [], "complemented": []}, dtype=object)
+        codes = domain.xor10_codes_matrix(kmers.to_numpy(), k)
+        words = domain.pack_batch(codes)
+        dec = domain.xor10_unpack_batch(words, k).astype(str)
+        comp_words = domain.pack_batch(domain.xor10_complement(codes))
+        comp = domain.xor10_unpack_batch(comp_words, k).astype(str)
+        return pd.DataFrame({"decoded": dec, "complemented": comp})
+
+    km = _kmers(spark, sf_dir, k)
+    return km.select("doc_id", "pos", "kmer", codec(F.col("kmer")).alias("x")).select(
+        "doc_id", "pos", "kmer", F.col("x.decoded").alias("decoded"),
+        F.col("x.complemented").alias("complemented"),
+    )
+
+
 def minimizer_seeded(spark: SparkSession, sf_dir: str, k: int = 9, w: int = 4,
                      seed: int = 42) -> DataFrame:
     """W9+H4: randomized minimizer selection with an explicit, recorded

@@ -215,6 +215,41 @@ def canonical_batch(fw: np.ndarray, k: int) -> np.ndarray:
     return np.where(take_rc[:, None], rc, fw)
 
 
+# ---------------------------------------------------------------- xor10
+# The reference's second Encoding impl (encoding/xor10.rs:17-72): encode
+# is TABLE-FREE arithmetic — code = (ascii >> 1) & 0b11, giving A=0 C=1
+# T=2 G=3 (case-insensitive for free: the ASCII case bit lands above the
+# mask). Decode uses BITS2NUC = b"ACTG" (xor10.rs:10); complement is
+# bits ^ 0b10 (xor10.rs:34-40). Its rev_comp is buggy and untested in
+# the reference (xor10.rs:84, SURVEY.md §5.3) and is NOT ported.
+
+XOR10_CODE2NUC = np.frombuffer(b"ACTG", dtype=np.uint8)
+
+
+def xor10_codes_matrix(kmers, k: int) -> np.ndarray:
+    """(n,) length-k ASCII -> (n, k) uint8 xor10 codes, no lookup table."""
+    a = np.asarray(kmers, dtype=f"S{k}")
+    mat = a.view(np.uint8).reshape(len(a), k)
+    return (mat >> 1) & np.uint8(3)
+
+
+def xor10_complement(codes: np.ndarray) -> np.ndarray:
+    """A<->T, C<->G under xor10 codes: one XOR (xor10.rs:34-40)."""
+    return codes ^ np.uint8(2)
+
+
+def xor10_unpack_batch(words: np.ndarray, k: int) -> np.ndarray:
+    """(n, B) words -> (n,) uppercase length-k bytes via BITS2NUC."""
+    n, B = words.shape
+    chars = np.empty((n, k), dtype=np.uint8)
+    for w in range(B):
+        kk = min(32, k - w * 32)
+        shifts = np.uint64(2) * np.arange(kk, dtype=np.uint64)
+        seg = (words[:, w : w + 1] >> shifts) & np.uint64(3)
+        chars[:, w * 32 : w * 32 + kk] = XOR10_CODE2NUC[seg.astype(np.int64)]
+    return chars.reshape(n * k).view(f"S{k}")
+
+
 _RC_STR = str.maketrans("ACGTacgt", "TGCAtgca")
 
 

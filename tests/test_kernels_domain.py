@@ -219,3 +219,31 @@ def test_canonical_batch_is_packed_value_min():
 def test_pack_batch_rejects_invalid():
     with pytest.raises(ValueError):
         domain.pack_batch(domain.codes_matrix(np.array(["ACGNA"]), 5))
+
+
+# ----------------------------------------------------------------- xor10
+
+def test_xor10_codes_are_arithmetic():
+    # xor10.rs:17-22: code = (ascii >> 1) & 0b11 -> A=0 C=1 T=2 G=3;
+    # case-insensitive because the ASCII case bit lands above the mask
+    m = domain.xor10_codes_matrix(np.array(["ACTG", "actg"]), 4)
+    assert m.tolist() == [[0, 1, 2, 3], [0, 1, 2, 3]]
+
+
+def test_xor10_roundtrip_and_complement():
+    seqs = np.array(["ACGTACGTAC", "TTTTTTTTTT", "GCGCGCGCGC"])
+    codes = domain.xor10_codes_matrix(seqs, 10)
+    words = domain.pack_batch(codes)
+    assert [s.decode() for s in domain.xor10_unpack_batch(words, 10)] == list(seqs)
+    comp = domain.pack_batch(domain.xor10_complement(codes))
+    out = [s.decode() for s in domain.xor10_unpack_batch(comp, 10)]
+    t = str.maketrans("ACGT", "TGCA")
+    assert out == [s.translate(t) for s in seqs]
+
+
+def test_xor10_multiword_k40():
+    rng = np.random.default_rng(7)
+    seqs = np.array(["".join(rng.choice(list("ACGT"), 40)) for _ in range(32)])
+    words = domain.pack_batch(domain.xor10_codes_matrix(seqs, 40))
+    assert words.shape == (32, 2)
+    assert [s.decode() for s in domain.xor10_unpack_batch(words, 40)] == list(seqs)
