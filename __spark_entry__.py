@@ -399,6 +399,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events QUALIFY event_type = 'click'"
         ),
         "embedding_dup_pairs": (
+            # banded LSH: 16 planes in 2 bands of 8; candidates share ANY
+            # band's full key (same plane arithmetic as the Spark query)
             "WITH ee AS (SELECT vec_id, embedding FROM embeddings "
             "            UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings), "
             "z AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
@@ -406,17 +408,61 @@ def oracle_sql() -> dict[str, str]:
             "bits AS (SELECT z.vec_id, p.plane, "
             "  CASE WHEN sum(z.v * (CASE WHEN (p.plane * 31 + z.d * 17) % 7 < 3 THEN 1.0 ELSE -1.0 END)) > 0 "
             "  THEN 1 ELSE 0 END AS bit "
-            "  FROM z, (SELECT unnest(generate_series(0, 5))::INT AS plane) p "
+            "  FROM z, (SELECT unnest(generate_series(0, 15))::INT AS plane) p "
             "  GROUP BY z.vec_id, p.plane), "
-            "bk AS (SELECT vec_id, sum(bit * (1 << plane))::BIGINT AS bucket FROM bits GROUP BY vec_id), "
-            "eb AS (SELECT ee.vec_id, ee.embedding, bk.bucket FROM ee JOIN bk USING (vec_id)), "
-            "cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb2 "
-            "         FROM eb a JOIN eb b USING (bucket) WHERE a.vec_id < b.vec_id), "
-            "zz AS (SELECT vec_a, vec_b, unnest(ea)::DOUBLE AS x, unnest(eb2)::DOUBLE AS y FROM cand), "
+            "bk AS (SELECT vec_id, (plane // 8)::INT AS band, "
+            "       sum(bit * (1::BIGINT << (plane % 8)))::BIGINT AS band_key "
+            "       FROM bits GROUP BY vec_id, band), "
+            "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "         FROM bk a JOIN bk b USING (band, band_key) WHERE a.vec_id < b.vec_id), "
+            "ce AS (SELECT c.vec_a, c.vec_b, ea.embedding AS ea, eb.embedding AS eb2 "
+            "       FROM cand c JOIN ee ea ON ea.vec_id = c.vec_a "
+            "       JOIN ee eb ON eb.vec_id = c.vec_b), "
+            "zz AS (SELECT vec_a, vec_b, unnest(ea)::DOUBLE AS x, unnest(eb2)::DOUBLE AS y FROM ce), "
             "sc AS (SELECT vec_a, vec_b, sum(x * y) AS dp, sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb "
             "       FROM zz GROUP BY vec_a, vec_b) "
             "SELECT vec_a, vec_b, round(dp / (na * nb), 6) AS cosine FROM sc "
             "WHERE round(dp / (na * nb), 6) >= 0.999"
+        ),
+        "ann_topk_lsh": (
+            # same fixed hyperplane arithmetic as the Spark query
+            # (w(p,d) = +1 if (31p+17d)%7<3 else -1, n_planes=6)
+            "WITH z AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
+            "      generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+            "bits AS (SELECT z.vec_id, p.plane, "
+            "  CASE WHEN sum(z.v * (CASE WHEN (p.plane * 31 + z.d * 17) % 7 < 3 THEN 1.0 ELSE -1.0 END)) > 0 "
+            "  THEN 1 ELSE 0 END AS bit "
+            "  FROM z, (SELECT unnest(generate_series(0, 5))::INT AS plane) p "
+            "  GROUP BY z.vec_id, p.plane), "
+            "bk AS (SELECT vec_id, sum(bit * (1 << plane))::BIGINT AS bucket FROM bits GROUP BY vec_id), "
+            "qb AS (SELECT bk.bucket AS q_bucket, e.embedding AS q_emb "
+            "       FROM bk JOIN embeddings e USING (vec_id) WHERE vec_id = 0), "
+            "cand AS (SELECT e.vec_id, e.embedding, qb.q_emb "
+            "         FROM embeddings e JOIN bk USING (vec_id), qb "
+            "         WHERE bk.bucket = qb.q_bucket AND e.vec_id <> 0), "
+            "zz AS (SELECT vec_id, unnest(embedding)::DOUBLE AS a, unnest(q_emb)::DOUBLE AS b FROM cand), "
+            "sc AS (SELECT vec_id, sum(a * b) AS dp, sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb "
+            "       FROM zz GROUP BY vec_id) "
+            "SELECT vec_id, round(dp / (na * nb), 6) AS cosine FROM sc "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "media_features": (
+            # deterministic fake decoder (multimodal._decode_image_stub):
+            # width = 64 + n_bytes % 1024; height = 64 + (sum of the first
+            # 8 payload bytes, zero-padded) % 1024 — byte j of the utf-8
+            # payload read from hex(encode(text))
+            "WITH m AS (SELECT doc_id, "
+            "  CASE WHEN doc_id % 3 = 0 THEN 'image/png' "
+            "       WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type, "
+            "  octet_length(encode(text)) AS n_bytes, hex(encode(text)) AS h "
+            "  FROM documents WHERE text IS NOT NULL), "
+            "b AS (SELECT doc_id, media_type, n_bytes, "
+            "  coalesce(('0x' || nullif(substr(h, j.j * 2 + 1, 2), ''))::BIGINT, 0) AS byte "
+            "  FROM m, (SELECT unnest(generate_series(0, 7)) AS j) j) "
+            "SELECT doc_id, media_type, n_bytes, "
+            "(64 + n_bytes % 1024)::INT AS width, "
+            "(64 + sum(byte) % 1024)::INT AS height "
+            "FROM b GROUP BY doc_id, media_type, n_bytes"
         ),
         "media_meta": (
             "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image/png' "

@@ -63,25 +63,32 @@ def cosine_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
-def lsh_buckets(spark: SparkSession, sf_dir: str, n_planes: int = 8) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector.
+def _signed_dot(emb, plane):
+    """dot(embedding, hyperplane) where weight(p, d) = +1 if
+    (31p + 17d) % 7 < 3 else -1 (fixed, documented, seedless —
+    determinism requirement from SURVEY §2.5 H4). Computed with
+    F.transform's element INDEX, so no dimension probe or weight-array
+    literal is needed — the whole thing is one codegen'd JVM expression
+    and works for any embedding width."""
+    return F.aggregate(
+        F.transform(
+            emb,
+            lambda x, d: x.cast("double")
+            * F.when(((plane * 31 + d * 17) % 7) < 3, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
-    Hyperplanes are deterministic: plane p, dim d weight = sign pattern
-    from a hash — portable to the SQL oracle via the same arithmetic.
-    Here: weight(p,d) = +1 if (p*31 + d*17) % 7 < 3 else -1 (fixed,
-    documented, seedless — determinism requirement from SURVEY §2.5 H4).
-    """
+
+def lsh_buckets(spark: SparkSession, sf_dir: str, n_planes: int = 8) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (single band)."""
     e = _emb(spark, sf_dir)
-    dims = e.select(F.size("embedding").alias("nd")).limit(1).collect()[0]["nd"]
-    planes = []
-    for p in range(n_planes):
-        w = [1.0 if (p * 31 + d * 17) % 7 < 3 else -1.0 for d in range(dims)]
-        planes.append((p, w))
-    planes_df = spark.createDataFrame(planes, "plane int, w array<double>")
+    planes_df = spark.range(n_planes).select(F.col("id").cast("int").alias("plane"))
     scored = e.crossJoin(F.broadcast(planes_df)).select(
         "vec_id",
         "plane",
-        (_dot(F.col("embedding"), F.col("w")) > 0).cast("int").alias("bit"),
+        (_signed_dot(F.col("embedding"), F.col("plane")) > 0).cast("int").alias("bit"),
     )
     return scored.groupBy("vec_id").agg(
         F.sum(F.expr("bit * shiftleft(1, plane)")).alias("bucket")
@@ -90,7 +97,9 @@ def lsh_buckets(spark: SparkSession, sf_dir: str, n_planes: int = 8) -> DataFram
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10,
                  n_planes: int = 6) -> DataFrame:
-    """ANN: restrict rescoring to the query's LSH bucket, exact cosine inside."""
+    """ANN: restrict rescoring to the query's LSH bucket, exact cosine
+    inside. At scale, size n_planes with :func:`planes_for` so the
+    expected bucket population stays bounded."""
     buckets = lsh_buckets(spark, sf_dir, n_planes)
     e = _emb(spark, sf_dir).join(buckets, "vec_id")
     qb = e.filter(F.col("vec_id") == query_id).select(
@@ -121,42 +130,66 @@ def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.unionAll(dup)
 
 
-def embedding_dup_pairs(spark: SparkSession, sf_dir: str, n_planes: int = 6,
-                        threshold: float = 0.999) -> DataFrame:
-    """Embedding-cosine near-duplicates: hyperplane-LSH bucket equi-join
-    (identical/near vectors always share all sign bits), exact cosine
-    rescoring inside buckets only — never all-pairs.
+def planes_for(n_vectors: int, target_bucket: int = 64) -> int:
+    """Planes per band so the EXPECTED bucket population stays bounded:
+    2^planes buckets ≥ n / target_bucket. At 10^9 vectors with
+    target 64 this gives 24 planes/band — bucket count grows with the
+    corpus, so the within-bucket self-join never degenerates into a
+    mini-cartesian (the fixed-2^6 failure mode)."""
+    import math
+
+    need = max(n_vectors / max(target_bucket, 1), 1.0)
+    return max(8, math.ceil(math.log2(need)))
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str, n_planes: int = 16,
+                        n_bands: int = 2, threshold: float = 0.999) -> DataFrame:
+    """Embedding-cosine near-duplicates: banded hyperplane LSH.
+
+    n_planes sign bits are split into n_bands independent bands
+    (n_planes/n_bands bits each); candidates are pairs sharing ANY
+    band's full key (multi-band OR — recall multiplies across bands
+    while each band's 2^(planes/bands) key space keeps buckets small),
+    then exact-cosine rescored. Never all-pairs; the self-join key is
+    (band, band_key), so AQE can split a skewed band key.
+
+    At scale, pass n_planes = n_bands * planes_for(N): bucket count
+    then grows with the corpus and expected bucket size stays O(1).
 
     Plane weights are the fixed deterministic pattern
-    w(p, d) = +1 if (31p + 17d) % 7 < 3 else -1 (documented; the SQL
-    oracle recomputes the identical planes)."""
+    w(p, d) = +1 if (31p + 17d) % 7 < 3 else -1 (computed from the
+    element index — no dims probe; the SQL oracle recomputes the
+    identical planes)."""
+    if n_planes % n_bands:
+        raise ValueError(f"n_planes ({n_planes}) must divide evenly into n_bands ({n_bands})")
+    band_planes = n_planes // n_bands
     e = _emb_with_dups(spark, sf_dir)
-    dims = e.select(F.size("embedding").alias("nd")).limit(1).collect()[0]["nd"]
-    planes = [
-        (p, [1.0 if (p * 31 + d * 17) % 7 < 3 else -1.0 for d in range(dims)])
-        for p in range(n_planes)
-    ]
-    planes_df = spark.createDataFrame(planes, "plane int, w array<double>")
-    bits = (
+    planes_df = spark.range(n_planes).select(F.col("id").cast("int").alias("plane"))
+    band_keys = (
         e.crossJoin(F.broadcast(planes_df))
         .select(
             "vec_id",
-            "plane",
-            (_dot(F.col("embedding"), F.col("w")) > 0).cast("int").alias("bit"),
+            (F.col("plane") / band_planes).cast("int").alias("band"),
+            (F.col("plane") % band_planes).alias("bandbit"),
+            (_signed_dot(F.col("embedding"), F.col("plane")) > 0).cast("long").alias("bit"),
         )
-        .groupBy("vec_id")
-        .agg(F.sum(F.expr("bit * shiftleft(1, plane)")).alias("bucket"))
+        .groupBy("vec_id", "band")
+        .agg(F.sum(F.expr("bit * shiftleft(1L, cast(bandbit as int))")).alias("band_key"))
     )
-    eb = e.join(bits, "vec_id")
-    a = eb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    a = band_keys.select(F.col("vec_id").alias("vec_a"), "band", "band_key")
+    b = band_keys.select(F.col("vec_id").alias("vec_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()  # a pair may collide in several bands
     )
-    b = eb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket"
-    )
-    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
-        cand.select(
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
             "vec_a",
             "vec_b",
             F.round(

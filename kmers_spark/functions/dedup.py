@@ -65,6 +65,15 @@ def _shingles(d: DataFrame, w: int = SHINGLE_W) -> DataFrame:
     ).distinct()
 
 
+def _signatures_from_shingles(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    perms = sh.sparkSession.range(n_perm).select(F.col("id").cast("int").alias("perm"))
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("perm"), F.col("shingle")))).alias("sig"))
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str, n_perm: int = N_PERM) -> DataFrame:
     """(doc_id, perm, sig): sig = min over shingles of md5(perm || ':' || shingle).
 
@@ -73,22 +82,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, n_perm: int = N_PERM) -
     value (md5 + string min are engine-portable).
     """
     sh = _shingles(_docs_with_dups(spark, sf_dir).filter(F.col("text").isNotNull()))
-    perms = spark.range(n_perm).select(F.col("id").cast("int").alias("perm"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("perm"), F.col("shingle")))).alias("sig"))
-    )
+    return _signatures_from_shingles(sh, n_perm)
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n_perm: int = N_PERM,
-                      band_rows: int = BAND_ROWS) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band.
-
-    band key = concat of the band's signature rows; equi-join on
-    (band, key) — never an all-pairs comparison.
-    """
-    sigs = minhash_signatures(spark, sf_dir, n_perm)
+def _pairs_from_sigs(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
     bands = (
         sigs.withColumn("band", (F.col("perm") / band_rows).cast("int"))
         .groupBy("doc_id", "band")
@@ -103,11 +100,29 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n_perm: int = N_PERM,
     )
 
 
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n_perm: int = N_PERM,
+                      band_rows: int = BAND_ROWS) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band.
+
+    band key = concat of the band's signature rows; equi-join on
+    (band, key) — never an all-pairs comparison.
+    """
+    return _pairs_from_sigs(minhash_signatures(spark, sf_dir, n_perm), band_rows)
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
     """Verify LSH candidates with exact shingle Jaccard (the verify stage
-    of the dedup pipeline; joins only candidate pairs)."""
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    sh = _shingles(_docs_with_dups(spark, sf_dir).filter(F.col("text").isNotNull()))
+    of the dedup pipeline; joins only candidate pairs).
+
+    The shingle table — the expensive artifact, feeding both the minhash
+    signatures AND the exact-intersection join — is computed ONCE and
+    persisted; without this the whole explode+hash pipeline runs three
+    times (at a 100 TB corpus that triples the dominant cost; in a real
+    deployment the signature table would be written through to storage)."""
+    sh = _shingles(
+        _docs_with_dups(spark, sf_dir).filter(F.col("text").isNotNull())
+    ).persist()
+    pairs = _pairs_from_sigs(_signatures_from_shingles(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     # intersection size via equi-join on shingle, restricted to candidates
@@ -175,11 +190,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> Data
     Scale shape: each iteration is one self-join + min-aggregate on the
     label table (shuffle on doc_id); iterations ~ graph diameter, which
     for dup clusters is tiny. No driver-side graph state.
+
+    The edge table is persisted: every iteration (plus its convergence
+    count) joins against it, and without the persist the full
+    shingle->minhash->band pipeline would be recomputed each time.
+    (localCheckpoint below is executor-local — on a real cluster use a
+    reliable checkpoint dir / write-through for fault tolerance.)
     """
     pairs = minhash_lsh_pairs(spark, sf_dir)
     edges = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).persist()
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
     for _ in range(max_iter):

@@ -70,3 +70,47 @@ def test_ann_query_vector_is_broadcast(spark):
     assert "Broadcast" in plan
     # the final top-k is a TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_lsh_buckets_bounded_and_no_cartesian(spark):
+    """Banded LSH must (a) join on (band, band_key) — no cartesian in the
+    plan — and (b) keep per-band key populations bounded so the
+    within-bucket self-join cannot degenerate (the fixed-2^6 failure
+    mode at 100x). planes_for() sizes the key space with the corpus."""
+    from kmers_spark.functions import ann
+
+    df = ann.embedding_dup_pairs(spark, SF, n_planes=16, n_bands=2)
+    plan = _plan(df)
+    # no true cartesian; the only nested-loop join allowed is the
+    # broadcast fan-out against the 16-row planes table
+    assert "CartesianProduct" not in plan
+    # the candidate self-join must be an equi-join keyed on the band key
+    import re
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[band", plan)
+
+    # key-space sizing grows with N: at 10^9 vectors, >= 24 planes/band
+    assert ann.planes_for(10**9, target_bucket=64) >= 24
+    assert ann.planes_for(1000) == 8
+
+    # measured population: with 16 planes over the sf0.001 dup corpus no
+    # (band, band_key) bucket exceeds a small constant multiple of the
+    # duplicate-pair structure (each vector + its copy share all keys)
+    from pyspark.sql import functions as F
+    e = ann._emb_with_dups(spark, SF)
+    planes_df = spark.range(16).select(F.col("id").cast("int").alias("plane"))
+    keys = (
+        e.crossJoin(F.broadcast(planes_df))
+        .select(
+            "vec_id",
+            (F.col("plane") / 8).cast("int").alias("band"),
+            (F.col("plane") % 8).alias("bandbit"),
+            (ann._signed_dot(F.col("embedding"), F.col("plane")) > 0).cast("long").alias("bit"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum(F.expr("bit * shiftleft(1L, cast(bandbit as int))")).alias("band_key"))
+    )
+    n = e.count()
+    biggest = (
+        keys.groupBy("band", "band_key").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert biggest <= max(0.25 * n, 16), (biggest, n)
