@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 from . import arrowview as av
 from . import codecs as codecs_mod
 from .codecs import _maybe_unzlib, _maybe_zlib
-from .kernels import bitpack, dictenc, foren, fsst, rle
+from .kernels import bitpack, dictenc, foren, fsst, rle, sortdelta
 
 _PINNED = False
 
@@ -115,6 +115,9 @@ def encode_column_arrow(arr: pa.Array, codec: str, typ: str) -> tuple[bytes, dic
         elif codec == "rle_int":
             body, rmeta = rle.encode(v.view(np.uint64))
             meta["rle"] = rmeta
+        elif codec == "sortdelta":
+            body, sdmeta = sortdelta.encode(v)
+            meta["sortdelta"] = sdmeta
         elif codec == "dict_rle_int":
             uniq, codes = np.unique(v, return_inverse=True)
             rle_blob, rmeta = rle.encode(codes.astype(np.uint64))
@@ -125,12 +128,10 @@ def encode_column_arrow(arr: pa.Array, codec: str, typ: str) -> tuple[bytes, dic
             raise ValueError(f"codec {codec!r} not valid for type {typ!r}")
 
     elif typ == "double":
-        if codec != "plain":
-            raise ValueError(f"codec {codec!r} not valid for type 'double'")
         v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).copy()
         if mask is not None:
             v[~mask] = 0.0
-        body = v.astype("<f8").tobytes()
+        body, codec = codecs_mod._encode_double(v, codec, meta)
     else:
         raise ValueError(f"unknown type {typ!r}")
 
@@ -287,6 +288,17 @@ def column_stats_arrow(arr: pa.Array, typ: str, sample_max: int = 8192) -> dict:
             stats["sortedness"] = 1.0
         if len(iv):
             stats["range_bits"] = max(int(iv.max()) - int(iv.min()), 0).bit_length()
+        stats["sorted_delta_bits"] = sortdelta.sorted_delta_bits(iv)
+    elif typ == "double":
+        from .kernels import floats
+
+        fv = s.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        mask = av.validity_mask(s)
+        if mask is not None:
+            fv = fv[mask]
+        fv = np.ascontiguousarray(fv)
+        stats["dec_scale"] = floats.find_dec_scale(fv)
+        stats["xor_zero_frac"] = floats.xor_zero_frac(fv)
     return stats
 
 
@@ -358,6 +370,8 @@ def decode_column_arrow(payload: bytes, meta: dict, spark_type: "pa.DataType | N
             v = np.asarray(foren.decode(body, meta["for"]))
         elif codec == "rle_int":
             v = rle.decode(body, meta["rle"]).view(np.int64)
+        elif codec == "sortdelta":
+            v = sortdelta.decode(body, meta["sortdelta"])
         elif codec == "dict_rle_int":
             ds = meta["dict_size"]
             uniq = np.frombuffer(body, dtype="<i8", count=ds).astype(np.int64)
@@ -373,7 +387,7 @@ def decode_column_arrow(payload: bytes, meta: dict, spark_type: "pa.DataType | N
         return _with_mask(arr, mask)
 
     if typ == "double":
-        v = np.frombuffer(body, dtype="<f8", count=n).astype(np.float64)
+        v = codecs_mod._decode_double(body, meta, n)
         return _with_mask(pa.array(v, type=pa.float64()), mask)
     raise ValueError(f"unknown type {typ!r}")
 

@@ -39,10 +39,11 @@ def _maybe_zlib(payload: bytes, meta: dict) -> bytes:
 def _maybe_unzlib(payload: bytes, meta: dict) -> bytes:
     return zlib.decompress(payload) if meta.get("z") else payload
 
-from .kernels import bitpack, dictenc, foren, fsst, prefix, rle, words
+from .kernels import bitpack, dictenc, floats, foren, fsst, prefix, rle, sortdelta, words
 
 STRING_CODECS = ("plain", "dict", "dict_rle", "fsst", "words", "prefix")
-INT_CODECS = ("plain", "for_bitpack", "dict_rle_int", "rle_int")
+INT_CODECS = ("plain", "for_bitpack", "dict_rle_int", "rle_int", "sortdelta")
+FLOAT_CODECS = ("plain", "dec_scale", "xor_float")
 TYPE_DEFAULT_CODEC = {
     "string": "fsst",
     "binary": "fsst",
@@ -127,6 +128,41 @@ def _from_int64(arr: np.ndarray, mask, typ: str) -> pd.Series:
     return out
 
 
+# ---------------------------------------------------------------- doubles
+
+def _encode_double(v: np.ndarray, codec: str, meta: dict) -> tuple[bytes, str]:
+    """Shared double-column encoder (pandas and Arrow paths feed the same
+    float64 array). dec_scale re-verifies bitwise exactness over the FULL
+    block and falls back to xor_float if a value breaks it (the selector
+    only saw a sample); the actual codec lands in meta["codec"]."""
+    if codec == "dec_scale":
+        s = floats.find_dec_scale(v)
+        if s < 0:
+            codec = "xor_float"
+        else:
+            body, fm = floats.encode_dec_scale(v, s)
+            meta.update(fm)
+    if codec == "xor_float":
+        body = floats.encode_xor(v)
+    elif codec == "plain":
+        body = v.astype("<f8").tobytes()
+    elif codec != "dec_scale":
+        raise ValueError(f"codec {codec!r} not valid for type 'double'")
+    meta["codec"] = codec
+    return body, codec
+
+
+def _decode_double(body: bytes, meta: dict, n: int) -> np.ndarray:
+    codec = meta["codec"]
+    if codec == "plain":
+        return np.frombuffer(body, dtype="<f8", count=n).astype(np.float64)
+    if codec == "dec_scale":
+        return floats.decode_dec_scale(body, meta)
+    if codec == "xor_float":
+        return floats.decode_xor(body, n)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
 # ---------------------------------------------------------------- encode/decode
 
 def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]:
@@ -182,6 +218,9 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
         elif codec == "rle_int":
             body, rmeta = rle.encode(v.view(np.uint64))
             meta["rle"] = rmeta
+        elif codec == "sortdelta":
+            body, sdmeta = sortdelta.encode(v)
+            meta["sortdelta"] = sdmeta
         elif codec == "dict_rle_int":
             # dict over distinct ints (low-cardinality ids), then RLE
             uniq, codes = np.unique(v, return_inverse=True)
@@ -193,11 +232,9 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
             raise ValueError(f"codec {codec!r} not valid for type {typ!r}")
 
     elif typ == "double":
-        if codec != "plain":
-            raise ValueError(f"codec {codec!r} not valid for type 'double'")
         v = series.to_numpy(dtype=np.float64).copy()
         v[~mask] = 0.0
-        body = v.astype("<f8").tobytes()
+        body, codec = _encode_double(v, codec, meta)
     else:
         raise ValueError(f"unknown type {typ!r}")
 
@@ -243,6 +280,8 @@ def decode_column(payload: bytes, meta: dict) -> pd.Series:
             v = foren.decode(body, meta["for"])
         elif codec == "rle_int":
             v = rle.decode(body, meta["rle"]).view(np.int64)
+        elif codec == "sortdelta":
+            v = sortdelta.decode(body, meta["sortdelta"])
         elif codec == "dict_rle_int":
             ds = meta["dict_size"]
             uniq = np.frombuffer(body, dtype="<i8", count=ds).astype(np.int64)
@@ -253,7 +292,7 @@ def decode_column(payload: bytes, meta: dict) -> pd.Series:
         return _from_int64(np.asarray(v), mask, typ)
 
     if typ == "double":
-        v = np.frombuffer(body, dtype="<f8", count=n).astype(np.float64)
+        v = _decode_double(body, meta, n)
         if mask is None:
             return pd.Series(v)
         out = pd.Series(v, dtype="Float64")

@@ -71,7 +71,9 @@ def make_encode_fn(schema: dict[str, str], key: str, codec_overrides: dict[str, 
                 {
                     "bucket": bucket,
                     "column": col,
-                    "codec": codec,
+                    # meta carries the ACTUAL codec (encode may fall back,
+                    # e.g. dec_scale -> xor_float on an inexact block)
+                    "codec": meta.get("codec", codec),
                     "n_rows": len(s),
                     "raw_nbytes": _raw_nbytes(s, typ),
                     "enc_nbytes": len(payload),
@@ -112,6 +114,7 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
                 arrowcodecs.column_stats_arrow(arr, typ), typ
             )
             payload, meta = arrowcodecs.encode_column_arrow(arr, codec, typ)
+            codec = meta.get("codec", codec)
             if typ in ("string", "binary"):
                 from .. import arrowview as av
 

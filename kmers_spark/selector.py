@@ -19,7 +19,10 @@ generalized to *which codec family* fits the sampled distribution:
         mean_run high         -> rle_int (or dict_rle_int for small dicts)
         near-sorted or bounded range -> for_bitpack (delta picks itself)
         else                  -> plain
-      double: plain (float codecs are a later round: XOR/Gorilla)
+      double:
+        decimal-exact sample   -> dec_scale (scaled-int FOR/bitpack)
+        zero-dense xor stream  -> xor_float (Gorilla-style + zlib)
+        else                   -> plain
 
 All thresholds are explicit module constants so the selector is
 deterministic and its decisions are reproducible from the manifest.
@@ -99,6 +102,15 @@ def column_stats(series: pd.Series, typ: str, sample_max: int = 8192) -> dict:
         stats["sortedness"] = float((np.diff(iv) >= 0).mean()) if len(iv) > 1 else 1.0
         rng = int(iv.max()) - int(iv.min())
         stats["range_bits"] = max(rng, 0).bit_length()
+        from .kernels import sortdelta as _sd
+
+        stats["sorted_delta_bits"] = _sd.sorted_delta_bits(iv)
+    elif typ == "double":
+        from .kernels import floats
+
+        fv = np.ascontiguousarray(dense.to_numpy(dtype=np.float64))
+        stats["dec_scale"] = floats.find_dec_scale(fv)
+        stats["xor_zero_frac"] = floats.xor_zero_frac(fv)
     return stats
 
 
@@ -151,11 +163,27 @@ def select_codec(stats: dict, typ: str) -> str:
             return "rle_int"
         if mean_run >= RLE_MIN_MEAN_RUN and distinct <= DICT_MAX_CARD_ABS:
             return "dict_rle_int" if distinct <= 256 else "rle_int"
-        if stats.get("range_bits", 64) < 64 or stats.get("sortedness", 0.0) >= 0.5:
+        rb = stats.get("range_bits", 64)
+        # sort-permutation + delta pays when bits(n) + bits(sorted delta)
+        # beats the raw FOR width — i.e. the value SET is dense but the
+        # block ORDER is random (url-sorted warc_ts of a dense crawl).
+        # Near-sorted data keeps for_bitpack: its delta mode is perm-free.
+        sd = stats.get("sorted_delta_bits")
+        perm_bits = max(stats.get("n", 1) - 1, 1).bit_length()
+        if sd is not None and perm_bits + sd < min(rb, 64) and stats.get("sortedness", 0.0) < 0.9:
+            return "sortdelta"
+        if rb < 64 or stats.get("sortedness", 0.0) >= 0.5:
             return "for_bitpack"
         return "plain"
 
     if typ == "double":
+        # decimal-exact on the sample -> scaled-int FOR/bitpack (the
+        # encoder re-verifies over the full block and falls back);
+        # zero-dense xor stream -> Gorilla-style xor_float (+zlib backstop)
+        if stats.get("dec_scale", -1) >= 0:
+            return "dec_scale"
+        if stats.get("xor_zero_frac", 0.0) >= 0.25:
+            return "xor_float"
         return "plain"
     raise ValueError(f"unknown type {typ!r}")
 

@@ -235,3 +235,159 @@ class TestPrefix:
         out = codecs.decode_column(p, m)
         assert list(out[:50]) == sorted([f"https://h{i%3}.com/p/{i}" for i in range(50)])
         assert out[50] is None
+
+
+# ----------------------------------------------------------------- floats
+
+class TestFloatCodecs:
+    def test_dec_scale_roundtrip_bitwise(self):
+        import pandas as pd
+        from kmers_spark import codecs
+        from kmers_spark.kernels import floats
+
+        rng = np.random.default_rng(0)
+        v = np.round(rng.exponential(40, 5000), 2)
+        assert floats.find_dec_scale(v) == 2
+        payload, meta = codecs.encode_column(pd.Series(v), "dec_scale", "double")
+        assert meta["codec"] == "dec_scale"
+        assert len(payload) < 0.35 * 8 * len(v)
+        back = codecs.decode_column(payload, meta).to_numpy()
+        assert (back.view(np.uint64) == v.view(np.uint64)).all()
+
+    def test_xor_float_roundtrip_keeps_all_bit_patterns(self):
+        import pandas as pd
+        from kmers_spark import codecs
+
+        rng = np.random.default_rng(1)
+        v = np.concatenate([
+            np.cumsum(rng.normal(0, 1e-3, 2000)) + 1e6,
+            np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 5e-324]),
+        ])
+        payload, meta = codecs.encode_column(pd.Series(v), "xor_float", "double")
+        back = codecs.decode_column(payload, meta).to_numpy()
+        assert (back.view(np.uint64) == v.view(np.uint64)).all()
+
+    def test_dec_scale_falls_back_on_inexact_block(self):
+        import pandas as pd
+        from kmers_spark import codecs
+
+        v = np.array([1.25, 0.1 + 0.2, 3.0])  # 0.30000000000000004 breaks it
+        payload, meta = codecs.encode_column(pd.Series(v), "dec_scale", "double")
+        assert meta["codec"] == "xor_float"
+        back = codecs.decode_column(payload, meta).to_numpy()
+        assert (back.view(np.uint64) == v.view(np.uint64)).all()
+
+    def test_selector_picks_float_codecs(self):
+        import pandas as pd
+        from kmers_spark import selector
+
+        rng = np.random.default_rng(2)
+        fixed = pd.Series(np.round(rng.exponential(40, 4000), 2))
+        assert selector.select_codec(selector.column_stats(fixed, "double"), "double") == "dec_scale"
+        rand = pd.Series(rng.random(4000) * 1e9)
+        assert selector.select_codec(selector.column_stats(rand, "double"), "double") == "plain"
+        smooth = pd.Series(np.cumsum(rng.normal(0, 1e-6, 4000)) + 123.0)
+        assert selector.select_codec(selector.column_stats(smooth, "double"), "double") == "xor_float"
+
+    def test_arrow_path_byte_compatible(self):
+        import pyarrow as pa
+        import pandas as pd
+        from kmers_spark import arrowcodecs, codecs
+
+        rng = np.random.default_rng(3)
+        v = np.round(rng.exponential(40, 3000), 2)
+        p1, m1 = codecs.encode_column(pd.Series(v), "dec_scale", "double")
+        p2, m2 = arrowcodecs.encode_column_arrow(pa.array(v), "dec_scale", "double")
+        assert p1 == p2 and m1 == m2
+        back = arrowcodecs.decode_column_arrow(p2, m2).to_numpy()
+        assert (back.view(np.uint64) == v.view(np.uint64)).all()
+
+    def test_nulls_roundtrip(self):
+        import pandas as pd
+        from kmers_spark import codecs
+
+        s = pd.Series([1.25, None, 3.5, None, 7.75], dtype="Float64")
+        for codec in ("dec_scale", "xor_float", "plain"):
+            payload, meta = codecs.encode_column(s, codec, "double")
+            back = codecs.decode_column(payload, meta)
+            assert back.isna().tolist() == s.isna().tolist()
+            assert back.dropna().tolist() == s.dropna().tolist()
+
+
+# ------------------------------------------------------ gcd + sortdelta
+
+class TestGcdAndSortDelta:
+    def test_foren_gcd_second_granularity(self):
+        """Coarse-granularity values in fine units (Common-Crawl WARC-Date:
+        seconds stored as epoch-us) must shed the dead log2(gcd) bits."""
+        from kmers_spark.kernels import foren
+
+        rng = np.random.default_rng(0)
+        v = 1_704_067_200_000_000 + rng.integers(0, 30 * 86400, 4096) * 1_000_000
+        p, m = foren.encode(v)
+        assert m.get("gcd") == 1_000_000
+        assert m["width"] <= 22
+        assert (np.asarray(foren.decode(p, m)) == v).all()
+
+    def test_foren_gcd_mixed_sign_deltas(self):
+        from kmers_spark.kernels import foren
+
+        rng = np.random.default_rng(1)
+        v = np.cumsum(rng.integers(-50, 50, 4096) * 1_000_000) + 10**15
+        p, m = foren.encode(v)
+        assert m["mode"] == "delta" and m.get("gcd") == 1_000_000
+        assert (np.asarray(foren.decode(p, m)) == v).all()
+
+    def test_sortdelta_roundtrip(self):
+        from kmers_spark.kernels import sortdelta
+
+        rng = np.random.default_rng(2)
+        for v in (
+            rng.integers(-2**40, 2**40, 5000),
+            np.array([7, 7, 7, 7]),
+            np.array([], dtype=np.int64),
+            np.array([5]),
+        ):
+            v = v.astype(np.int64)
+            p, m = sortdelta.encode(v)
+            assert (sortdelta.decode(p, m) == v).all()
+
+    def test_sortdelta_never_selected_against_for_gcd_zlib(self):
+        """Measured finding (BENCH r2): the stored permutation carries
+        log2(n!) bits — exactly the information sorting removes — so
+        sort-permutation + delta cannot beat FOR + gcd + the zlib
+        backstop on any order-preserving column; zlib already dedups
+        duplicate-heavy payloads without paying for a perm. The codec
+        stays available by override (it pays only when the CONSUMER may
+        reorder rows, dropping the perm); the selector must not pick it
+        on representative fixtures."""
+        import pandas as pd
+        from kmers_spark import codecs, selector
+
+        rng = np.random.default_rng(3)
+        fixtures = [
+            rng.choice(rng.integers(0, 2**40, 300) * 2 + 1, 8192),  # dup-heavy
+            rng.integers(0, 2**40, 8192),                           # uniform
+            rng.permutation(np.arange(8192)) * 250_000,             # shuffled grid
+        ]
+        for v in fixtures:
+            v = v.astype(np.int64)
+            st = selector.column_stats(pd.Series(v), "int64")
+            assert selector.select_codec(st, "int64") != "sortdelta"
+            pf, _ = codecs.encode_column(pd.Series(v), "for_bitpack", "int64")
+            ps, ms = codecs.encode_column(pd.Series(v), "sortdelta", "int64")
+            assert (codecs.decode_column(ps, ms).to_numpy(dtype=np.int64) == v).all()
+            assert len(pf) <= 1.05 * len(ps)  # FOR is never (meaningfully) worse
+
+    def test_sortdelta_column_codec_both_paths(self):
+        import pandas as pd
+        import pyarrow as pa
+        from kmers_spark import arrowcodecs, codecs
+
+        rng = np.random.default_rng(4)
+        v = rng.choice(np.arange(0, 2**40, 2**30), 3000).astype(np.int64)
+        p1, m1 = codecs.encode_column(pd.Series(v), "sortdelta", "int64")
+        p2, m2 = arrowcodecs.encode_column_arrow(pa.array(v), "sortdelta", "int64")
+        assert p1 == p2 and m1 == m2
+        assert (codecs.decode_column(p1, m1).to_numpy(dtype=np.int64) == v).all()
+        assert (arrowcodecs.decode_column_arrow(p2, m2).to_numpy() == v).all()
