@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-word packed domain, k > 32 ([u64; B] — kmer.rs:12-16 generic)
         "kmer_pack_roundtrip_k45": lambda s, d: dna.kmer_pack_roundtrip(s, d, 45),
         "codec_xor10_roundtrip": lambda s, d: dna.xor10_roundtrip(s, d, 10),
+        "seq_slice_lookup": lambda s, d: dna.seq_slice_lookup(s, d, 9),
         "kmer_canonical_packed_k64": lambda s, d: dna.kmer_canonical_packed(s, d, 64),
         "minimizer_seeded": lambda s, d: dna.minimizer_seeded(s, d, MIN_K, MIN_W, 42),
         "space_sizes": lambda s, d: dna.space_sizes(s, d, 8),
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": textqc.fingerprint,
         "ann_cosine_topk": ann.cosine_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        "ann_ivf_topk": ann.ann_ivf_topk,
         "embedding_dup_pairs": ann.embedding_dup_pairs,
         # --- reference 3-way equivalency + orientation (T13/T8) ---
         "kmer_orientation": lambda s, d: olap.kmer_orientation(s, d, K),
@@ -212,6 +214,16 @@ def oracle_sql() -> dict[str, str]:
         "codec_xor10_roundtrip": (
             f"WITH km AS ({_kmers_sql(10)}) SELECT doc_id, pos, kmer, kmer AS decoded, "
             "translate(kmer, 'ACGT', 'TGCA') AS complemented FROM km"
+        ),
+        "seq_slice_lookup": (
+            # start / mid / end point lookups, 0-based pos; kmer is the
+            # lowercase substring (packed-domain decode emits lowercase)
+            f"WITH seqs AS ({_SEQS}), s2 AS (SELECT doc_id, seq, length(seq) AS slen "
+            f"FROM seqs WHERE length(seq) >= 9), "
+            "lk AS (SELECT doc_id, seq, 'start' AS which, 0::BIGINT AS pos FROM s2 "
+            "UNION ALL SELECT doc_id, seq, 'mid', ((slen - 9) // 2)::BIGINT FROM s2 "
+            "UNION ALL SELECT doc_id, seq, 'end', (slen - 9)::BIGINT FROM s2) "
+            "SELECT doc_id, which, pos, lower(substr(seq, pos::INT + 1, 9)) AS kmer FROM lk"
         ),
         # canonical on the PACKED value: low bits hold the first base, so
         # packed order == lex order of the REVERSED sequence
@@ -469,6 +481,31 @@ def oracle_sql() -> dict[str, str]:
             "WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type, "
             "octet_length(encode(text)) AS n_bytes "
             "FROM documents WHERE text IS NOT NULL"
+        ),
+        "ann_ivf_topk": (
+            # sampled centroids (vec_id < 16), argmax-cosine assignment,
+            # probe the 4 centroids nearest the query, exact rescore
+            "WITH c AS (SELECT vec_id AS cent_id, embedding AS cent_emb "
+            "           FROM embeddings WHERE vec_id < 16), "
+            "za AS (SELECT e.vec_id, c.cent_id, unnest(e.embedding)::DOUBLE AS x, "
+            "       unnest(c.cent_emb)::DOUBLE AS y FROM embeddings e, c), "
+            "sc AS (SELECT vec_id, cent_id, "
+            "       sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS ccos "
+            "       FROM za GROUP BY vec_id, cent_id), "
+            "assign AS (SELECT vec_id, cent_id FROM "
+            "  (SELECT vec_id, cent_id, row_number() OVER "
+            "   (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r FROM sc) WHERE r = 1), "
+            "probe AS (SELECT cent_id FROM sc WHERE vec_id = 0 "
+            "          ORDER BY ccos DESC, cent_id LIMIT 4), "
+            "cand AS (SELECT a.vec_id FROM assign a JOIN probe USING (cent_id) "
+            "         WHERE a.vec_id <> 0), "
+            "zz AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.embedding)::DOUBLE AS y "
+            "       FROM embeddings e JOIN cand USING (vec_id), "
+            "       (SELECT embedding FROM embeddings WHERE vec_id = 0) q), "
+            "s2 AS (SELECT vec_id, sum(x * y) AS dp, sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb "
+            "       FROM zz GROUP BY vec_id) "
+            "SELECT vec_id, round(dp / (na * nb), 6) AS cosine FROM s2 "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "

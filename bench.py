@@ -170,7 +170,10 @@ def main():
             "quality_score",
             "dedup_exact",
             "minhash_lsh_pairs",
+            "ngram_jaccard",
             "ann_cosine_topk",
+            "ann_ivf_topk",
+            "embedding_dup_pairs",
             "codec_roundtrip_documents",
         ):
             t0 = time.perf_counter()

@@ -122,6 +122,75 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 1
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10,
+                 n_cents: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF (inverted-file) ANN: partition vectors into n_cents lists by
+    nearest centroid, probe only the nprobe lists nearest the query,
+    exact-cosine rescore inside them.
+
+    Centroids are SAMPLED deterministically (the embeddings of
+    vec_id < n_cents) rather than Lloyd-trained: sampling from the data
+    distribution is the standard zero-training IVF baseline and keeps
+    the whole operator SQL-expressible for the oracle. At scale:
+    centroid count grows ~sqrt(N), assignment is one broadcast
+    join + per-vector argmax (no shuffle of the big side), and the probe
+    prunes (n_cents - nprobe)/n_cents of the corpus from the scan.
+    Ties break by centroid id (deterministic)."""
+    from pyspark.sql import Window as W
+
+    e = _emb(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < n_cents).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        (
+            _dot(F.col("embedding"), F.col("cent_emb"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cent_emb")))
+        ).alias("ccos"),
+    )
+    rank = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    )
+    assign = scored.withColumn("r", rank).filter(F.col("r") == 1).select(
+        "vec_id", "embedding", "cent_id"
+    )
+    q = e.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cent_id",
+            (
+                _dot(F.col("q_emb"), F.col("cent_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("cent_emb")))
+            ).alias("qcos"),
+        )
+        .orderBy(F.col("qcos").desc(), F.col("cent_id"))
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    cand = assign.join(F.broadcast(probe), "cent_id").filter(
+        F.col("vec_id") != query_id
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ copy(vec_id+100000): deterministic duplicate vectors
     so near-dup detection has nonempty, oracle-checkable output."""

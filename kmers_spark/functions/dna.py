@@ -8,6 +8,7 @@ no Python in the hot path; the windowed ones use explode(sequence())
 or bounded window frames (SeqVecMinimizerIter, minimizers.rs:38-142).
 """
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -145,6 +146,47 @@ def kmer_canonical_packed(spark: SparkSession, sf_dir: str, k: int = 45) -> Data
 
     km = _kmers(spark, sf_dir, k)
     return km.select("doc_id", "pos", "kmer", canonical(F.col("kmer")).alias("canonical_packed"))
+
+
+def seq_slice_lookup(spark: SparkSession, sf_dir: str, k: int = 9) -> DataFrame:
+    """W6/SeqVectorSlice (seq_vector.rs:25-81): pack each document's seq
+    to 2 bits ONCE, then answer point lookups — k-mer at position p —
+    by reading only the ~9 payload bytes that hold it (no block decode).
+    Three lookups per doc (start / middle / end); oracle is plain
+    substr arithmetic on the unpacked sequence."""
+    from ..kernels import domain
+
+    @F.pandas_udf("binary")
+    def pack(seqs: pd.Series) -> pd.Series:
+        return pd.Series([domain.pack_seq(s) for s in seqs], dtype=object)
+
+    @F.pandas_udf("string")
+    def lookup(packed: pd.Series, pos: pd.Series) -> pd.Series:
+        words = domain.slice_kmers_packed(
+            [bytes(b) for b in packed], pos.to_numpy(dtype=np.int64), k
+        )
+        return pd.Series(domain.unpack_batch(words.reshape(-1, 1), k).astype(str))
+
+    seqs = _docs_seq(spark, sf_dir).filter(F.length("seq") >= k)
+    packed = seqs.select(
+        "doc_id", F.length("seq").alias("slen"), pack(F.col("seq")).alias("packed")
+    )
+    lookups = packed.select(
+        "doc_id",
+        "packed",
+        F.explode(
+            F.array(
+                F.struct(F.lit("start").alias("which"), F.lit(0).cast("long").alias("pos")),
+                F.struct(F.lit("mid").alias("which"),
+                         ((F.col("slen") - k) / 2).cast("long").alias("pos")),
+                F.struct(F.lit("end").alias("which"),
+                         (F.col("slen") - k).cast("long").alias("pos")),
+            )
+        ).alias("lk"),
+    ).select("doc_id", F.col("lk.which").alias("which"), F.col("lk.pos").alias("pos"), "packed")
+    return lookups.select(
+        "doc_id", "which", "pos", lookup(F.col("packed"), F.col("pos")).alias("kmer")
+    )
 
 
 def xor10_roundtrip(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:

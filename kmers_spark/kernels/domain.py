@@ -215,6 +215,53 @@ def canonical_batch(fw: np.ndarray, k: int) -> np.ndarray:
     return np.where(take_rc[:, None], rc, fw)
 
 
+# ----------------------------------------------------------- packed seq
+# SeqVector/SeqVectorSlice analog (seq_vector.rs:25-81, 260-300): a whole
+# sequence packed 2-bit little-endian, with RANDOM ACCESS into the packed
+# bytes — get_kmer_u64 reads a k-mer at any position touching only the
+# ~9 bytes that hold it, never decoding the block.
+
+
+def pack_seq(seq) -> bytes:
+    """ASCII sequence -> 2-bit-packed bytes (low bits first)."""
+    codes = seq_to_codes(seq)
+    if (codes == INVALID).any():
+        raise ValueError("invalid nucleotide")
+    bits = np.zeros(len(codes) * 2, dtype=np.uint8)
+    bits[0::2] = codes & 1
+    bits[1::2] = codes >> 1
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def slice_kmers_packed(bufs: list[bytes], positions: np.ndarray, k: int) -> np.ndarray:
+    """Batched random access: k-mer word at (0-based) position p of each
+    packed buffer, k <= 32. Each lookup reads at most 9 bytes (64 bits of
+    payload + sub-byte shift) — the zero-copy slice semantics of
+    SeqVectorSlice::get_kmer_u64, vectorized over the batch."""
+    if k > 32:
+        raise ValueError("slice lookup is single-word: k <= 32")
+    n = len(bufs)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    g = np.zeros((n, 9), dtype=np.uint8)
+    pos = np.asarray(positions, dtype=np.int64)
+    byte0 = (pos * 2) // 8
+    for i, b in enumerate(bufs):
+        take = min(9, len(b) - byte0[i])
+        g[i, :take] = np.frombuffer(b, np.uint8, count=take, offset=byte0[i])
+    w = (g[:, :8].astype(np.uint64) << (np.uint64(8) * np.arange(8, dtype=np.uint64))).sum(
+        axis=1, dtype=np.uint64
+    )
+    shift = ((pos * 2) % 8).astype(np.uint64)
+    hi = g[:, 8].astype(np.uint64)
+    nz = shift > 0
+    w[nz] = (w[nz] >> shift[nz]) | (hi[nz] << (np.uint64(64) - shift[nz]))
+    if k < 32:
+        w &= (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+    return w
+
+
 # ---------------------------------------------------------------- xor10
 # The reference's second Encoding impl (encoding/xor10.rs:17-72): encode
 # is TABLE-FREE arithmetic — code = (ascii >> 1) & 0b11, giving A=0 C=1

@@ -247,3 +247,19 @@ def test_xor10_multiword_k40():
     words = domain.pack_batch(domain.xor10_codes_matrix(seqs, 40))
     assert words.shape == (32, 2)
     assert [s.decode() for s in domain.xor10_unpack_batch(words, 40)] == list(seqs)
+
+
+def test_packed_seq_slice_random_access():
+    """SeqVectorSlice semantics (seq_vector.rs:25-81): k-mer at any
+    position from the packed bytes, touching <= 9 bytes per lookup."""
+    rng = np.random.default_rng(11)
+    s = "".join(rng.choice(list("ACGT"), 257))
+    b = domain.pack_seq(s)
+    assert len(b) == (257 * 2 + 7) // 8
+    for k in (1, 9, 31, 32):
+        poss = np.arange(0, 257 - k + 1)
+        w = domain.slice_kmers_packed([b] * len(poss), poss, k)
+        got = [x.decode() for x in domain.unpack_batch(w.reshape(-1, 1), k)]
+        assert got == [s[p : p + k].lower() for p in poss]
+    with pytest.raises(ValueError):
+        domain.slice_kmers_packed([b], np.array([0]), 33)

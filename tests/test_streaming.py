@@ -91,3 +91,50 @@ def test_windowed_agg_stream_equals_batch(spark, tmp_path):
     b = {key(r): (r["n"], r["v"]) for r in agg_batch}
     s = {key(r): (r["n"], r["v"]) for r in agg_stream}
     assert b == s
+
+
+@pytest.mark.slow
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer over two arrivals == the batch
+    sessionize query on the union (state carries session counters and
+    last-seen across micro-batches)."""
+    from kmers_spark.functions import olap
+    from kmers_spark.streaming import stateful
+
+    sf = "/root/testdata/sf0.001"
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "user_id", "ts")
+    src = str(tmp_path / "ev_src")
+    # arrival order must respect per-user ts order: split at the global
+    # ts median (percent_rank is type-agnostic; NTZ won't cast to double)
+    ranked = ev.withColumn("r", F.percent_rank().over(W.orderBy("ts", "event_id")))
+    ranked.filter(F.col("r") <= 0.5).drop("r").coalesce(1).write.parquet(f"{src}/b=1")
+    ranked.filter(F.col("r") > 0.5).drop("r").coalesce(1).write.parquet(f"{src}/b=2")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b=*")
+    )
+    out = stateful.sessionize_stream(stream, gap_s=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["event_id"], r["user_id"]): r["session_id"]
+        for r in spark.table("sess_out").collect()
+    }
+    expect = {
+        (r["event_id"], r["user_id"]): r["session_id"]
+        for r in olap.sessionize(spark, sf).collect()
+    }
+    assert len(got) == len(expect)
+    assert got == expect
