@@ -96,6 +96,31 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str)
     return grouped.applyInPandas(decode_group, out_schema)
 
 
+def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame:
+    """Point lookups against the COMPRESSED store: re-derive each key's
+    bucket from the manifest (same salted hash the encode job used —
+    deterministic by design), decode ONLY those buckets (the bucket
+    predicate prunes parquet row groups, test_plans.py), and filter to
+    the requested keys. At 10^12 rows this touches |keys| buckets out of
+    num_buckets instead of the whole table — the Iceberg-style partition
+    pruning of the north rule expressed over block files."""
+    from . import partitioning
+
+    m = manifest.load(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    key_col = m["key"]
+    kdf = spark.createDataFrame([(k,) for k in keys], f"`{key_col}` string")
+    bucketed = partitioning.with_bucket(kdf, m["num_buckets"], m.get("hot_keys") or {},
+                                        url_col=key_col)
+    buckets = sorted({r["bucket"] for r in bucketed.select("bucket").distinct().collect()})
+    from pyspark.sql import functions as F
+
+    return decode_table(spark, out_dir, buckets=buckets).join(
+        F.broadcast(kdf), key_col, "inner"
+    )
+
+
 def decode_colocated(spark: SparkSession, out_dir: str) -> DataFrame:
     """Shuffle-free decode: block files are written bucket-grouped, so a
     mapInArrow pass can reassemble each bucket's columns without moving

@@ -248,3 +248,20 @@ def test_decode_colocated_immune_to_small_maxPartitionBytes(spark, pages_df, tmp
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
         spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
+def test_lookup_keys_prunes_buckets(spark, pages_df, tmp_path):
+    """Point lookups decode only the buckets the keys hash to."""
+    out = str(tmp_path / "snap_lookup")
+    enc.encode_table(pages_df, out, num_buckets=N_BUCKETS)
+    urls = [r["url"] for r in pages_df.select("url").limit(3).collect()]
+    got = dec.lookup_keys(spark, out, urls)
+    rows = {r["url"]: r for r in got.collect()}
+    assert set(rows) == set(urls)
+    orig = {r["url"]: r for r in pages_df.filter(F.col("url").isin(urls)).collect()}
+    for u in urls:
+        assert rows[u]["text"] == orig[u]["text"]
+        assert rows[u]["warc_ts"] == orig[u]["warc_ts"]
+    # pruning: the bucket filter reaches the block-parquet scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bucket" in plan.split("PushedFilters")[1][:300]
