@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--snapshot-id", default="snap-1")
     ap.add_argument("--no-skew-detect", action="store_true")
     ap.add_argument("--fresh", action="store_true", help="ignore existing manifest")
+    ap.add_argument(
+        "--commit-every", type=int, default=None,
+        help="checkpoint granularity: write+commit this many buckets per "
+        "wave so a killed job loses at most one wave (default: all at once)",
+    )
     args = ap.parse_args()
 
     from kmers_spark.session import get_spark
@@ -45,6 +50,7 @@ def main() -> None:
         snapshot_id=args.snapshot_id,
         detect_skew=not args.no_skew_detect,
         resume=not args.fresh,
+        commit_every=args.commit_every,
     )
     totals = {"raw": 0, "enc": 0}
     for blocks in m["blocks"].values():

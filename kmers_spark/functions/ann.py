@@ -132,12 +132,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 1
     vec_id < n_cents) rather than Lloyd-trained: sampling from the data
     distribution is the standard zero-training IVF baseline and keeps
     the whole operator SQL-expressible for the oracle. At scale:
-    centroid count grows ~sqrt(N), assignment is one broadcast
-    join + per-vector argmax (no shuffle of the big side), and the probe
-    prunes (n_cents - nprobe)/n_cents of the corpus from the scan.
-    Ties break by centroid id (deterministic)."""
-    from pyspark.sql import Window as W
-
+    centroid count grows ~sqrt(N); assignment is one broadcast
+    join + per-vector argmax via max(struct) — a hash aggregate with a
+    map-side PARTIAL (a window would sort-shuffle all N * n_cents
+    scored rows; the partial agg reduces them to N before the
+    exchange). The probe prunes (n_cents - nprobe)/n_cents of the
+    corpus from the rescore. Ties break by centroid id."""
     e = _emb(spark, sf_dir)
     cents = e.filter(F.col("vec_id") < n_cents).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
@@ -151,11 +151,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 1
             / (_norm(F.col("embedding")) * _norm(F.col("cent_emb")))
         ).alias("ccos"),
     )
-    rank = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    )
-    assign = scored.withColumn("r", rank).filter(F.col("r") == 1).select(
-        "vec_id", "embedding", "cent_id"
+    # argmax(ccos, tie -> min cent_id) == max of struct(ccos, -cent_id)
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))).alias("m"),
+            F.first("embedding").alias("embedding"),  # identical across the group
+        )
+        .select("vec_id", "embedding", (-F.col("m.nc")).alias("cent_id"))
     )
     q = e.filter(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("q_emb")

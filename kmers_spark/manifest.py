@@ -46,6 +46,7 @@ def init(out_dir: str, *, snapshot_id: str, schema: dict[str, str], num_buckets:
         "seed": seed,
         "committed_buckets": [],   # checkpoint markers
         "blocks": {},              # str(bucket) -> [{column, codec, n_rows, raw, enc}]
+        "wave_dirs": [],           # committed data dirs (manifest-list)
         "hot_keys": {},            # skew salting decisions {host: n_salts}
         "created_unix": int(time.time()),
     }
@@ -61,8 +62,13 @@ def save(out_dir: str, m: dict[str, Any]) -> None:
     os.replace(tmp, _path(out_dir))
 
 
-def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]]) -> dict[str, Any]:
-    """Record per-bucket block stats and mark the buckets committed."""
+def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
+                   wave_dir: str | None = None) -> dict[str, Any]:
+    """Record per-bucket block stats, mark the buckets committed, and
+    (Iceberg manifest-list style) register the wave's data directory —
+    readers only ever see directories this list names, so a job killed
+    AFTER writing a wave but BEFORE this commit leaves an orphan dir
+    that is never read and is swept on the next resume."""
     m = load(out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
@@ -71,6 +77,8 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]]) -> dict[st
         m["blocks"][str(b)] = blocks
         done.add(int(b))
     m["committed_buckets"] = sorted(done)
+    if wave_dir is not None:
+        m.setdefault("wave_dirs", []).append(wave_dir)
     save(out_dir, m)
     return m
 

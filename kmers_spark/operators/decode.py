@@ -156,7 +156,9 @@ def decode_colocated(spark: SparkSession, out_dir: str) -> DataFrame:
             pass
     s2.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
     s2.conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
-    blocks = s2.read.parquet(_blocks_path(out_dir))
+    from .encode import committed_wave_paths
+
+    blocks = s2.read.parquet(*committed_wave_paths(out_dir, m))
 
     def decode_partition(batches):
         arrowcodecs.pin_worker_threads()

@@ -175,8 +175,18 @@ def encode_table(
     detect_skew: bool = True,
     resume: bool = True,
     fail_buckets_over: int | None = None,
+    commit_every: int | None = None,
 ) -> dict:
     """Run the encode job; returns the updated manifest dict.
+
+    `commit_every` splits the pending buckets into waves of that size,
+    each written AND manifest-committed before the next starts: a job
+    killed (even kill -9) mid-run loses only the in-flight wave — its
+    partial output sits in the committer's _temporary dir, which the
+    parquet reader ignores — and resume picks up from the last
+    committed wave. At 100 TB this bounds recomputation to
+    commit_every buckets instead of the whole snapshot; the cost is one
+    Spark job per wave instead of one total.
 
     `fail_buckets_over` keeps only buckets < N (test hook: simulates a
     job killed partway so resume can be exercised — FIXTURES.md §4).
@@ -204,50 +214,106 @@ def encode_table(
     hot = m["hot_keys"]
 
     done = set(m["committed_buckets"])
-    bucketed = plan_buckets(df, num_buckets, hot, key)
-    if done:
-        bucketed = bucketed.filter(~F.col("bucket").isin(sorted(done)))
+    pending = [b for b in range(num_buckets) if b not in done]
     if fail_buckets_over is not None:
-        bucketed = bucketed.filter(F.col("bucket") < fail_buckets_over)
+        pending = [b for b in pending if b < fail_buckets_over]
+    bucketed = plan_buckets(df, num_buckets, hot, key)
 
-    blocks = encode_blocks_df(bucketed, schema, key, codec_overrides)
-    (
-        blocks.write.mode("append")
-        # bucket stays a regular column: parquet row-group stats prune
-        # bucket-filtered reads, and a plain write scales where the
-        # dynamic-partition writer serializes (BENCH notes)
-        # payloads are already entropy-coded; snappy would only burn CPU
-        .option("compression", "none")
-        .parquet(_blocks_path(out_dir))
-    )
+    if commit_every:
+        waves = [pending[i : i + commit_every] for i in range(0, len(pending), commit_every)]
+    else:
+        waves = [pending] if pending else []
 
-    # read back the stats (not the payloads: column pruning keeps this cheap)
-    written = (
-        df.sparkSession.read.parquet(_blocks_path(out_dir))
-        .select("bucket", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes")
-        .filter(~F.col("bucket").isin(sorted(done)) if done else F.lit(True))
-        .collect()
-    )
-    stats: dict[int, list[dict]] = {}
-    for r in written:
-        stats.setdefault(int(r["bucket"]), []).append(
-            {
-                "column": r["column"],
-                "codec": r["codec"],
-                "n_rows": r["n_rows"],
-                "raw_nbytes": r["raw_nbytes"],
-                "enc_nbytes": r["enc_nbytes"],
-            }
+    sweep_orphan_waves(out_dir, m)
+
+    for wave in waves:
+        # full-snapshot wave needs no filter (a 10^5-literal isin would
+        # bloat codegen); partial waves are small by construction
+        wave_df = bucketed if len(wave) == num_buckets else bucketed.filter(
+            F.col("bucket").isin(wave)
         )
-    return manifest.commit_buckets(out_dir, stats)
+        blocks = encode_blocks_df(wave_df, schema, key, codec_overrides)
+        # Each wave lands in its own directory and only becomes visible
+        # when the manifest commit below registers it (Iceberg
+        # manifest-list discipline): a crash between write and commit
+        # leaves an orphan dir that readers never see.
+        wave_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
+        (
+            blocks.write.mode("error")
+            # bucket stays a regular column: parquet row-group stats prune
+            # bucket-filtered reads, and a plain write scales where the
+            # dynamic-partition writer serializes (BENCH notes)
+            # payloads are already entropy-coded; snappy would only burn CPU
+            .option("compression", "none")
+            .parquet(wave_dir)
+        )
+        # read back the stats (not the payloads: column pruning is cheap)
+        written = (
+            df.sparkSession.read.parquet(wave_dir)
+            .select("bucket", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes")
+            .collect()
+        )
+        stats: dict[int, list[dict]] = {}
+        for r in written:
+            stats.setdefault(int(r["bucket"]), []).append(
+                {
+                    "column": r["column"],
+                    "codec": r["codec"],
+                    "n_rows": r["n_rows"],
+                    "raw_nbytes": r["raw_nbytes"],
+                    "enc_nbytes": r["enc_nbytes"],
+                }
+            )
+        m = manifest.commit_buckets(out_dir, stats, wave_dir=_wave_rel(wave_dir, out_dir))
+    return m
 
 
 def _blocks_path(out_dir: str) -> str:
     return f"{out_dir}/blocks"
 
 
+def _wave_name() -> str:
+    import uuid
+
+    return f"w_{uuid.uuid4().hex[:12]}"
+
+
+def _wave_rel(wave_dir: str, out_dir: str) -> str:
+    return wave_dir[len(out_dir) + 1 :]  # "blocks/w_<id>" — manifest stays relocatable
+
+
+def committed_wave_paths(out_dir: str, m: dict | None = None) -> list[str]:
+    m = m or manifest.load(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    if "wave_dirs" in m:
+        return [f"{out_dir}/{d}" for d in m["wave_dirs"]]
+    return [_blocks_path(out_dir)]  # pre-wave snapshots: flat layout
+
+
+def sweep_orphan_waves(out_dir: str, m: dict) -> None:
+    """Delete wave dirs a crashed run wrote but never committed (they
+    are invisible to readers either way; sweeping reclaims space).
+    Local-fs implementation — on an object store use its listing API."""
+    import os
+    import shutil
+
+    root = _blocks_path(out_dir)
+    if not os.path.isdir(root):
+        return
+    committed = set(m.get("wave_dirs", []))
+    for name in os.listdir(root):
+        if name.startswith("w_") and f"blocks/{name}" not in committed:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
 def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(_blocks_path(out_dir))
+    """Block rows of all COMMITTED waves (the manifest is the source of
+    truth for what exists — uncommitted dirs are never read)."""
+    paths = committed_wave_paths(out_dir)
+    if not paths:
+        return spark.createDataFrame([], BLOCK_SCHEMA)
+    return spark.read.parquet(*paths)
 
 
 def encode_colocated_df(df: DataFrame, schema: dict[str, str], key: str,

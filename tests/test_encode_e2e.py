@@ -2,6 +2,7 @@
 (the north-rule invariant), plus checkpoint/resume and skew salting."""
 
 import numpy as np
+from pathlib import Path
 import pytest
 from pyspark.sql import functions as F
 
@@ -225,9 +226,10 @@ def test_decode_raises_on_duplicate_block_rows(spark, pages_df, tmp_path):
     write) must fail loudly, not silently drop part of the bucket."""
     out = str(tmp_path / "snap_dup")
     enc.encode_table(pages_df, out, num_buckets=4)
+    wave = enc.committed_wave_paths(out)[0]
     blocks = enc.read_blocks(spark, out)
     one = blocks.limit(1)
-    one.write.mode("append").option("compression", "none").parquet(f"{out}/blocks")
+    one.write.mode("append").option("compression", "none").parquet(wave)
     with pytest.raises(Exception, match="duplicate block rows"):
         dec.decode_table(spark, out).count()
 
@@ -265,3 +267,82 @@ def test_lookup_keys_prunes_buckets(spark, pages_df, tmp_path):
     # pruning: the bucket filter reaches the block-parquet scan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "bucket" in plan.split("PushedFilters")[1][:300]
+
+
+@pytest.mark.slow
+def test_kill9_resume_preserves_committed_waves(spark, tmp_path):
+    """TRUE crash resume: a subprocess encode job (commit_every=2) is
+    SIGKILLed once the manifest shows >= 2 committed buckets; the
+    in-flight wave's partial output lives in the committer's _temporary
+    dir (ignored by the reader), and a resume run completes exactly the
+    missing buckets with a bit-identical round trip and no duplicate
+    block rows."""
+    import os
+    import signal
+    import subprocess
+    import time
+
+    from kmers_spark import manifest
+
+    out = str(tmp_path / "snap_kill9")
+    script = f"""
+import sys; sys.path.insert(0, {str(Path(__file__).resolve().parents[1])!r})
+from kmers_spark.session import get_spark
+from kmers_spark import pages
+from kmers_spark.operators import encode as enc
+spark = get_spark(master="local[2]", shuffle_partitions=8)
+df = pages.pages_df(spark, 8000, seed=4, partitions=4)
+enc.encode_table(df, {out!r}, num_buckets=8, detect_skew=False, commit_every=2)
+"""
+    proc = subprocess.Popen(
+        ["python", "-c", script], stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL, start_new_session=True,
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            m = manifest.load(out)
+            if m and len(m["committed_buckets"]) >= 2:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("subprocess never committed a wave")
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    finally:
+        proc.wait(timeout=30)
+
+    m = manifest.load(out)
+    n_before = len(m["committed_buckets"])
+    assert 2 <= n_before < 8, m["committed_buckets"]
+
+    df = pages.pages_df(spark, 8000, seed=4, partitions=4)
+    m2 = enc.encode_table(df, out, num_buckets=8, detect_skew=False, commit_every=2)
+    assert sorted(m2["committed_buckets"]) == list(range(8))
+
+    decoded = dec.decode_table(spark, out)  # raises on duplicate block rows
+    _roundtrip_check(spark, df, decoded)
+
+
+def test_orphan_wave_invisible_and_swept(spark, pages_df, tmp_path):
+    """A wave written but not manifest-committed (crash in the gap
+    between parquet write and commit marker) must be invisible to every
+    reader — no duplicate block rows on resume — and get swept by the
+    next encode run."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "snap_orphan")
+    enc.encode_table(pages_df, out, num_buckets=4)
+    n_rows = enc.read_blocks(spark, out).count()
+
+    committed = enc.committed_wave_paths(out)[0]
+    orphan = f"{out}/blocks/w_deadbeef0000"
+    shutil.copytree(committed, orphan)
+
+    # invisible: same block rows, decode clean (no duplicate-row raise)
+    assert enc.read_blocks(spark, out).count() == n_rows
+    _roundtrip_check(spark, pages_df, dec.decode_table(spark, out))
+
+    # swept on the next encode run (resume no-op still sweeps)
+    enc.encode_table(pages_df, out, num_buckets=4)
+    assert not os.path.exists(orphan)
