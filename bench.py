@@ -158,6 +158,12 @@ def main():
         n = dec.decode_table(s, peak["out"]).count()
         timings["decode_pages"] = round(time.perf_counter() - t0, 3)
         assert n == PAGES_ROWS, f"decode row count {n} != {PAGES_ROWS}"
+
+        # shuffle-free path: whole block files per scan partition
+        t0 = time.perf_counter()
+        n2 = dec.decode_colocated(s, peak["out"]).count()
+        timings["decode_pages_colocated"] = round(time.perf_counter() - t0, 3)
+        assert n2 == PAGES_ROWS
         shutil.rmtree(peak["out"], ignore_errors=True)
 
         import __spark_entry__ as entrymod

@@ -114,3 +114,22 @@ def test_embedding_lsh_buckets_bounded_and_no_cartesian(spark):
         keys.groupBy("band", "band_key").count().agg(F.max("count")).collect()[0][0]
     )
     assert biggest <= max(0.25 * n, 16), (biggest, n)
+
+
+def test_no_query_plan_contains_cartesian(spark):
+    """Safety net across the WHOLE query surface: no query may plan a
+    CartesianProduct (the non-broadcast all-pairs join). Broadcast
+    nested loops against tiny literal tables (planes, query vectors)
+    are allowed; an accidental cartesian on two big sides is not."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders[name] = True
+    assert not offenders, f"cartesian joins in: {sorted(offenders)}"
