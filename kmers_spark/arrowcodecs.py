@@ -231,7 +231,7 @@ def column_stats_arrow(arr: pa.Array, typ: str, sample_max: int = 8192) -> dict:
         arr = arr.combine_chunks()
     s = arr.slice(0, min(len(arr), sample_max))
     n = len(s)
-    stats: dict = {"n": n, "n_null": s.null_count}
+    stats: dict = {"n": n, "n_null": s.null_count, "n_total": len(arr)}
     if n == 0 or s.null_count == n:
         stats.update(distinct=0, mean_run=0.0)
         return stats

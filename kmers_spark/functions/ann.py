@@ -233,7 +233,7 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str, n_planes: int = 16,
     element index — no dims probe; the SQL oracle recomputes the
     identical planes)."""
     if n_planes % n_bands:
-        raise ValueError(f"n_planes ({n_planes}) must divide evenly into n_bands ({n_bands})")
+        raise ValueError(f"n_bands ({n_bands}) must evenly divide n_planes ({n_planes})")
     band_planes = n_planes // n_bands
     e = _emb_with_dups(spark, sf_dir)
     planes_df = spark.range(n_planes).select(F.col("id").cast("int").alias("plane"))

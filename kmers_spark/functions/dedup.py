@@ -115,13 +115,16 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> D
     of the dedup pipeline; joins only candidate pairs).
 
     The shingle table — the expensive artifact, feeding both the minhash
-    signatures AND the exact-intersection join — is computed ONCE and
-    persisted; without this the whole explode+hash pipeline runs three
-    times (at a 100 TB corpus that triples the dominant cost; in a real
-    deployment the signature table would be written through to storage)."""
+    signatures AND the exact-intersection join — is computed ONCE via an
+    eager localCheckpoint; without this the whole explode+hash pipeline
+    runs three times (at a 100 TB corpus that triples the dominant cost;
+    in a real deployment the signature table would be written through to
+    storage). localCheckpoint (not persist): its blocks are released
+    when the returned DataFrame is garbage-collected, while a persist'd
+    plan would sit in the CacheManager for the session's lifetime."""
     sh = _shingles(
         _docs_with_dups(spark, sf_dir).filter(F.col("text").isNotNull())
-    ).persist()
+    ).localCheckpoint(eager=True)
     pairs = _pairs_from_sigs(_signatures_from_shingles(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -191,16 +194,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> Data
     label table (shuffle on doc_id); iterations ~ graph diameter, which
     for dup clusters is tiny. No driver-side graph state.
 
-    The edge table is persisted: every iteration (plus its convergence
-    count) joins against it, and without the persist the full
-    shingle->minhash->band pipeline would be recomputed each time.
-    (localCheckpoint below is executor-local — on a real cluster use a
+    The edge table is materialized once (eager localCheckpoint): every
+    iteration (plus its convergence count) joins against it, and without
+    it the full shingle->minhash->band pipeline would be recomputed each
+    time. (localCheckpoint is executor-local — on a real cluster use a
     reliable checkpoint dir / write-through for fault tolerance.)
     """
     pairs = minhash_lsh_pairs(spark, sf_dir)
     edges = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
     for _ in range(max_iter):

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import codecs, manifest
-from .encode import _blocks_path, assert_utc_session, read_blocks
+from .encode import assert_utc_session, committed_wave_paths, read_blocks
 
 _SPARK_TYPE = {
     "string": "string",
@@ -156,9 +156,10 @@ def decode_colocated(spark: SparkSession, out_dir: str) -> DataFrame:
             pass
     s2.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
     s2.conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
-    from .encode import committed_wave_paths
-
-    blocks = s2.read.parquet(*committed_wave_paths(out_dir, m))
+    paths = committed_wave_paths(out_dir, m)
+    if not paths:  # manifest exists but nothing committed yet
+        return spark.createDataFrame([], out_schema)
+    blocks = s2.read.parquet(*paths)
 
     def decode_partition(batches):
         arrowcodecs.pin_worker_threads()
@@ -172,7 +173,13 @@ def decode_colocated(spark: SparkSession, out_dir: str) -> DataFrame:
         payloads = table.column("payload")
         per_bucket: dict[int, dict] = {}
         for i, b in enumerate(buckets):
-            per_bucket.setdefault(b, {})[col_names[i]] = i
+            cols_of_b = per_bucket.setdefault(b, {})
+            if col_names[i] in cols_of_b:
+                raise ValueError(
+                    f"duplicate block rows for bucket {b}: column "
+                    f"{col_names[i]!r} appears twice (corrupt wave dir)"
+                )
+            cols_of_b[col_names[i]] = i
         for b, idx in per_bucket.items():
             if len(idx) != n_cols:
                 raise ValueError(

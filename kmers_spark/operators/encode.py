@@ -213,6 +213,8 @@ def encode_table(
         manifest.save(out_dir, m)
     hot = m["hot_keys"]
 
+    m = migrate_legacy_layout(out_dir, m)
+
     done = set(m["committed_buckets"])
     pending = [b for b in range(num_buckets) if b not in done]
     if fail_buckets_over is not None:
@@ -226,45 +228,88 @@ def encode_table(
 
     sweep_orphan_waves(out_dir, m)
 
-    for wave in waves:
-        # full-snapshot wave needs no filter (a 10^5-literal isin would
-        # bloat codegen); partial waves are small by construction
-        wave_df = bucketed if len(wave) == num_buckets else bucketed.filter(
-            F.col("bucket").isin(wave)
-        )
-        blocks = encode_blocks_df(wave_df, schema, key, codec_overrides)
-        # Each wave lands in its own directory and only becomes visible
-        # when the manifest commit below registers it (Iceberg
-        # manifest-list discipline): a crash between write and commit
-        # leaves an orphan dir that readers never see.
-        wave_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
-        (
-            blocks.write.mode("error")
-            # bucket stays a regular column: parquet row-group stats prune
-            # bucket-filtered reads, and a plain write scales where the
-            # dynamic-partition writer serializes (BENCH notes)
-            # payloads are already entropy-coded; snappy would only burn CPU
-            .option("compression", "none")
-            .parquet(wave_dir)
-        )
-        # read back the stats (not the payloads: column pruning is cheap)
-        written = (
-            df.sparkSession.read.parquet(wave_dir)
-            .select("bucket", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes")
-            .collect()
-        )
-        stats: dict[int, list[dict]] = {}
-        for r in written:
-            stats.setdefault(int(r["bucket"]), []).append(
-                {
-                    "column": r["column"],
-                    "codec": r["codec"],
-                    "n_rows": r["n_rows"],
-                    "raw_nbytes": r["raw_nbytes"],
-                    "enc_nbytes": r["enc_nbytes"],
-                }
+    # multi-wave runs would otherwise re-scan + re-hash the WHOLE input
+    # once per wave just to keep a few buckets; persist the bucketed rows
+    # once (memory-and-disk) and release after the last wave
+    persisted = len(waves) > 1
+    if persisted:
+        bucketed = bucketed.persist()
+    try:
+        for wave in waves:
+            # full-snapshot wave needs no filter (a 10^5-literal isin
+            # would bloat codegen); partial waves are small
+            wave_df = bucketed if len(wave) == num_buckets else bucketed.filter(
+                F.col("bucket").isin(wave)
             )
-        m = manifest.commit_buckets(out_dir, stats, wave_dir=_wave_rel(wave_dir, out_dir))
+            blocks = encode_blocks_df(wave_df, schema, key, codec_overrides)
+            # Each wave lands in its own directory and only becomes
+            # visible when the manifest commit below registers it
+            # (Iceberg manifest-list discipline): a crash between write
+            # and commit leaves an orphan dir that readers never see.
+            wave_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
+            (
+                blocks.write.mode("error")
+                # bucket stays a regular column: parquet row-group stats
+                # prune bucket-filtered reads, and a plain write scales
+                # where the dynamic-partition writer serializes (BENCH)
+                # payloads are already entropy-coded; snappy only burns CPU
+                .option("compression", "none")
+                .parquet(wave_dir)
+            )
+            # read back the stats (not the payloads: column pruning is
+            # cheap). Explicit schema: a wave of hash-empty buckets
+            # writes a dir with no part files, which schema inference
+            # would reject.
+            written = (
+                df.sparkSession.read.schema(BLOCK_SCHEMA).parquet(wave_dir)
+                .select("bucket", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes")
+                .collect()
+            )
+            stats: dict[int, list[dict]] = {}
+            for b in wave:
+                stats[b] = []  # hash-empty buckets commit too (else they
+                # stay pending forever and every resume rewrites nothing)
+            for r in written:
+                stats.setdefault(int(r["bucket"]), []).append(
+                    {
+                        "column": r["column"],
+                        "codec": r["codec"],
+                        "n_rows": r["n_rows"],
+                        "raw_nbytes": r["raw_nbytes"],
+                        "enc_nbytes": r["enc_nbytes"],
+                    }
+                )
+            m = manifest.commit_buckets(out_dir, stats, wave_dir=_wave_rel(wave_dir, out_dir))
+    finally:
+        if persisted:
+            bucketed.unpersist()
+    return m
+
+
+def migrate_legacy_layout(out_dir: str, m: dict) -> dict:
+    """Pre-wave snapshots hold flat part files directly under blocks/.
+    Once a wave dir is registered, readers resolve paths from
+    manifest["wave_dirs"] only — so before the first new wave commits,
+    move the legacy flat files into a registered w_legacy dir (their
+    data would otherwise become invisible). Local-fs rename; no-op for
+    wave-layout or empty stores."""
+    import os
+    import shutil
+
+    if "wave_dirs" in m:
+        return m
+    root = _blocks_path(out_dir)
+    m.setdefault("wave_dirs", [])
+    if os.path.isdir(root):
+        flat = [n for n in os.listdir(root)
+                if not n.startswith(("w_", "_", ".")) and n != "w_legacy"]
+        if flat:
+            legacy = os.path.join(root, "w_legacy")
+            os.makedirs(legacy, exist_ok=True)
+            for n in flat:
+                shutil.move(os.path.join(root, n), os.path.join(legacy, n))
+            m["wave_dirs"].append("blocks/w_legacy")
+    manifest.save(out_dir, m)
     return m
 
 

@@ -47,7 +47,7 @@ def column_stats(series: pd.Series, typ: str, sample_max: int = 8192) -> dict:
     n = len(s)
     mask = s.notna()
     dense = s[mask]
-    stats: dict = {"n": n, "n_null": int((~mask).sum())}
+    stats: dict = {"n": n, "n_null": int((~mask).sum()), "n_total": len(series)}
     if n == 0 or len(dense) == 0:
         stats.update(distinct=0, mean_run=0.0)
         return stats
@@ -169,7 +169,10 @@ def select_codec(stats: dict, typ: str) -> str:
         # block ORDER is random (url-sorted warc_ts of a dense crawl).
         # Near-sorted data keeps for_bitpack: its delta mode is perm-free.
         sd = stats.get("sorted_delta_bits")
-        perm_bits = max(stats.get("n", 1) - 1, 1).bit_length()
+        # perm width is set by the FULL block length, not the stats
+        # sample (a 1M-row block stores 20-bit perms even if the sample
+        # capped at 8192 suggests 13)
+        perm_bits = max(stats.get("n_total", stats.get("n", 1)) - 1, 1).bit_length()
         if sd is not None and perm_bits + sd < min(rb, 64) and stats.get("sortedness", 0.0) < 0.9:
             return "sortdelta"
         if rb < 64 or stats.get("sortedness", 0.0) >= 0.5:

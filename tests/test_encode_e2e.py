@@ -346,3 +346,52 @@ def test_orphan_wave_invisible_and_swept(spark, pages_df, tmp_path):
     # swept on the next encode run (resume no-op still sweeps)
     enc.encode_table(pages_df, out, num_buckets=4)
     assert not os.path.exists(orphan)
+
+
+def test_legacy_flat_layout_migrates_on_resume(spark, pages_df, tmp_path):
+    """Pre-wave snapshots (flat part files under blocks/, no wave_dirs in
+    the manifest) must stay fully visible after a resume run starts
+    writing wave dirs — the migration moves flat files into a
+    registered w_legacy dir."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "snap_legacy")
+    enc.encode_table(pages_df, out, num_buckets=N_BUCKETS, fail_buckets_over=3)
+
+    # rewrite the store to the legacy flat layout
+    m = manifest.load(out)
+    for wd in m["wave_dirs"]:
+        src = f"{out}/{wd}"
+        for name in os.listdir(src):
+            shutil.move(os.path.join(src, name), f"{out}/blocks/{name}")
+        os.rmdir(src)
+    del m["wave_dirs"]
+    manifest.save(out, m)
+
+    assert enc.read_blocks(spark, out).count() > 0  # legacy fallback path
+
+    # resume: must migrate, then complete the missing buckets
+    m2 = enc.encode_table(pages_df, out, num_buckets=N_BUCKETS)
+    assert sorted(m2["committed_buckets"]) == list(range(N_BUCKETS))
+    assert "blocks/w_legacy" in m2["wave_dirs"]
+    _roundtrip_check(spark, pages_df, dec.decode_table(spark, out))
+
+
+def test_hash_empty_buckets_commit_and_resume_noop(spark, tmp_path):
+    """Buckets no (host, salt) hashes to must still commit (else they
+    stay pending forever) and an all-committed re-run adds no waves."""
+    from pyspark.sql import Row
+
+    rows = [Row(url=f"https://h{i % 3}.x.com/p/{i}", v=i) for i in range(60)]
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "snap_empty")
+    m = enc.encode_table(df, out, num_buckets=16, detect_skew=False)
+    assert sorted(m["committed_buckets"]) == list(range(16))
+    waves_before = list(m["wave_dirs"])
+
+    m2 = enc.encode_table(df, out, num_buckets=16, detect_skew=False)
+    assert m2["wave_dirs"] == waves_before  # true no-op
+
+    decoded = dec.decode_table(spark, out)
+    assert decoded.count() == 60
