@@ -71,15 +71,29 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     """
     def extract(it):
         for pdf in it:
-            rows = []
-            for doc_id, payload, mtype, nb in zip(
-                pdf["doc_id"], pdf["media"], pdf["media_type"], pdf["n_bytes"]
-            ):
-                w, h, feat = _decode_image_stub(bytes(payload), fake=True)
-                rows.append((doc_id, mtype, nb, w, h, feat.tolist()))
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    columns=["doc_id", "media_type", "n_bytes", "width", "height", "feature"]
+                )
+                continue
+            # whole batch as one (n, 64) uint8 matrix — same arithmetic
+            # as _decode_image_stub, no per-row Python in the hot path
+            heads = b"".join(bytes(p)[:64].ljust(64, b"\0") for p in pdf["media"])
+            mat = np.frombuffer(heads, dtype=np.uint8).reshape(n, 64).astype(np.float32)
+            lens = pdf["n_bytes"].to_numpy(dtype=np.int64)
+            width = (64 + lens % 1024).astype(np.int32)
+            height = (64 + mat[:, :8].sum(axis=1).astype(np.int64) % 1024).astype(np.int32)
+            feats = (mat.reshape(n, 8, 8).mean(axis=2) / 255.0).astype(np.float32)
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "media_type", "n_bytes", "width", "height", "feature"],
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "n_bytes": lens,
+                    "width": width,
+                    "height": height,
+                    "feature": list(feats),
+                }
             )
 
     return media_df.mapInPandas(extract, FEATURE_SCHEMA)

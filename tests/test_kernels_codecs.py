@@ -391,3 +391,70 @@ class TestGcdAndSortDelta:
         assert p1 == p2 and m1 == m2
         assert (codecs.decode_column(p1, m1).to_numpy(dtype=np.int64) == v).all()
         assert (arrowcodecs.decode_column_arrow(p2, m2).to_numpy() == v).all()
+
+
+# ------------------------------------------------- property-based (new kernels)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestRound2Properties:
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=300))
+    def test_xor_float_roundtrip_any_bits(self, vals):
+        from kmers_spark.kernels import floats
+
+        v = np.array(vals, dtype=np.float64)
+        back = floats.decode_xor(floats.encode_xor(v), len(v))
+        assert (back.view(np.uint64) == v.view(np.uint64)).all()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=300),
+        st.integers(min_value=0, max_value=4),
+    )
+    def test_dec_scale_roundtrip_any_fixed_point(self, ints, s):
+        from kmers_spark.kernels import floats
+
+        v = (np.array(ints, dtype=np.float64) / 10.0 ** s)
+        found = floats.find_dec_scale(v)
+        assert 0 <= found <= s
+        body, meta = floats.encode_dec_scale(v, found)
+        back = floats.decode_dec_scale(body, meta)
+        assert (back.view(np.uint64) == v.view(np.uint64)).all()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.integers(min_value=-2**62, max_value=2**62), max_size=300))
+    def test_sortdelta_roundtrip_any_ints(self, ints):
+        from kmers_spark.kernels import sortdelta
+
+        v = np.array(ints, dtype=np.int64)
+        p, m = sortdelta.encode(v)
+        assert (sortdelta.decode(p, m) == v).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.text(alphabet="ACGT", min_size=33, max_size=96), st.integers(33, 96))
+    def test_multiword_pack_roundtrip_property(self, seq, k):
+        from kmers_spark.kernels import domain
+
+        k = min(k, len(seq))
+        s = seq[:k]
+        w = domain.pack_batch(domain.codes_matrix(np.array([s]), k))
+        assert domain.unpack_batch(w, k).astype(str)[0] == s.lower()
+        rc = domain.unpack_batch(domain.revcomp_batch(w, k), k).astype(str)[0]
+        assert rc.upper() == s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.text(alphabet="ACGT", min_size=9, max_size=200), st.integers(0, 190))
+    def test_packed_slice_property(self, seq, pos):
+        from kmers_spark.kernels import domain
+
+        k = 9
+        if len(seq) < k:
+            return
+        pos = pos % (len(seq) - k + 1)
+        b = domain.pack_seq(seq)
+        w = domain.slice_kmers_packed([b], np.array([pos]), k)
+        got = domain.unpack_batch(w.reshape(1, 1), k).astype(str)[0]
+        assert got == seq[pos : pos + k].lower()
