@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textqc.quality_score,
         "lang_id": textqc.lang_id,
         "fingerprint": textqc.fingerprint,
+        "repetition_score": textqc.repetition_score,
+        "source_quality": textqc.source_quality,
         "ann_cosine_topk": ann.cosine_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_ivf_topk": ann.ann_ivf_topk,
@@ -361,6 +363,28 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint "
             "FROM documents WHERE text IS NOT NULL"
+        ),
+        "repetition_score": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "              FROM documents WHERE text IS NOT NULL AND text <> ''), "
+            "pt AS (SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> '' "
+            "       GROUP BY doc_id, tok) "
+            "SELECT doc_id, sum(c)::BIGINT AS n_tokens, "
+            "round(max(c) / sum(c), 6) AS top_token_share, "
+            "round((sum(c) - count(*)) / sum(c), 6) AS dup_token_frac "
+            "FROM pt GROUP BY doc_id"
+        ),
+        "source_quality": (
+            "WITH feats AS (SELECT source, length(text) AS n_chars, "
+            "  (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) "
+            "   / length(text)::DOUBLE AS vr "
+            "  FROM documents WHERE text IS NOT NULL AND length(text) > 0), "
+            "agg AS (SELECT source, count(*) AS n_docs, "
+            "        round(avg(n_chars), 6) AS mean_chars, "
+            "        round(avg(vr), 6) AS mean_vowel_ratio FROM feats GROUP BY source) "
+            "SELECT source, n_docs, mean_chars, mean_vowel_ratio, "
+            "CASE WHEN mean_vowel_ratio >= 0.25 AND mean_chars >= 50 "
+            "THEN 'keep' ELSE 'review' END AS verdict FROM agg"
         ),
         "kmer_orientation": (
             f"WITH km AS ({_KMERS}) SELECT doc_id, pos, kmer, "

@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--snapshot", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--verify", default=None)
+    ap.add_argument(
+        "--colocated", action="store_true",
+        help="shuffle-free decode: whole block files per scan partition "
+        "(requires the encode write layout, which encode_table produces)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -35,7 +40,11 @@ def main() -> None:
     from kmers_spark.session import get_spark
 
     spark = get_spark("kmers_spark_decode")
-    decoded = dec.decode_table(spark, args.snapshot)
+    decoded = (
+        dec.decode_colocated(spark, args.snapshot)
+        if args.colocated
+        else dec.decode_table(spark, args.snapshot)
+    )
     decoded.write.mode("overwrite").parquet(args.output)
 
     result = {"rows": spark.read.parquet(args.output).count()}

@@ -80,6 +80,50 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality features (the RefinedWeb/Gopher-rules
+    family): per doc, the share of the most frequent token and the
+    duplicate-token fraction. Documents dominated by one token or by
+    repeats are boilerplate/spam candidates. Two hash aggregations with
+    map-side partials; no Python."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_token_share"),
+        F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6).alias("dup_token_frac"),
+    )
+
+
+def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality rollup (the host/domain-level filter stage of
+    a crawl pipeline: decisions are made per origin, not per page).
+    Per source: doc count, mean doc length, mean vowel ratio, and the
+    keep/review verdict a threshold rule would emit."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    feats = d.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        (
+            (F.length("text") - F.length(F.regexp_replace(F.col("text"), "[aeiou]", "")))
+            / F.length("text")
+        ).alias("vr"),
+    )
+    agg = feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.avg("vr"), 6).alias("mean_vowel_ratio"),
+    )
+    return agg.select(
+        "source", "n_docs", "mean_chars", "mean_vowel_ratio",
+        F.when((F.col("mean_vowel_ratio") >= 0.25) & (F.col("mean_chars") >= 50),
+               F.lit("keep")).otherwise(F.lit("review")).alias("verdict"),
+    )
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 of the normalized text (lower, collapsed
     whitespace) — the exact-dedup key used upstream of near-dup stages."""
