@@ -361,6 +361,36 @@ def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def compact_waves(spark: SparkSession, out_dir: str) -> dict:
+    """Maintenance: rewrite all committed waves into ONE wave dir and
+    atomically swap the manifest's wave list (Iceberg rewrite-data-files
+    semantics). Fine-grained `commit_every` checkpointing accumulates
+    many small dirs/files; compaction restores large sequential reads
+    for decode. Payloads are moved verbatim (no re-encode): the
+    operation is a parquet rewrite, crash-safe at every step —
+      * crash mid-write: the new dir is unregistered, swept next run;
+      * crash after the manifest swap: old dirs are unregistered and
+        swept next run; readers only ever saw one consistent list.
+    Returns the updated manifest."""
+    m = manifest.load(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    old = m.get("wave_dirs", [])
+    if len(old) <= 1:
+        return m
+    blocks = read_blocks(spark, out_dir)
+    new_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
+    (
+        blocks.write.mode("error")
+        .option("compression", "none")
+        .parquet(new_dir)
+    )
+    m["wave_dirs"] = [_wave_rel(new_dir, out_dir)]
+    manifest.save(out_dir, m)
+    sweep_orphan_waves(out_dir, m)
+    return m
+
+
 def encode_colocated_df(df: DataFrame, schema: dict[str, str], key: str,
                         codec_overrides: dict[str, str] | None = None) -> DataFrame:
     """Shuffle-free encode over a pre-bucketed table (mapInArrow).

@@ -395,3 +395,34 @@ def test_hash_empty_buckets_commit_and_resume_noop(spark, tmp_path):
 
     decoded = dec.decode_table(spark, out)
     assert decoded.count() == 60
+
+
+def test_compact_waves(spark, pages_df, tmp_path):
+    """Compaction rewrites many small wave dirs into one, data and
+    pruning untouched; old dirs are swept."""
+    import os
+
+    out = str(tmp_path / "snap_compact")
+    enc.encode_table(pages_df, out, num_buckets=N_BUCKETS, commit_every=2)
+    m = manifest.load(out)
+    assert len(m["wave_dirs"]) == N_BUCKETS // 2
+    before = sorted(
+        (r["bucket"], r["column"], r["h"])
+        for r in enc.read_blocks(spark, out)
+        .select("bucket", "column", F.md5("payload").alias("h")).collect()
+    )
+
+    m2 = enc.compact_waves(spark, out)
+    assert len(m2["wave_dirs"]) == 1
+    after = sorted(
+        (r["bucket"], r["column"], r["h"])
+        for r in enc.read_blocks(spark, out)
+        .select("bucket", "column", F.md5("payload").alias("h")).collect()
+    )
+    assert before == after  # payloads moved verbatim
+    _roundtrip_check(spark, pages_df, dec.decode_table(spark, out))
+    # old dirs swept
+    dirs = [n for n in os.listdir(f"{out}/blocks") if n.startswith("w_")]
+    assert len(dirs) == 1
+    # idempotent
+    assert enc.compact_waves(spark, out)["wave_dirs"] == m2["wave_dirs"]
