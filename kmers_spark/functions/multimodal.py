@@ -78,10 +78,14 @@ def extract_features(media_df: DataFrame) -> DataFrame:
                 )
                 continue
             # whole batch as one (n, 64) uint8 matrix — same arithmetic
-            # as _decode_image_stub, no per-row Python in the hot path
-            heads = b"".join(bytes(p)[:64].ljust(64, b"\0") for p in pdf["media"])
+            # as _decode_image_stub, no per-row byte processing in Python
+            payloads = [bytes(p) for p in pdf["media"]]
+            heads = b"".join(p[:64].ljust(64, b"\0") for p in payloads)
             mat = np.frombuffer(heads, dtype=np.uint8).reshape(n, 64).astype(np.float32)
-            lens = pdf["n_bytes"].to_numpy(dtype=np.int64)
+            # width derives from the ACTUAL payload length (the stub's
+            # definition), not the n_bytes metadata column, which may be
+            # stale or null
+            lens = np.array([len(p) for p in payloads], dtype=np.int64)
             width = (64 + lens % 1024).astype(np.int32)
             height = (64 + mat[:, :8].sum(axis=1).astype(np.int64) % 1024).astype(np.int32)
             feats = (mat.reshape(n, 8, 8).mean(axis=2) / 255.0).astype(np.float32)
@@ -89,7 +93,8 @@ def extract_features(media_df: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
                     "media_type": pdf["media_type"].to_numpy(),
-                    "n_bytes": lens,
+                    # metadata column passes through untouched (nullable)
+                    "n_bytes": pdf["n_bytes"].reset_index(drop=True),
                     "width": width,
                     "height": height,
                     "feature": list(feats),

@@ -371,21 +371,36 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
       * crash mid-write: the new dir is unregistered, swept next run;
       * crash after the manifest swap: old dirs are unregistered and
         swept next run; readers only ever saw one consistent list.
+    Not safe to run concurrently with an active encode on the same
+    snapshot: the manifest swap re-reads the manifest first (waves
+    committed during the rewrite stay registered), but the residual
+    read-merge-save window is not a CAS — real Iceberg would
+    validate-and-retry the commit; a local JSON manifest cannot.
+
     Returns the updated manifest."""
     m = manifest.load(out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
+    m = migrate_legacy_layout(out_dir, m)  # legacy flat stores compact too
+    sweep_orphan_waves(out_dir, m)  # incl. leftovers of a crashed compact
     old = m.get("wave_dirs", [])
     if len(old) <= 1:
         return m
     blocks = read_blocks(spark, out_dir)
     new_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
     (
-        blocks.write.mode("error")
+        # repartition on bucket: every bucket's rows land in ONE output
+        # file, preserving the whole-bucket-per-scan-partition contract
+        # decode_colocated depends on (a plain rewrite would split block
+        # files > maxPartitionBytes at row-group boundaries)
+        blocks.repartition(F.col("bucket"))
+        .write.mode("error")
         .option("compression", "none")
         .parquet(new_dir)
     )
-    m["wave_dirs"] = [_wave_rel(new_dir, out_dir)]
+    m = manifest.load(out_dir)  # pick up waves committed during the rewrite
+    kept = [d for d in m.get("wave_dirs", []) if d not in set(old)]
+    m["wave_dirs"] = [_wave_rel(new_dir, out_dir)] + kept
     manifest.save(out_dir, m)
     sweep_orphan_waves(out_dir, m)
     return m

@@ -426,3 +426,35 @@ def test_compact_waves(spark, pages_df, tmp_path):
     assert len(dirs) == 1
     # idempotent
     assert enc.compact_waves(spark, out)["wave_dirs"] == m2["wave_dirs"]
+
+
+def test_compact_preserves_colocated_decode(spark, pages_df, tmp_path):
+    """Compaction must keep every bucket's rows in one output file so
+    the shuffle-free decode still works afterwards (the rewrite
+    repartitions on bucket instead of inheriting scan splits)."""
+    out = str(tmp_path / "snap_compact_coloc")
+    enc.encode_table(pages_df, out, num_buckets=N_BUCKETS, commit_every=2)
+    enc.compact_waves(spark, out)
+    _roundtrip_check(spark, pages_df, dec.decode_colocated(spark, out))
+
+
+def test_compact_on_legacy_and_single_wave_is_clean_noop(spark, pages_df, tmp_path):
+    """compact on a legacy flat store migrates (manifest gains
+    wave_dirs) and no-ops; on a single-wave store it no-ops without
+    touching data — and jobs/compact.py's m['wave_dirs'] access holds."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "snap_compact_legacy")
+    enc.encode_table(pages_df, out, num_buckets=4)
+    m = manifest.load(out)
+    for wd in m["wave_dirs"]:
+        for name in os.listdir(f"{out}/{wd}"):
+            shutil.move(os.path.join(out, wd, name), f"{out}/blocks/{name}")
+        os.rmdir(f"{out}/{wd}")
+    del m["wave_dirs"]
+    manifest.save(out, m)
+
+    m2 = enc.compact_waves(spark, out)
+    assert m2["wave_dirs"] == ["blocks/w_legacy"]
+    _roundtrip_check(spark, pages_df, dec.decode_table(spark, out))

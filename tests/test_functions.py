@@ -131,7 +131,7 @@ def test_ann_recall_tradeoffs(spark):
     """
     from kmers_spark.functions import ann
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     exact = {r["vec_id"] for r in ann.cosine_topk(spark, sf, 0, 10).collect()}
     ivf = {r["vec_id"] for r in ann.ann_ivf_topk(spark, sf, 0, 10).collect()}
     assert len(exact & ivf) / 10 >= 0.8, (exact, ivf)
