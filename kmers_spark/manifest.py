@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 from typing import Any
 
 MANIFEST_NAME = "manifest.json"
@@ -62,24 +63,56 @@ def save(out_dir: str, m: dict[str, Any]) -> None:
     os.replace(tmp, _path(out_dir))
 
 
+@contextmanager
+def commit_lock(out_dir: str):
+    """Exclusive lock over manifest read-merge-save sections: concurrent
+    committers (a resumed encode and a compaction, or two encodes on
+    disjoint bucket sets) serialize instead of clobbering each other's
+    wave registrations. flock covers local/NFS filesystems — on an
+    object store replace with a conditional-put (Iceberg's commit CAS)."""
+    import fcntl
+
+    os.makedirs(out_dir, exist_ok=True)
+    f = open(os.path.join(out_dir, ".manifest.lock"), "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(f, fcntl.LOCK_UN)
+        f.close()
+
+
 def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
                    wave_dir: str | None = None) -> dict[str, Any]:
     """Record per-bucket block stats, mark the buckets committed, and
     (Iceberg manifest-list style) register the wave's data directory —
     readers only ever see directories this list names, so a job killed
     AFTER writing a wave but BEFORE this commit leaves an orphan dir
-    that is never read and is swept on the next resume."""
-    m = load(out_dir)
-    if m is None:
-        raise FileNotFoundError(f"no manifest in {out_dir}")
-    done = set(m["committed_buckets"])
-    for b, blocks in bucket_stats.items():
-        m["blocks"][str(b)] = blocks
-        done.add(int(b))
-    m["committed_buckets"] = sorted(done)
-    if wave_dir is not None:
-        m.setdefault("wave_dirs", []).append(wave_dir)
-    save(out_dir, m)
+    that is never read and is swept on the next resume. The whole
+    read-merge-save runs under the commit lock."""
+    with commit_lock(out_dir):
+        m = load(out_dir)
+        if m is None:
+            raise FileNotFoundError(f"no manifest in {out_dir}")
+        done = set(m["committed_buckets"])
+        # Iceberg-style commit validation: a bucket may be committed once.
+        # A stale concurrent encode (planned its pending set before this
+        # commit landed) fails HERE, before registering its wave — its
+        # already-written dir stays an unregistered orphan and is swept.
+        clash = sorted(b for b in bucket_stats if int(b) in done)
+        if clash:
+            raise ValueError(
+                f"commit conflict: buckets {clash} are already committed "
+                "(concurrent encode on the same snapshot?); this wave was "
+                "not registered and will be swept"
+            )
+        for b, blocks in bucket_stats.items():
+            m["blocks"][str(b)] = blocks
+            done.add(int(b))
+        m["committed_buckets"] = sorted(done)
+        if wave_dir is not None:
+            m.setdefault("wave_dirs", []).append(wave_dir)
+        save(out_dir, m)
     return m
 
 

@@ -298,18 +298,22 @@ def migrate_legacy_layout(out_dir: str, m: dict) -> dict:
 
     if "wave_dirs" in m:
         return m
-    root = _blocks_path(out_dir)
-    m.setdefault("wave_dirs", [])
-    if os.path.isdir(root):
-        flat = [n for n in os.listdir(root)
-                if not n.startswith(("w_", "_", ".")) and n != "w_legacy"]
-        if flat:
-            legacy = os.path.join(root, "w_legacy")
-            os.makedirs(legacy, exist_ok=True)
-            for n in flat:
-                shutil.move(os.path.join(root, n), os.path.join(legacy, n))
-            m["wave_dirs"].append("blocks/w_legacy")
-    manifest.save(out_dir, m)
+    with manifest.commit_lock(out_dir):
+        m = manifest.load(out_dir) or m
+        if "wave_dirs" in m:  # another process migrated first
+            return m
+        root = _blocks_path(out_dir)
+        m.setdefault("wave_dirs", [])
+        if os.path.isdir(root):
+            flat = [n for n in os.listdir(root)
+                    if not n.startswith(("w_", "_", ".")) and n != "w_legacy"]
+            if flat:
+                legacy = os.path.join(root, "w_legacy")
+                os.makedirs(legacy, exist_ok=True)
+                for n in flat:
+                    shutil.move(os.path.join(root, n), os.path.join(legacy, n))
+                m["wave_dirs"].append("blocks/w_legacy")
+        manifest.save(out_dir, m)
     return m
 
 
@@ -398,10 +402,11 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
         .option("compression", "none")
         .parquet(new_dir)
     )
-    m = manifest.load(out_dir)  # pick up waves committed during the rewrite
-    kept = [d for d in m.get("wave_dirs", []) if d not in set(old)]
-    m["wave_dirs"] = [_wave_rel(new_dir, out_dir)] + kept
-    manifest.save(out_dir, m)
+    with manifest.commit_lock(out_dir):
+        m = manifest.load(out_dir)  # pick up waves committed during the rewrite
+        kept = [d for d in m.get("wave_dirs", []) if d not in set(old)]
+        m["wave_dirs"] = [_wave_rel(new_dir, out_dir)] + kept
+        manifest.save(out_dir, m)
     sweep_orphan_waves(out_dir, m)
     return m
 

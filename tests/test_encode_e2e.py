@@ -458,3 +458,40 @@ def test_compact_on_legacy_and_single_wave_is_clean_noop(spark, pages_df, tmp_pa
     m2 = enc.compact_waves(spark, out)
     assert m2["wave_dirs"] == ["blocks/w_legacy"]
     _roundtrip_check(spark, pages_df, dec.decode_table(spark, out))
+
+
+def test_concurrent_commits_do_not_clobber(spark, tmp_path):
+    """Two committers racing on the same manifest (the compaction-vs-
+    encode scenario) must both land: commit_buckets runs read-merge-save
+    under the commit lock."""
+    import threading
+
+    out = str(tmp_path / "snap_race")
+    manifest.init(out, snapshot_id="r", schema={"url": "string"}, num_buckets=64,
+                  key="url")
+
+    def commit(b):
+        for i in range(20):
+            manifest.commit_buckets(out, {b * 100 + i: []}, wave_dir=f"blocks/w_{b}_{i}")
+
+    ts = [threading.Thread(target=commit, args=(b,)) for b in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    m = manifest.load(out)
+    assert len(m["committed_buckets"]) == 80
+    assert len(m["wave_dirs"]) == 80
+
+
+def test_commit_conflict_rejected(spark, tmp_path):
+    """A stale concurrent committer re-committing an already-committed
+    bucket must fail before registering its wave (Iceberg-style commit
+    validation); the snapshot stays consistent."""
+    out = str(tmp_path / "snap_conflict")
+    manifest.init(out, snapshot_id="c", schema={"url": "string"}, num_buckets=4,
+                  key="url")
+    manifest.commit_buckets(out, {0: [], 1: []}, wave_dir="blocks/w_a")
+    with pytest.raises(ValueError, match="commit conflict"):
+        manifest.commit_buckets(out, {1: [], 2: []}, wave_dir="blocks/w_b")
+    m = manifest.load(out)
+    assert m["committed_buckets"] == [0, 1]
+    assert m["wave_dirs"] == ["blocks/w_a"]  # conflicting wave never registered
