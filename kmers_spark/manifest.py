@@ -112,6 +112,12 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
         m["committed_buckets"] = sorted(done)
         if wave_dir is not None:
             m.setdefault("wave_dirs", []).append(wave_dir)
+            # wave -> buckets map: lets readers prune whole wave dirs for
+            # bucket-filtered scans (file-level pruning above the parquet
+            # row-group stats)
+            m.setdefault("wave_buckets", {})[wave_dir] = sorted(
+                int(b) for b in bucket_stats
+            )
         save(out_dir, m)
     return m
 

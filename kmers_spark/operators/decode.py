@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import codecs, manifest
-from .encode import assert_utc_session, committed_wave_paths, read_blocks
+from .encode import assert_utc_session, committed_wave_paths
 
 _SPARK_TYPE = {
     "string": "string",
@@ -36,7 +36,12 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
     cols = list(schema.keys())
 
-    blocks = read_blocks(spark, out_dir)
+    # manifest-level wave pruning first (skip whole data dirs), then the
+    # bucket predicate prunes parquet row groups inside the survivors
+    paths = committed_wave_paths(out_dir, m, buckets=buckets)
+    if not paths:
+        return spark.createDataFrame([], out_schema)
+    blocks = spark.read.parquet(*paths)
     if buckets is not None:
         blocks = blocks.filter(blocks.bucket.isin(buckets))
     return decode_blocks_df(blocks, schema, out_schema)

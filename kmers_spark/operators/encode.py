@@ -313,6 +313,9 @@ def migrate_legacy_layout(out_dir: str, m: dict) -> dict:
                 for n in flat:
                     shutil.move(os.path.join(root, n), os.path.join(legacy, n))
                 m["wave_dirs"].append("blocks/w_legacy")
+                m.setdefault("wave_buckets", {})["blocks/w_legacy"] = sorted(
+                    m["committed_buckets"]
+                )
         manifest.save(out_dir, m)
     return m
 
@@ -331,13 +334,24 @@ def _wave_rel(wave_dir: str, out_dir: str) -> str:
     return wave_dir[len(out_dir) + 1 :]  # "blocks/w_<id>" — manifest stays relocatable
 
 
-def committed_wave_paths(out_dir: str, m: dict | None = None) -> list[str]:
+def committed_wave_paths(out_dir: str, m: dict | None = None,
+                         buckets: list[int] | None = None) -> list[str]:
+    """Data dirs of committed waves; with `buckets`, only the waves that
+    hold at least one of them (manifest-level file pruning — a point
+    lookup on a 10^5-bucket snapshot written with commit_every=K reads
+    ~1 wave dir instead of 10^5/K)."""
     m = m or manifest.load(out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
-    if "wave_dirs" in m:
-        return [f"{out_dir}/{d}" for d in m["wave_dirs"]]
-    return [_blocks_path(out_dir)]  # pre-wave snapshots: flat layout
+    if "wave_dirs" not in m:
+        return [_blocks_path(out_dir)]  # pre-wave snapshots: flat layout
+    dirs = m["wave_dirs"]
+    if buckets is not None:
+        want = set(buckets)
+        wb = m.get("wave_buckets", {})
+        # a wave without a recorded bucket list (legacy) must stay in
+        dirs = [d for d in dirs if d not in wb or want.intersection(wb[d])]
+    return [f"{out_dir}/{d}" for d in dirs]
 
 
 def sweep_orphan_waves(out_dir: str, m: dict) -> None:
@@ -404,8 +418,17 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
     )
     with manifest.commit_lock(out_dir):
         m = manifest.load(out_dir)  # pick up waves committed during the rewrite
-        kept = [d for d in m.get("wave_dirs", []) if d not in set(old)]
-        m["wave_dirs"] = [_wave_rel(new_dir, out_dir)] + kept
+        old_set = set(old)
+        kept = [d for d in m.get("wave_dirs", []) if d not in old_set]
+        new_rel = _wave_rel(new_dir, out_dir)
+        m["wave_dirs"] = [new_rel] + kept
+        wb = m.get("wave_buckets", {})
+        if all(d in wb for d in old):
+            merged = sorted({b for d in old for b in wb[d]})
+        else:  # a legacy wave had no bucket list: safe superset
+            merged = sorted(m["committed_buckets"])
+        m["wave_buckets"] = {k: v for k, v in wb.items() if k not in old_set}
+        m["wave_buckets"][new_rel] = merged
         manifest.save(out_dir, m)
     sweep_orphan_waves(out_dir, m)
     return m

@@ -495,3 +495,31 @@ def test_commit_conflict_rejected(spark, tmp_path):
     m = manifest.load(out)
     assert m["committed_buckets"] == [0, 1]
     assert m["wave_dirs"] == ["blocks/w_a"]  # conflicting wave never registered
+
+
+def test_wave_pruning_for_bucket_filtered_reads(spark, pages_df, tmp_path):
+    """With commit_every waves, a bucket-filtered decode reads only the
+    wave dirs whose manifest bucket list intersects the filter."""
+    out = str(tmp_path / "snap_prune")
+    enc.encode_table(pages_df, out, num_buckets=N_BUCKETS, commit_every=2)
+    m = manifest.load(out)
+    assert len(m["wave_dirs"]) == N_BUCKETS // 2
+    assert set(m["wave_buckets"]) == set(m["wave_dirs"])
+
+    # bucket 0 lives in exactly one wave -> one path survives pruning
+    paths = enc.committed_wave_paths(out, buckets=[0])
+    assert len(paths) == 1
+    owner = [d for d, bs in m["wave_buckets"].items() if 0 in bs]
+    assert paths[0].endswith(owner[0])
+
+    got = dec.decode_table(spark, out, buckets=[0])
+    direct = dec.decode_table(spark, out)
+    b0_urls = {r["url"] for r in got.collect()}
+    assert 0 < len(b0_urls) < pages_df.count()
+    assert b0_urls <= {r["url"] for r in direct.collect()}
+
+    # compaction keeps the map coherent (single wave holds everything)
+    m2 = enc.compact_waves(spark, out)
+    assert list(m2["wave_buckets"]) == m2["wave_dirs"]
+    assert m2["wave_buckets"][m2["wave_dirs"][0]] == list(range(N_BUCKETS))
+    _roundtrip_check(spark, pages_df, dec.decode_table(spark, out))
