@@ -473,9 +473,12 @@ def oracle_sql() -> dict[str, str]:
             "bk AS (SELECT vec_id, sum(bit * (1 << plane))::BIGINT AS bucket FROM bits GROUP BY vec_id), "
             "qb AS (SELECT bk.bucket AS q_bucket, e.embedding AS q_emb "
             "       FROM bk JOIN embeddings e USING (vec_id) WHERE vec_id = 0), "
+            # multi-probe radius 1: the query bucket plus its Hamming-1
+            # neighbors (bit_count of the xor)
             "cand AS (SELECT e.vec_id, e.embedding, qb.q_emb "
             "         FROM embeddings e JOIN bk USING (vec_id), qb "
-            "         WHERE bk.bucket = qb.q_bucket AND e.vec_id <> 0), "
+            "         WHERE bit_count(xor(bk.bucket, qb.q_bucket)) <= 1 "
+            "         AND e.vec_id <> 0), "
             "zz AS (SELECT vec_id, unnest(embedding)::DOUBLE AS a, unnest(q_emb)::DOUBLE AS b FROM cand), "
             "sc AS (SELECT vec_id, sum(a * b) AS dp, sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb "
             "       FROM zz GROUP BY vec_id) "

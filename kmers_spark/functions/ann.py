@@ -96,17 +96,23 @@ def lsh_buckets(spark: SparkSession, sf_dir: str, n_planes: int = 8) -> DataFram
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10,
-                 n_planes: int = 6) -> DataFrame:
-    """ANN: restrict rescoring to the query's LSH bucket, exact cosine
-    inside. At scale, size n_planes with :func:`planes_for` so the
-    expected bucket population stays bounded."""
+                 n_planes: int = 6, probe_radius: int = 1) -> DataFrame:
+    """ANN: restrict rescoring to the LSH buckets within `probe_radius`
+    sign-bit flips of the query's bucket (MULTI-PROBE — Lv et al.
+    VLDB'07: near neighbors that miss the exact bucket land in its
+    Hamming neighbors, so probing radius-1 buckets buys most of the
+    recall of many hash tables for one table's memory). radius 1 probes
+    n_planes+1 of the 2^n_planes buckets; exact cosine inside. At
+    scale, size n_planes with :func:`planes_for` so the expected bucket
+    population stays bounded."""
     buckets = lsh_buckets(spark, sf_dir, n_planes)
     e = _emb(spark, sf_dir).join(buckets, "vec_id")
     qb = e.filter(F.col("vec_id") == query_id).select(
         F.col("bucket").alias("q_bucket"), F.col("embedding").alias("q_emb")
     )
     cand = e.crossJoin(F.broadcast(qb)).filter(
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != query_id)
+        (F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) <= probe_radius)
+        & (F.col("vec_id") != query_id)
     )
     return (
         cand.select(

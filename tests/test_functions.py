@@ -122,12 +122,14 @@ def test_ann_recall_tradeoffs(spark):
 
       * IVF (nprobe 4/16 lists ~ 25% of the corpus scanned) reaches
         recall >= 0.8 — the right top-k path for UNSTRUCTURED embeddings.
-      * single-table hyperplane LSH prunes hard but recalls poorly here
-        (~0.1): random embeddings have no cluster structure, and top-10
-        neighbors sit at cosine ~0.35 where sign-bit agreement is weak.
-        LSH is kept for what it is good at — the near-dup regime
-        (cosine >= 0.999), where embedding_dup_pairs finds EVERY planted
-        duplicate (verified by its oracle; banded multi-table OR).
+      * hyperplane LSH prunes hard but recalls modestly here: random
+        embeddings have no cluster structure and top-10 neighbors sit at
+        cosine ~0.35 where sign-bit agreement is weak. Multi-probe
+        (radius 1, Lv et al. VLDB'07) lifts recall ~0.1 -> ~0.3 while
+        still scanning only (n_planes+1)/2^n_planes of the corpus.
+        LSH's real strength is the near-dup regime (cosine >= 0.999),
+        where embedding_dup_pairs finds EVERY planted duplicate
+        (verified by its oracle; banded multi-table OR).
     """
     from kmers_spark.functions import ann
 
