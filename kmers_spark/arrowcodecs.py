@@ -288,7 +288,6 @@ def column_stats_arrow(arr: pa.Array, typ: str, sample_max: int = 8192) -> dict:
             stats["sortedness"] = 1.0
         if len(iv):
             stats["range_bits"] = max(int(iv.max()) - int(iv.min()), 0).bit_length()
-        stats["sorted_delta_bits"] = sortdelta.sorted_delta_bits(iv)
     elif typ == "double":
         from .kernels import floats
 

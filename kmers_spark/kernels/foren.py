@@ -51,6 +51,11 @@ def encode(arr: np.ndarray) -> tuple[bytes, dict]:
     # gcd extraction happens BEFORE zigzag (zigzag of a negative multiple
     # is odd, which would destroy the common divisor)
     g_delta = int(np.gcd.reduce(np.abs(deltas).view(np.uint64)))
+    if g_delta >= 1 << 63:
+        # a gcd this large (only nonzero delta wraps to int64 min, e.g.
+        # [-2**62, 2**62]) doesn't fit np.int64 — extraction can't pay
+        # (one 64-bit residual either way), so skip it
+        g_delta = 1
     if g_delta > 1:
         deltas = deltas // np.int64(g_delta)
     res_delta = _zigzag(deltas)

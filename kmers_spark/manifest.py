@@ -5,93 +5,180 @@ runtime jar in this sandbox): snapshot id, schema, per-bucket commit
 markers, per-(bucket, column) codec choices and size stats, and the
 seeds that make encoding reproducible (the reference records its code
 assignment as an enum discriminant — naive.rs:49-74; we record ours
-here). Updated atomically via write-tmp-then-rename.
+here).
+
+Commit protocol (Iceberg HadoopTableOperations-style, CAS not locks):
+the manifest is an immutable chain of versions `manifest-v{N}.json`.
+A commit loads the latest version, applies its mutation (which may
+VALIDATE and raise — e.g. a bucket committed twice), writes the result
+to a temp file, and publishes it as version N+1 with an atomic
+create-if-absent (`os.link`, which fails EEXIST if another committer
+won the race — the local-filesystem analogue of S3's conditional PUT /
+If-None-Match). A lost race reloads the new latest, re-validates, and
+retries: concurrent committers serialize without any lock file, and
+the protocol carries over to an object store by swapping `os.link`
+for a conditional put. `version-hint.text` is a best-effort pointer
+(Iceberg parity / debuggability); readers always resolve the latest
+version by listing, which is crash-safe.
 """
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import time
-from contextlib import contextmanager
-from typing import Any
+import uuid
+from typing import Any, Callable
 
-MANIFEST_NAME = "manifest.json"
+LEGACY_NAME = "manifest.json"
+VERSION_PREFIX = "manifest-v"
+KEEP_VERSIONS = 8  # older versions are pruned best-effort after commit
 
 
-def _path(out_dir: str) -> str:
-    return os.path.join(out_dir, MANIFEST_NAME)
+def _vpath(out_dir: str, v: int) -> str:
+    return os.path.join(out_dir, f"{VERSION_PREFIX}{v}.json")
+
+
+def _read_json(path: str) -> dict[str, Any] | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _list_versions(out_dir: str) -> list[int]:
+    try:
+        names = os.listdir(out_dir)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith(VERSION_PREFIX) and n.endswith(".json"):
+            try:
+                out.append(int(n[len(VERSION_PREFIX) : -len(".json")]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _load_versioned(out_dir: str) -> tuple[dict[str, Any] | None, int]:
+    """(manifest, version). Version 0 = legacy single-file or absent.
+
+    Resilient to a concurrent pruner: a version listed but already
+    unlinked is skipped in favor of the next-newest one.
+    """
+    for v in reversed(_list_versions(out_dir)):
+        m = _read_json(_vpath(out_dir, v))
+        if m is not None:
+            return m, v
+    return _read_json(os.path.join(out_dir, LEGACY_NAME)), 0
 
 
 def load(out_dir: str) -> dict[str, Any] | None:
-    p = _path(out_dir)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+    return _load_versioned(out_dir)[0]
+
+
+def commit(out_dir: str, mutate: Callable[[dict[str, Any] | None], dict[str, Any]],
+           max_retries: int = 1000) -> dict[str, Any]:
+    """CAS commit: publish mutate(latest) as the next manifest version.
+
+    `mutate` receives a deep copy of the latest manifest (None if the
+    table doesn't exist yet) and returns the new manifest; it runs once
+    per attempt, so validation inside it (commit conflicts, schema
+    compat) is always against fresh state. Exceptions it raises
+    propagate — only a lost CAS (someone else published the same
+    version number first) retries.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    for _ in range(max_retries):
+        base, v = _load_versioned(out_dir)
+        new = mutate(copy.deepcopy(base) if base is not None else None)
+        tmp = os.path.join(out_dir, f".manifest-tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(new, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _vpath(out_dir, v + 1))  # atomic create-if-absent
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race: reload, re-validate, retry
+        os.unlink(tmp)
+        _after_publish(out_dir, v + 1)
+        return new
+    raise RuntimeError(f"manifest commit lost the CAS {max_retries} times")
+
+
+def _after_publish(out_dir: str, v: int) -> None:
+    """Best-effort housekeeping: version hint, old-version pruning,
+    legacy-file removal (its content lives on as version 1+)."""
+    hint_tmp = os.path.join(out_dir, ".version-hint.tmp")
+    try:
+        with open(hint_tmp, "w") as f:
+            f.write(str(v))
+        os.replace(hint_tmp, os.path.join(out_dir, "version-hint.text"))
+    except OSError:
+        pass
+    for old in _list_versions(out_dir):
+        if old <= v - KEEP_VERSIONS:
+            try:
+                os.unlink(_vpath(out_dir, old))
+            except OSError:
+                pass
+    try:
+        os.unlink(os.path.join(out_dir, LEGACY_NAME))
+    except OSError:
+        pass
+
+
+def save(out_dir: str, m: dict[str, Any]) -> None:
+    """Unconditionally publish `m` as the next version (test fixtures and
+    single-writer setup paths; concurrent-safe mutations go through
+    commit())."""
+    commit(out_dir, lambda _cur: m)
 
 
 def init(out_dir: str, *, snapshot_id: str, schema: dict[str, str], num_buckets: int,
          key: str, seed: int = 42) -> dict[str, Any]:
-    m = load(out_dir)
-    if m is not None:
-        if m["num_buckets"] != num_buckets or m["schema"] != schema:
-            raise ValueError("existing manifest is incompatible with this job config")
-        return m
-    m = {
-        "format_version": 1,
-        "snapshot_id": snapshot_id,
-        "schema": schema,          # {column: logical type}
-        "key": key,                # ordering/bucketing key column
-        "num_buckets": num_buckets,
-        "seed": seed,
-        "committed_buckets": [],   # checkpoint markers
-        "blocks": {},              # str(bucket) -> [{column, codec, n_rows, raw, enc}]
-        "wave_dirs": [],           # committed data dirs (manifest-list)
-        "hot_keys": {},            # skew salting decisions {host: n_salts}
-        "created_unix": int(time.time()),
-    }
-    save(out_dir, m)
-    return m
+    def mutate(cur: dict[str, Any] | None) -> dict[str, Any]:
+        if cur is not None:
+            if cur["num_buckets"] != num_buckets or cur["schema"] != schema:
+                raise ValueError("existing manifest is incompatible with this job config")
+            return cur
+        return {
+            "format_version": 2,
+            "snapshot_id": snapshot_id,
+            "schema": schema,          # {column: logical type}
+            "key": key,                # ordering/bucketing key column
+            "num_buckets": num_buckets,
+            "seed": seed,
+            "committed_buckets": [],   # checkpoint markers
+            "blocks": {},              # str(bucket) -> [{column, codec, n_rows, raw, enc}]
+            "wave_dirs": [],           # committed data dirs (manifest-list)
+            "hot_keys": {},            # skew salting decisions {host: n_salts}
+            "created_unix": int(time.time()),
+        }
 
-
-def save(out_dir: str, m: dict[str, Any]) -> None:
-    os.makedirs(out_dir, exist_ok=True)
-    tmp = _path(out_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(m, f, indent=1, sort_keys=True)
-    os.replace(tmp, _path(out_dir))
-
-
-@contextmanager
-def commit_lock(out_dir: str):
-    """Exclusive lock over manifest read-merge-save sections: concurrent
-    committers (a resumed encode and a compaction, or two encodes on
-    disjoint bucket sets) serialize instead of clobbering each other's
-    wave registrations. flock covers local/NFS filesystems — on an
-    object store replace with a conditional-put (Iceberg's commit CAS)."""
-    import fcntl
-
-    os.makedirs(out_dir, exist_ok=True)
-    f = open(os.path.join(out_dir, ".manifest.lock"), "w")
-    try:
-        fcntl.flock(f, fcntl.LOCK_EX)
-        yield
-    finally:
-        fcntl.flock(f, fcntl.LOCK_UN)
-        f.close()
+    return commit(out_dir, mutate)
 
 
 def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
-                   wave_dir: str | None = None) -> dict[str, Any]:
+                   wave_dir: str | None = None,
+                   key_ranges: dict[int, list] | None = None) -> dict[str, Any]:
     """Record per-bucket block stats, mark the buckets committed, and
     (Iceberg manifest-list style) register the wave's data directory —
     readers only ever see directories this list names, so a job killed
     AFTER writing a wave but BEFORE this commit leaves an orphan dir
-    that is never read and is swept on the next resume. The whole
-    read-merge-save runs under the commit lock."""
-    with commit_lock(out_dir):
-        m = load(out_dir)
+    that is never read and is swept (after a grace period) on a later
+    run. Runs as a CAS commit: a lost race re-validates against the
+    fresh manifest and retries; a semantic conflict raises.
+
+    `key_ranges` optionally records each bucket's [min_key, max_key]
+    (file-stats-style pruning metadata for point lookups)."""
+
+    def mutate(m: dict[str, Any] | None) -> dict[str, Any]:
         if m is None:
             raise FileNotFoundError(f"no manifest in {out_dir}")
         done = set(m["committed_buckets"])
@@ -110,6 +197,10 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
             m["blocks"][str(b)] = blocks
             done.add(int(b))
         m["committed_buckets"] = sorted(done)
+        if key_ranges:
+            kr = m.setdefault("bucket_key_ranges", {})
+            for b, rng in key_ranges.items():
+                kr[str(b)] = rng
         if wave_dir is not None:
             m.setdefault("wave_dirs", []).append(wave_dir)
             # wave -> buckets map: lets readers prune whole wave dirs for
@@ -118,8 +209,9 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
             m.setdefault("wave_buckets", {})[wave_dir] = sorted(
                 int(b) for b in bucket_stats
             )
-        save(out_dir, m)
-    return m
+        return m
+
+    return commit(out_dir, mutate)
 
 
 def pending_buckets(out_dir: str) -> list[int]:

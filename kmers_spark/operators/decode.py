@@ -104,24 +104,40 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str)
 def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame:
     """Point lookups against the COMPRESSED store: re-derive each key's
     bucket from the manifest (same salted hash the encode job used —
-    deterministic by design), decode ONLY those buckets (the bucket
-    predicate prunes parquet row groups, test_plans.py), and filter to
-    the requested keys. At 10^12 rows this touches |keys| buckets out of
-    num_buckets instead of the whole table — the Iceberg-style partition
-    pruning of the north rule expressed over block files."""
+    computed DRIVER-SIDE via the golden-tested xxhash64 mirror, so no
+    Spark job runs before the decode itself), prune buckets whose
+    recorded key range (Iceberg file-stats analogue, written at commit)
+    excludes every probe key that hashes to them, decode ONLY the
+    surviving buckets (the bucket predicate prunes parquet row groups,
+    test_plans.py), and filter to the requested keys. At 10^12 rows
+    this touches at most |keys| buckets out of num_buckets — and zero
+    buckets for absent keys outside the stored ranges."""
     from . import partitioning
 
     m = manifest.load(out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
     key_col = m["key"]
-    kdf = spark.createDataFrame([(k,) for k in keys], f"`{key_col}` string")
-    bucketed = partitioning.with_bucket(kdf, m["num_buckets"], m.get("hot_keys") or {},
-                                        url_col=key_col)
-    buckets = sorted({r["bucket"] for r in bucketed.select("bucket").distinct().collect()})
+    hot = m.get("hot_keys") or {}
+    ranges = m.get("bucket_key_ranges", {})
+    buckets = set()
+    for k in keys:
+        b = partitioning.bucket_for_key(k, m["num_buckets"], hot)
+        rng = ranges.get(str(b))
+        # no recorded range (legacy snapshot / empty bucket stats / non-
+        # string key column) keeps the bucket; a range excluding the key
+        # proves it's absent
+        if rng is None or not isinstance(rng[0], str) or rng[0] <= k <= rng[1]:
+            buckets.add(b)
+    out_schema = ", ".join(
+        f"`{c}` {_SPARK_TYPE[t]}" for c, t in m["schema"].items()
+    )
+    if not buckets:
+        return spark.createDataFrame([], out_schema)
     from pyspark.sql import functions as F
 
-    return decode_table(spark, out_dir, buckets=buckets).join(
+    kdf = spark.createDataFrame([(k,) for k in keys], f"`{key_col}` string")
+    return decode_table(spark, out_dir, buckets=sorted(buckets)).join(
         F.broadcast(kdf), key_col, "inner"
     )
 

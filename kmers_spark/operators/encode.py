@@ -16,6 +16,8 @@ partition ordering — order is part of the format (SURVEY.md §7).
 from __future__ import annotations
 
 import json
+import os
+import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -67,6 +69,16 @@ def make_encode_fn(schema: dict[str, str], key: str, codec_overrides: dict[str, 
                 selector.column_stats(s, typ), typ
             )
             payload, meta = codecs.encode_column(s, codec, typ)
+            if col == key and len(s) and typ in ("string", "int64"):
+                # Iceberg file-stats analogue: the block's key range rides
+                # in the key column's meta and lands in the manifest at
+                # commit (decode.lookup_keys prunes buckets whose range
+                # excludes every probe key). Rows are key-sorted above.
+                # JSON-safe types only (numpy scalars coerced to native).
+                lo, hi = s.iloc[0], s.iloc[-1]
+                lo = lo.item() if hasattr(lo, "item") else lo
+                hi = hi.item() if hasattr(hi, "item") else hi
+                meta = {**meta, "key_min": lo, "key_max": hi}
             out.append(
                 {
                     "bucket": bucket,
@@ -115,6 +127,9 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
             )
             payload, meta = arrowcodecs.encode_column_arrow(arr, codec, typ)
             codec = meta.get("codec", codec)
+            if col == key and len(arr) and typ in ("string", "int64"):
+                # key range for manifest pruning (rows are key-sorted)
+                meta = {**meta, "key_min": arr[0].as_py(), "key_max": arr[-1].as_py()}
             if typ in ("string", "binary"):
                 from .. import arrowview as av
 
@@ -204,13 +219,17 @@ def encode_table(
             if detect_skew
             else {}
         )
-        m = manifest.init(
+        manifest.init(
             out_dir, snapshot_id=snapshot_id, schema=schema, num_buckets=num_buckets,
             key=key,
         )
-        m["hot_keys"] = hot
-        m["codec_overrides"] = codec_overrides or {}
-        manifest.save(out_dir, m)
+
+        def set_job_config(cur: dict) -> dict:
+            cur["hot_keys"] = hot
+            cur["codec_overrides"] = codec_overrides or {}
+            return cur
+
+        m = manifest.commit(out_dir, set_job_config)
     hot = m["hot_keys"]
 
     m = migrate_legacy_layout(out_dir, m)
@@ -226,7 +245,7 @@ def encode_table(
     else:
         waves = [pending] if pending else []
 
-    sweep_orphan_waves(out_dir, m)
+    sweep_orphan_waves(out_dir)
 
     # multi-wave runs would otherwise re-scan + re-hash the WHOLE input
     # once per wave just to keep a few buckets; persist the bucketed rows
@@ -262,10 +281,16 @@ def encode_table(
             # would reject.
             written = (
                 df.sparkSession.read.schema(BLOCK_SCHEMA).parquet(wave_dir)
-                .select("bucket", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes")
+                .select(
+                    "bucket", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes",
+                    # the key column's meta carries the block's key range;
+                    # other columns' meta stays pruned out of the collect
+                    F.when(F.col("column") == key, F.col("meta")).alias("key_meta"),
+                )
                 .collect()
             )
             stats: dict[int, list[dict]] = {}
+            key_ranges: dict[int, list] = {}
             for b in wave:
                 stats[b] = []  # hash-empty buckets commit too (else they
                 # stay pending forever and every resume rewrites nothing)
@@ -279,7 +304,14 @@ def encode_table(
                         "enc_nbytes": r["enc_nbytes"],
                     }
                 )
-            m = manifest.commit_buckets(out_dir, stats, wave_dir=_wave_rel(wave_dir, out_dir))
+                if r["key_meta"] is not None:
+                    km = json.loads(r["key_meta"])
+                    if "key_min" in km:
+                        key_ranges[int(r["bucket"])] = [km["key_min"], km["key_max"]]
+            m = manifest.commit_buckets(
+                out_dir, stats, wave_dir=_wave_rel(wave_dir, out_dir),
+                key_ranges=key_ranges,
+            )
     finally:
         if persisted:
             bucketed.unpersist()
@@ -298,26 +330,37 @@ def migrate_legacy_layout(out_dir: str, m: dict) -> dict:
 
     if "wave_dirs" in m:
         return m
-    with manifest.commit_lock(out_dir):
-        m = manifest.load(out_dir) or m
-        if "wave_dirs" in m:  # another process migrated first
-            return m
-        root = _blocks_path(out_dir)
-        m.setdefault("wave_dirs", [])
-        if os.path.isdir(root):
-            flat = [n for n in os.listdir(root)
-                    if not n.startswith(("w_", "_", ".")) and n != "w_legacy"]
-            if flat:
-                legacy = os.path.join(root, "w_legacy")
-                os.makedirs(legacy, exist_ok=True)
-                for n in flat:
+    m = manifest.load(out_dir) or m
+    if "wave_dirs" in m:  # another process migrated first
+        return m
+    root = _blocks_path(out_dir)
+    moved = False
+    if os.path.isdir(root):
+        flat = [n for n in os.listdir(root)
+                if not n.startswith(("w_", "_", ".")) and n != "w_legacy"]
+        if flat:
+            legacy = os.path.join(root, "w_legacy")
+            os.makedirs(legacy, exist_ok=True)
+            for n in flat:
+                try:
                     shutil.move(os.path.join(root, n), os.path.join(legacy, n))
-                m["wave_dirs"].append("blocks/w_legacy")
-                m.setdefault("wave_buckets", {})["blocks/w_legacy"] = sorted(
-                    m["committed_buckets"]
-                )
-        manifest.save(out_dir, m)
-    return m
+                except FileNotFoundError:
+                    pass  # a concurrent migrator moved it first
+            moved = True
+
+    def mutate(cur: dict | None) -> dict:
+        if cur is None:
+            raise FileNotFoundError(f"no manifest in {out_dir}")
+        if "wave_dirs" in cur:  # lost the race to another migrator
+            return cur
+        cur["wave_dirs"] = ["blocks/w_legacy"] if moved else []
+        if moved:
+            cur.setdefault("wave_buckets", {})["blocks/w_legacy"] = sorted(
+                cur["committed_buckets"]
+            )
+        return cur
+
+    return manifest.commit(out_dir, mutate)
 
 
 def _blocks_path(out_dir: str) -> str:
@@ -354,20 +397,40 @@ def committed_wave_paths(out_dir: str, m: dict | None = None,
     return [f"{out_dir}/{d}" for d in dirs]
 
 
-def sweep_orphan_waves(out_dir: str, m: dict) -> None:
+SWEEP_GRACE_SEC = 1800  # in-flight waves younger than this are never swept
+
+
+def sweep_orphan_waves(out_dir: str, grace_sec: float = SWEEP_GRACE_SEC) -> None:
     """Delete wave dirs a crashed run wrote but never committed (they
     are invisible to readers either way; sweeping reclaims space).
-    Local-fs implementation — on an object store use its listing API."""
+
+    Two guards against deleting live data (ADVICE r2): the committed
+    set is re-loaded from the LATEST manifest right before sweeping (a
+    wave committed by a concurrent encode after this job loaded its
+    snapshot is not an orphan), and dirs younger than `grace_sec` are
+    left alone (a concurrent encode's in-flight, pre-commit wave looks
+    unregistered but is about to be registered; its dir mtime is fresh
+    while it's being written). Local-fs implementation — on an object
+    store use its listing API."""
     import os
     import shutil
 
     root = _blocks_path(out_dir)
     if not os.path.isdir(root):
         return
+    m = manifest.load(out_dir) or {}
     committed = set(m.get("wave_dirs", []))
+    cutoff = time.time() - grace_sec
     for name in os.listdir(root):
-        if name.startswith("w_") and f"blocks/{name}" not in committed:
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        if not name.startswith("w_") or f"blocks/{name}" in committed:
+            continue
+        p = os.path.join(root, name)
+        try:
+            if os.path.getmtime(p) > cutoff:
+                continue
+        except OSError:
+            continue  # vanished concurrently
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -389,18 +452,20 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
       * crash mid-write: the new dir is unregistered, swept next run;
       * crash after the manifest swap: old dirs are unregistered and
         swept next run; readers only ever saw one consistent list.
-    Not safe to run concurrently with an active encode on the same
-    snapshot: the manifest swap re-reads the manifest first (waves
-    committed during the rewrite stay registered), but the residual
-    read-merge-save window is not a CAS — real Iceberg would
-    validate-and-retry the commit; a local JSON manifest cannot.
+    Safe to run concurrently with an active encode on the same
+    snapshot: the manifest swap is a CAS commit (manifest.commit) whose
+    mutation re-reads the latest manifest on every attempt — waves
+    committed during the rewrite stay registered, and a lost race
+    retries against fresh state (Iceberg's validate-and-retry).
 
     Returns the updated manifest."""
+    import shutil
+
     m = manifest.load(out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
     m = migrate_legacy_layout(out_dir, m)  # legacy flat stores compact too
-    sweep_orphan_waves(out_dir, m)  # incl. leftovers of a crashed compact
+    sweep_orphan_waves(out_dir)  # incl. leftovers of a crashed compact
     old = m.get("wave_dirs", [])
     if len(old) <= 1:
         return m
@@ -416,11 +481,14 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
         .option("compression", "none")
         .parquet(new_dir)
     )
-    with manifest.commit_lock(out_dir):
-        m = manifest.load(out_dir)  # pick up waves committed during the rewrite
-        old_set = set(old)
+    old_set = set(old)
+    new_rel = _wave_rel(new_dir, out_dir)
+
+    def swap(m: dict | None) -> dict:
+        if m is None:
+            raise FileNotFoundError(f"no manifest in {out_dir}")
+        # waves committed during the rewrite stay registered
         kept = [d for d in m.get("wave_dirs", []) if d not in old_set]
-        new_rel = _wave_rel(new_dir, out_dir)
         m["wave_dirs"] = [new_rel] + kept
         wb = m.get("wave_buckets", {})
         if all(d in wb for d in old):
@@ -429,8 +497,13 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
             merged = sorted(m["committed_buckets"])
         m["wave_buckets"] = {k: v for k, v in wb.items() if k not in old_set}
         m["wave_buckets"][new_rel] = merged
-        manifest.save(out_dir, m)
-    sweep_orphan_waves(out_dir, m)
+        return m
+
+    m = manifest.commit(out_dir, swap)
+    # the swap unregistered `old`; this job owns them now — reclaim
+    # immediately (readers that raced the swap saw one consistent list)
+    for d in old:
+        shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     return m
 
 

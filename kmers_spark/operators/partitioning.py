@@ -16,9 +16,12 @@ explicit salting here (SURVEY.md §4).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 HOST_PATTERN = r"^[a-z]+://([^/]+)"
+_HOST_RE = re.compile(HOST_PATTERN)
 
 
 def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -75,3 +78,17 @@ def with_bucket(df: DataFrame, num_buckets: int, hot_keys: dict[str, int],
         F.pmod(F.xxhash64(F.col("_host"), salt.cast("long")), F.lit(num_buckets)).cast("int"),
     )
     return d.drop("_host", "_n_salts") if hot_keys else d.drop("_host")
+
+
+def bucket_for_key(key: str, num_buckets: int, hot_keys: dict[str, int]) -> int:
+    """Driver-side mirror of with_bucket for ONE key: same regex host
+    extraction, same salt rule, same xxhash64 chaining — golden-tested
+    against the Spark expression (test_encode_e2e). Lets point lookups
+    map probe keys to buckets without running a Spark job."""
+    from .. import sparkhash
+
+    m = _HOST_RE.match(key)
+    host = m.group(1) if m else ""  # regexp_extract yields "" on no match
+    n_salts = hot_keys.get(host)
+    salt = sparkhash.pmod(sparkhash.xxhash64(key), n_salts) if n_salts else 0
+    return sparkhash.pmod(sparkhash.xxhash64(host, salt), num_buckets)

@@ -102,9 +102,6 @@ def column_stats(series: pd.Series, typ: str, sample_max: int = 8192) -> dict:
         stats["sortedness"] = float((np.diff(iv) >= 0).mean()) if len(iv) > 1 else 1.0
         rng = int(iv.max()) - int(iv.min())
         stats["range_bits"] = max(rng, 0).bit_length()
-        from .kernels import sortdelta as _sd
-
-        stats["sorted_delta_bits"] = _sd.sorted_delta_bits(iv)
     elif typ == "double":
         from .kernels import floats
 
@@ -164,17 +161,12 @@ def select_codec(stats: dict, typ: str) -> str:
         if mean_run >= RLE_MIN_MEAN_RUN and distinct <= DICT_MAX_CARD_ABS:
             return "dict_rle_int" if distinct <= 256 else "rle_int"
         rb = stats.get("range_bits", 64)
-        # sort-permutation + delta pays when bits(n) + bits(sorted delta)
-        # beats the raw FOR width — i.e. the value SET is dense but the
-        # block ORDER is random (url-sorted warc_ts of a dense crawl).
-        # Near-sorted data keeps for_bitpack: its delta mode is perm-free.
-        sd = stats.get("sorted_delta_bits")
-        # perm width is set by the FULL block length, not the stats
-        # sample (a 1M-row block stores 20-bit perms even if the sample
-        # capped at 8192 suggests 13)
-        perm_bits = max(stats.get("n_total", stats.get("n", 1)) - 1, 1).bit_length()
-        if sd is not None and perm_bits + sd < min(rb, 64) and stats.get("sortedness", 0.0) < 0.9:
-            return "sortdelta"
+        # sortdelta is override-only (kernels/sortdelta.py docstring): its
+        # stored permutation carries exactly the log2(n!) bits sorting
+        # removes, so it cannot beat for_bitpack's self-selected delta
+        # mode + gcd extraction — the old gate compared against the raw
+        # FOR range width and could pick sortdelta when for_bitpack
+        # encoded smaller (compression regression, ADVICE r2).
         if rb < 64 or stats.get("sortedness", 0.0) >= 0.5:
             return "for_bitpack"
         return "plain"

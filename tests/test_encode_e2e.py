@@ -331,6 +331,8 @@ def test_orphan_wave_invisible_and_swept(spark, pages_df, tmp_path):
     import os
     import shutil
 
+    import time
+
     out = str(tmp_path / "snap_orphan")
     enc.encode_table(pages_df, out, num_buckets=4)
     n_rows = enc.read_blocks(spark, out).count()
@@ -343,7 +345,14 @@ def test_orphan_wave_invisible_and_swept(spark, pages_df, tmp_path):
     assert enc.read_blocks(spark, out).count() == n_rows
     _roundtrip_check(spark, pages_df, dec.decode_table(spark, out))
 
-    # swept on the next encode run (resume no-op still sweeps)
+    # a YOUNG unregistered dir survives the sweep (it could be a
+    # concurrent encode's in-flight, pre-commit wave — ADVICE r2)
+    enc.encode_table(pages_df, out, num_buckets=4)
+    assert os.path.exists(orphan)
+
+    # once older than the grace period it's a true orphan: swept
+    old = time.time() - 2 * enc.SWEEP_GRACE_SEC
+    os.utime(orphan, (old, old))
     enc.encode_table(pages_df, out, num_buckets=4)
     assert not os.path.exists(orphan)
 
@@ -523,3 +532,172 @@ def test_wave_pruning_for_bucket_filtered_reads(spark, pages_df, tmp_path):
     assert list(m2["wave_buckets"]) == m2["wave_dirs"]
     assert m2["wave_buckets"][m2["wave_dirs"][0]] == list(range(N_BUCKETS))
     _roundtrip_check(spark, pages_df, dec.decode_table(spark, out))
+
+
+# ------------------------------------------------- round 3: CAS manifest
+
+
+def test_cas_commit_no_lockfile_and_versioned_chain(spark, tmp_path):
+    """The commit protocol is CAS (manifest-v{N}.json published with an
+    atomic create-if-absent), not a lock: no .manifest.lock is ever
+    created, versions form a chain, and version-hint points at the
+    latest."""
+    import os
+
+    out = str(tmp_path / "snap_cas")
+    manifest.init(out, snapshot_id="v", schema={"url": "string"}, num_buckets=4,
+                  key="url")
+    manifest.commit_buckets(out, {0: []}, wave_dir="blocks/w_0")
+    manifest.commit_buckets(out, {1: []}, wave_dir="blocks/w_1")
+    names = sorted(os.listdir(out))
+    assert ".manifest.lock" not in names
+    versions = [n for n in names if n.startswith("manifest-v")]
+    assert versions == ["manifest-v1.json", "manifest-v2.json", "manifest-v3.json"]
+    with open(os.path.join(out, "version-hint.text")) as f:
+        assert f.read().strip() == "3"
+    assert manifest.load(out)["committed_buckets"] == [0, 1]
+
+
+def test_lost_cas_retries_and_merges(tmp_path):
+    """A committer that loses the CAS (another process published its
+    version number first) must retry against the fresh manifest and
+    merge — simulated by pre-publishing the version it will try first."""
+    import json
+    import os
+
+    out = str(tmp_path / "snap_lost_cas")
+    manifest.init(out, snapshot_id="l", schema={"url": "string"}, num_buckets=8,
+                  key="url")  # -> manifest-v1.json
+
+    # a racing committer snapshots v1 and publishes v2 before ours lands
+    racer = manifest.load(out)
+    racer["committed_buckets"] = [5]
+    racer["blocks"]["5"] = []
+    racer.setdefault("wave_dirs", []).append("blocks/w_racer")
+    with open(os.path.join(out, "manifest-v2.json"), "w") as f:
+        json.dump(racer, f)
+
+    m = manifest.commit_buckets(out, {0: []}, wave_dir="blocks/w_mine")
+    # our commit lost v2, retried on the racer's state, merged both
+    assert m["committed_buckets"] == [0, 5]
+    assert set(m["wave_dirs"]) == {"blocks/w_racer", "blocks/w_mine"}
+    assert manifest.load(out) == m
+
+
+def test_legacy_single_file_manifest_upgrades(tmp_path):
+    """A pre-CAS store (single manifest.json) stays readable; its first
+    commit publishes manifest-v1.json and retires the legacy file."""
+    import json
+    import os
+
+    out = str(tmp_path / "snap_legacy_manifest")
+    os.makedirs(out)
+    legacy = {
+        "format_version": 1, "snapshot_id": "old", "schema": {"url": "string"},
+        "key": "url", "num_buckets": 4, "seed": 42, "committed_buckets": [0],
+        "blocks": {"0": []}, "wave_dirs": ["blocks/w_old"], "hot_keys": {},
+    }
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(legacy, f)
+
+    assert manifest.load(out)["committed_buckets"] == [0]
+    m = manifest.commit_buckets(out, {1: []}, wave_dir="blocks/w_new")
+    assert m["committed_buckets"] == [0, 1]
+    assert os.path.exists(os.path.join(out, "manifest-v1.json"))
+    assert not os.path.exists(os.path.join(out, "manifest.json"))
+    assert manifest.load(out)["wave_dirs"] == ["blocks/w_old", "blocks/w_new"]
+
+
+def test_sweep_never_deletes_concurrently_committed_wave(spark, pages_df, tmp_path):
+    """ADVICE r2 (high): a wave committed by a concurrent encode AFTER
+    this job loaded its manifest snapshot must survive the orphan sweep
+    — the sweep re-loads the latest manifest itself."""
+    import os
+    import time
+
+    out = str(tmp_path / "snap_sweep_race")
+    enc.encode_table(pages_df, out, num_buckets=4)
+
+    # concurrent committer registers a new wave; make its dir OLD so
+    # only the manifest registration (not the grace period) protects it
+    wave = f"{out}/blocks/w_concurrent1"
+    os.makedirs(wave)
+    old = time.time() - 10 * enc.SWEEP_GRACE_SEC
+    os.utime(wave, (old, old))
+    m = manifest.load(out)
+
+    def register(cur):
+        cur["wave_dirs"].append("blocks/w_concurrent1")
+        return cur
+
+    manifest.commit(out, register)
+
+    # the sweeping job still holds the PRE-commit snapshot `m`; the
+    # sweep must not trust it
+    enc.sweep_orphan_waves(out, grace_sec=0)
+    assert os.path.exists(wave)
+
+    # a truly unregistered old dir IS swept in the same pass
+    orphan = f"{out}/blocks/w_trueorphan1"
+    os.makedirs(orphan)
+    os.utime(orphan, (old, old))
+    enc.sweep_orphan_waves(out, grace_sec=0)
+    assert not os.path.exists(orphan)
+    assert os.path.exists(wave)
+
+
+# -------------------------------------- round 3: key ranges + lookups
+
+
+def test_bucket_for_key_matches_spark_expression(spark):
+    """The driver-side xxhash64 bucket mirror must agree with
+    partitioning.with_bucket's Spark expression, salted hot hosts
+    included."""
+    urls = (
+        [f"https://hot.example.com/p/{i}" for i in range(40)]
+        + [f"https://h{i}.example.org/x/{i}" for i in range(40)]
+        + ["no-scheme-at-all", "ftp://UPPER.not.matched/x", "https://日本.jp/ページ"]
+    )
+    hot = {"hot.example.com": 7}
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    expected = {
+        r["url"]: r["bucket"]
+        for r in partitioning.with_bucket(df, 16, hot).collect()
+    }
+    for u in urls:
+        assert partitioning.bucket_for_key(u, 16, hot) == expected[u], u
+
+
+def test_lookup_keys_key_range_pruning(spark, pages_df, tmp_path):
+    """Per-bucket key ranges recorded at commit prune buckets whose
+    range excludes the probe key: an absent key outside every range
+    decodes ZERO buckets (no parquet scan at all) — beyond what bucket
+    pruning alone can do (the key still hashes to some bucket)."""
+    out = str(tmp_path / "snap_keyrange")
+    enc.encode_table(pages_df, out, num_buckets=N_BUCKETS)
+    m = manifest.load(out)
+    ranges = m.get("bucket_key_ranges", {})
+    nonempty = [b for b, blks in m["blocks"].items() if blks]
+    assert set(ranges) == set(nonempty)
+    for lo, hi in ranges.values():
+        assert lo <= hi
+
+    # present key: still found
+    url = pages_df.select("url").first()["url"]
+    got = dec.lookup_keys(spark, out, [url])
+    assert got.count() == 1
+
+    # absent key lexicographically above every stored url: all buckets
+    # range-pruned -> empty local relation, no block scan
+    probe = "zzz://never-crawled.invalid/nothing"
+    b = partitioning.bucket_for_key(probe, m["num_buckets"], m.get("hot_keys") or {})
+    assert str(b) in ranges and not (ranges[str(b)][0] <= probe <= ranges[str(b)][1])
+    got = dec.lookup_keys(spark, out, [probe])
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert ("LocalRelation" in plan or "LogicalRDD" in plan)
+    assert "parquet" not in plan.lower() and "Relation [" not in plan
+    assert got.count() == 0
+
+    # mixed probe: decodes only the present key's bucket
+    got = dec.lookup_keys(spark, out, [url, probe])
+    assert [r["url"] for r in got.collect()] == [url]

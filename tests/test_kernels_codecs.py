@@ -338,6 +338,25 @@ class TestGcdAndSortDelta:
         assert m["mode"] == "delta" and m.get("gcd") == 1_000_000
         assert (np.asarray(foren.decode(p, m)) == v).all()
 
+    def test_foren_gcd_int64_min_delta(self):
+        """A delta gcd >= 2**63 (the only nonzero delta wraps to int64
+        min) must not crash the encode path (ADVICE r2: np.int64(g)
+        raised OverflowError); extraction is skipped and the block still
+        round-trips exactly."""
+        from kmers_spark.kernels import foren
+
+        for v in (
+            np.array([-2**62, 2**62], dtype=np.int64),
+            np.array([0, -2**63, 0], dtype=np.int64),
+            np.array([2**62, -2**62, 2**62], dtype=np.int64),
+        ):
+            p, m = foren.encode(v)
+            # FOR-mode gcd >= 2**63 is fine (pure uint64 arithmetic);
+            # delta-mode gcd must have been skipped (int64 division)
+            if m["mode"] == "delta":
+                assert m.get("gcd", 1) < 2**63
+            assert (np.asarray(foren.decode(p, m)) == v).all()
+
     def test_sortdelta_roundtrip(self):
         from kmers_spark.kernels import sortdelta
 
