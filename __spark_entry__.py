@@ -127,7 +127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality": textqc.source_quality,
         "ann_cosine_topk": ann.cosine_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        "ann_topk_lsh_multi": ann.ann_topk_lsh_multi,
         "ann_ivf_topk": ann.ann_ivf_topk,
+        "ann_ivf_lloyd_topk": ann.ann_ivf_lloyd_topk,
         "embedding_dup_pairs": ann.embedding_dup_pairs,
         # --- reference 3-way equivalency + orientation (T13/T8) ---
         "kmer_orientation": lambda s, d: olap.kmer_orientation(s, d, K),
@@ -531,6 +533,85 @@ def oracle_sql() -> dict[str, str]:
             "       (SELECT embedding FROM embeddings WHERE vec_id = 0) q), "
             "s2 AS (SELECT vec_id, sum(x * y) AS dp, sqrt(sum(x * x)) AS na, sqrt(sum(y * y)) AS nb "
             "       FROM zz GROUP BY vec_id) "
+            "SELECT vec_id, round(dp / (na * nb), 6) AS cosine FROM s2 "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "ann_topk_lsh_multi": (
+            # 3 independent 6-plane tables (global plane index feeds the
+            # same fixed weight arithmetic), radius-1 multi-probe per
+            # table, candidates unioned across tables, exact rescore
+            "WITH z AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
+            "      generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+            "bits AS (SELECT z.vec_id, p.gp // 6 AS tbl, p.gp % 6 AS tbit, "
+            "  CASE WHEN sum(z.v * (CASE WHEN (p.gp * 31 + z.d * 17) % 7 < 3 THEN 1.0 ELSE -1.0 END)) > 0 "
+            "  THEN 1 ELSE 0 END AS bit "
+            "  FROM z, (SELECT unnest(generate_series(0, 17))::INT AS gp) p "
+            "  GROUP BY z.vec_id, tbl, tbit), "
+            "bk AS (SELECT vec_id, tbl, sum(bit * (1 << tbit))::BIGINT AS bucket "
+            "       FROM bits GROUP BY vec_id, tbl), "
+            "qb AS (SELECT tbl, bucket AS q_bucket FROM bk WHERE vec_id = 0), "
+            "cand AS (SELECT DISTINCT bk.vec_id FROM bk JOIN qb USING (tbl) "
+            "         WHERE bit_count(xor(bk.bucket, qb.q_bucket)) <= 1 "
+            "         AND bk.vec_id <> 0), "
+            "zz AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a, "
+            "       unnest(q.embedding)::DOUBLE AS b "
+            "       FROM embeddings e JOIN cand USING (vec_id), "
+            "       (SELECT embedding FROM embeddings WHERE vec_id = 0) q), "
+            "sc AS (SELECT vec_id, sum(a * b) AS dp, sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb "
+            "       FROM zz GROUP BY vec_id) "
+            "SELECT vec_id, round(dp / (na * nb), 6) AS cosine FROM sc "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "ann_ivf_lloyd_topk": (
+            # Lloyd-trained IVF: the SAME deterministic k-means the Spark
+            # side runs (2 iterations from the vec_id < 16 sample),
+            # unrolled in SQL. Parallel unnest zips (value, position);
+            # positional join + group-by does the per-(vec, cent) cosine;
+            # per-(cent, pos) avg is the centroid update; coalesce keeps
+            # an empty cluster's previous centroid (matching the Spark
+            # left-join). Then probe 4 lists and exact-rescore, as in
+            # ann_ivf_topk.
+            "WITH vx AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, "
+            "            unnest(generate_series(1, len(embedding))) AS pos FROM embeddings), "
+            "c0 AS (SELECT vec_id AS cent_id, unnest(embedding)::DOUBLE AS m, "
+            "       unnest(generate_series(1, len(embedding))) AS pos "
+            "       FROM embeddings WHERE vec_id < 16), "
+            "sc0 AS (SELECT vx.vec_id, c0.cent_id, "
+            "        sum(x * m) / (sqrt(sum(x * x)) * sqrt(sum(m * m))) AS ccos "
+            "        FROM vx JOIN c0 USING (pos) GROUP BY vx.vec_id, c0.cent_id), "
+            "a0 AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id, row_number() "
+            "       OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r FROM sc0) "
+            "       WHERE r = 1), "
+            "m1 AS (SELECT a0.cent_id, vx.pos, avg(vx.x) AS m "
+            "       FROM vx JOIN a0 USING (vec_id) GROUP BY a0.cent_id, vx.pos), "
+            "c1 AS (SELECT c0.cent_id, c0.pos, coalesce(m1.m, c0.m) AS m FROM c0 "
+            "       LEFT JOIN m1 ON m1.cent_id = c0.cent_id AND m1.pos = c0.pos), "
+            "sc1 AS (SELECT vx.vec_id, c1.cent_id, "
+            "        sum(x * m) / (sqrt(sum(x * x)) * sqrt(sum(m * m))) AS ccos "
+            "        FROM vx JOIN c1 USING (pos) GROUP BY vx.vec_id, c1.cent_id), "
+            "a1 AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id, row_number() "
+            "       OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r FROM sc1) "
+            "       WHERE r = 1), "
+            "m2 AS (SELECT a1.cent_id, vx.pos, avg(vx.x) AS m "
+            "       FROM vx JOIN a1 USING (vec_id) GROUP BY a1.cent_id, vx.pos), "
+            "c2 AS (SELECT c1.cent_id, c1.pos, coalesce(m2.m, c1.m) AS m FROM c1 "
+            "       LEFT JOIN m2 ON m2.cent_id = c1.cent_id AND m2.pos = c1.pos), "
+            "sc2 AS (SELECT vx.vec_id, c2.cent_id, "
+            "        sum(x * m) / (sqrt(sum(x * x)) * sqrt(sum(m * m))) AS ccos "
+            "        FROM vx JOIN c2 USING (pos) GROUP BY vx.vec_id, c2.cent_id), "
+            "a2 AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id, row_number() "
+            "       OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r FROM sc2) "
+            "       WHERE r = 1), "
+            "probe AS (SELECT cent_id FROM sc2 WHERE vec_id = 0 "
+            "          ORDER BY ccos DESC, cent_id LIMIT 4), "
+            "cand AS (SELECT a2.vec_id FROM a2 JOIN probe USING (cent_id) "
+            "         WHERE a2.vec_id <> 0), "
+            "zz AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, "
+            "       unnest(q.embedding)::DOUBLE AS y "
+            "       FROM embeddings e JOIN cand USING (vec_id), "
+            "       (SELECT embedding FROM embeddings WHERE vec_id = 0) q), "
+            "s2 AS (SELECT vec_id, sum(x * y) AS dp, sqrt(sum(x * x)) AS na, "
+            "       sqrt(sum(y * y)) AS nb FROM zz GROUP BY vec_id) "
             "SELECT vec_id, round(dp / (na * nb), 6) AS cosine FROM s2 "
             "ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
