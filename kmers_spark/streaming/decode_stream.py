@@ -1,0 +1,101 @@
+"""Streaming decode of the committed wave layout — the decode mirror of
+encode_stream (VERDICT r2 #5): as an ongoing encode commits waves to the
+manifest, a streaming job incrementally decodes ONLY the newly committed
+waves and appends them to a parquet sink, exactly-once.
+
+Structured Streaming's file source cannot take its file list from a
+manifest (it lists directories, which would read uncommitted orphan
+waves), so the stream is a ticker (rate source) driving foreachBatch;
+each tick diffs the LATEST manifest's wave list against a processed-set
+checkpoint and decodes the new waves with the batch decode kernels.
+Idempotence is per wave, not per epoch: every wave decodes into its own
+sink partition dir with overwrite, and the processed marker is written
+only after the sink write lands — a crash (or Spark epoch replay)
+between the two re-decodes the wave into identical files. This is the
+same write-then-commit discipline the encode side uses, pointed the
+other way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import manifest
+from ..operators.decode import _SPARK_TYPE, decode_blocks_df
+from ..operators.encode import BLOCK_SCHEMA, assert_utc_session
+
+STATE_NAME = "processed_waves.json"
+
+
+def _load_state(state_path: str) -> set[str]:
+    try:
+        with open(state_path) as f:
+            return set(json.load(f))
+    except FileNotFoundError:
+        return set()
+
+
+def _save_state(state_path: str, processed: set[str]) -> None:
+    os.makedirs(os.path.dirname(state_path), exist_ok=True)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(processed), f)
+    os.replace(tmp, state_path)
+
+
+def decode_new_waves(spark: SparkSession, out_dir: str, sink_dir: str,
+                     state_path: str) -> list[str]:
+    """Decode every committed-but-unprocessed wave into
+    sink_dir/wave=<id>/ (overwrite => replay-idempotent); returns the
+    waves decoded this call. Reads ONLY the manifest's wave list, so
+    uncommitted orphan dirs are never decoded."""
+    m = manifest.load(out_dir)
+    if m is None:
+        return []
+    schema = m["schema"]
+    assert_utc_session(spark, schema)
+    out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
+    processed = _load_state(state_path)
+    todo = [d for d in m.get("wave_dirs", []) if d not in processed]
+    for wd in todo:
+        blocks = spark.read.schema(BLOCK_SCHEMA).parquet(f"{out_dir}/{wd}")
+        decoded = decode_blocks_df(blocks, schema, out_schema)
+        wave_id = wd.rsplit("/", 1)[-1]
+        decoded.write.mode("overwrite").parquet(f"{sink_dir}/wave={wave_id}")
+        processed.add(wd)
+        _save_state(state_path, processed)  # marker AFTER the data lands
+    return todo
+
+
+def decode_stream(spark: SparkSession, out_dir: str, sink_dir: str,
+                  checkpoint: str, rows_per_second: int = 1,
+                  available_now: bool = False):
+    """Start the streaming decode: a rate-source ticker whose
+    foreachBatch decodes newly committed waves. `available_now=True`
+    processes what exists and stops (catch-up run); otherwise the query
+    follows the encode job until stopped. Returns the StreamingQuery."""
+    state_path = os.path.join(checkpoint, STATE_NAME)
+    ticker = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        decode_new_waves(batch_df.sparkSession, out_dir, sink_dir, state_path)
+
+    return (
+        ticker.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(checkpoint, "query"))
+        .trigger(**({"availableNow": True} if available_now else {"processingTime": "1 seconds"}))
+        .start()
+    )
+
+
+def read_decoded(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """The decoded rows accumulated so far (wave partition column
+    dropped — it's lineage, not data)."""
+    return spark.read.option("basePath", sink_dir).parquet(f"{sink_dir}/wave=*").drop("wave")

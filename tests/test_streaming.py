@@ -138,3 +138,70 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert len(got) == len(expect)
     assert got == expect
+
+
+def test_streaming_decode_of_wave_layout(spark, tmp_path):
+    """Decode mirror of the streaming encode (round 3): a ticker-driven
+    foreachBatch decodes newly committed waves incrementally, idempotent
+    per wave, equivalent to the batch decode at every step."""
+    from kmers_spark import pages
+    from kmers_spark.operators import decode as dec, encode as enc
+    from kmers_spark.streaming import decode_stream as ds
+
+    out = str(tmp_path / "snap_sdec")
+    sink = str(tmp_path / "sink")
+    state = str(tmp_path / "ckpt/processed_waves.json")
+    df = pages.pages_df(spark, 1500, seed=9, partitions=4).cache()
+    df.count()
+
+    # wave 1: a partial encode (buckets 0-2 of 6)
+    enc.encode_table(df, out, num_buckets=6, detect_skew=False,
+                     fail_buckets_over=3, commit_every=3)
+    done = ds.decode_new_waves(spark, out, sink, state)
+    assert len(done) == 1
+    got1 = ds.read_decoded(spark, sink)
+    want1 = dec.decode_table(spark, out)
+    assert got1.count() == want1.count() > 0
+    assert got1.join(want1, "url", "left_anti").count() == 0
+
+    # no new waves -> no work
+    assert ds.decode_new_waves(spark, out, sink, state) == []
+
+    # wave 2: the encode resumes; the stream picks up ONLY the new wave
+    enc.encode_table(df, out, num_buckets=6, detect_skew=False, commit_every=3)
+    done = ds.decode_new_waves(spark, out, sink, state)
+    assert len(done) == 1
+    got2 = ds.read_decoded(spark, sink)
+    assert got2.count() == df.count()
+    assert got2.join(df, "url", "left_anti").count() == 0
+    assert df.join(got2, "url", "left_anti").count() == 0
+
+    # replay idempotence: losing the marker re-decodes the same wave
+    # into the same files (overwrite), never duplicating rows
+    import json
+    with open(state) as f:
+        processed = json.load(f)
+    with open(state, "w") as f:
+        json.dump(processed[:-1], f)
+    assert len(ds.decode_new_waves(spark, out, sink, state)) == 1
+    assert ds.read_decoded(spark, sink).count() == df.count()
+
+
+def test_streaming_decode_query_available_now(spark, tmp_path):
+    """The actual StreamingQuery wiring: an availableNow ticker run
+    decodes every committed wave then stops."""
+    from kmers_spark import pages
+    from kmers_spark.streaming import decode_stream as ds
+    from kmers_spark.operators import encode as enc
+
+    out = str(tmp_path / "snap_sq")
+    sink = str(tmp_path / "sink_sq")
+    ckpt = str(tmp_path / "ckpt_sq")
+    df = pages.pages_df(spark, 800, seed=10, partitions=2).cache()
+    df.count()
+    enc.encode_table(df, out, num_buckets=4, detect_skew=False, commit_every=2)
+
+    q = ds.decode_stream(spark, out, sink, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert ds.read_decoded(spark, sink).count() == df.count()
