@@ -1,10 +1,21 @@
 """Frame-of-reference + delta/zigzag encoding for int64 columns
 (timestamps as epoch-microseconds, monotone-ish ids).
 
-Two sub-modes, chosen by whichever yields the smaller residual width:
-  'for'   : residual = v - min(v)                (good for bounded ranges)
-  'delta' : residual = zigzag(v[i] - v[i-1])     (good for near-sorted, e.g.
-            per-host warc_ts with jitter — FIXTURES.md §1)
+Four sub-modes, chosen by whichever yields the smallest payload:
+  'for'        : residual = v - min(v)            (bounded ranges)
+  'delta'      : residual = zigzag(v[i] - v[i-1]) (near-sorted, e.g.
+                 per-host warc_ts with jitter — FIXTURES.md §1)
+  'pfor_for' / 'pfor_delta' : same residuals, but bit-packed in
+                 128-value MINIBLOCKS with per-miniblock widths
+                 (PFOR-style, Zukowski et al. ICDE'06; also parquet's
+                 DELTA_BINARY_PACKED shape). One outlier delta no
+                 longer forces the whole block wide: measured 23%
+                 smaller than global-width + zlib on near-sorted
+                 timestamps with rare large jumps (host-clustered
+                 crawl order), neutral elsewhere (BENCH/ROUND3.md).
+                 128 values * w bits is byte-aligned for every w, so
+                 equal-width miniblocks pack/unpack as ONE batched
+                 kernel call grouped by width — no per-miniblock loop.
 Before packing, a common divisor is extracted from the residuals
 (meta "gcd"): coarse-granularity values stored in fine units — the
 Common-Crawl case, WARC-Date has 1-second resolution but warc_ts is
@@ -19,6 +30,83 @@ from __future__ import annotations
 import numpy as np
 
 from . import bitpack
+
+MB = 128  # PFOR miniblock length; 128*w bits is whole bytes for any w
+_POWERS = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+
+
+def _mb_widths(res: np.ndarray) -> np.ndarray:
+    """Per-miniblock bit widths (bit_length of each miniblock's max)."""
+    n = len(res)
+    num = (n + MB - 1) // MB
+    pad = num * MB - n
+    r = np.concatenate([res, np.zeros(pad, np.uint64)]) if pad else res
+    mx = r.reshape(num, MB).max(axis=1)
+    return np.searchsorted(_POWERS, mx, side="right").astype(np.uint8)
+
+
+def _mb_body_sizes(widths: np.ndarray, n: int) -> np.ndarray:
+    """Packed byte size of each miniblock (the last may be partial)."""
+    sizes = widths.astype(np.int64) * (MB // 8)
+    rem = n % MB
+    if rem:
+        sizes[-1] = (rem * int(widths[-1]) + 7) // 8
+    return sizes
+
+
+def _pfor_pack(res: np.ndarray, widths: np.ndarray) -> bytes:
+    """widths header + per-miniblock packed bodies; miniblocks of equal
+    width are packed in one bitpack call (byte alignment guarantees the
+    concatenation is a valid stream) and scattered to their slots."""
+    n = len(res)
+    num = len(widths)
+    sizes = _mb_body_sizes(widths, n)
+    offs = np.zeros(num + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    out = np.zeros(int(offs[-1]), dtype=np.uint8)
+    rem = n % MB
+    full = num - 1 if rem else num
+    fw = widths[:full]
+    for w in np.unique(fw):
+        if w == 0:
+            continue
+        mbs = np.nonzero(fw == w)[0]
+        vals = res[(mbs[:, None] * MB + np.arange(MB)).ravel()]
+        packed = np.frombuffer(bitpack.pack(vals, int(w)), dtype=np.uint8)
+        span = int(w) * (MB // 8)
+        out[(offs[mbs][:, None] + np.arange(span)).ravel()] = packed
+    if rem and widths[-1]:
+        tail = np.frombuffer(
+            bitpack.pack(res[full * MB :], int(widths[-1])), dtype=np.uint8
+        )
+        out[offs[-2] : offs[-2] + len(tail)] = tail
+    return widths.tobytes() + out.tobytes()
+
+
+def _pfor_unpack(payload: bytes, n: int) -> np.ndarray:
+    num = (n + MB - 1) // MB
+    widths = np.frombuffer(payload[:num], dtype=np.uint8)
+    body = np.frombuffer(payload[num:], dtype=np.uint8)
+    sizes = _mb_body_sizes(widths, n)
+    offs = np.zeros(num + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    res = np.zeros(n, dtype=np.uint64)
+    rem = n % MB
+    full = num - 1 if rem else num
+    fw = widths[:full]
+    for w in np.unique(fw):
+        if w == 0:
+            continue
+        mbs = np.nonzero(fw == w)[0]
+        span = int(w) * (MB // 8)
+        blob = body[(offs[mbs][:, None] + np.arange(span)).ravel()]
+        vals = bitpack.unpack(blob.tobytes(), int(w), len(mbs) * MB)
+        res[(mbs[:, None] * MB + np.arange(MB)).ravel()] = vals
+    if rem and widths[-1]:
+        res[full * MB :] = bitpack.unpack(
+            body[offs[-2] : offs[-1]].tobytes(), int(widths[-1]), rem
+        )
+    return res
 
 
 def _zigzag(d: np.ndarray) -> np.ndarray:
@@ -61,13 +149,35 @@ def encode(arr: np.ndarray) -> tuple[bytes, dict]:
     res_delta = _zigzag(deltas)
     w_delta = bitpack.width_for(int(res_delta.max()))
 
-    if w_delta < w_for:
-        mode, width, res, g = "delta", w_delta, res_delta, g_delta
-        base = int(v[0])
+    # candidate sizes: global-width for/delta and per-miniblock (PFOR)
+    # for/delta; pick the smallest, ties broken in this fixed order
+    mbw_for = _mb_widths(res_for)
+    mbw_delta = _mb_widths(res_delta)
+    num_mb = len(mbw_for)
+    cands = [
+        ("for", (n * w_for + 7) // 8),
+        ("delta", (n * w_delta + 7) // 8),
+        ("pfor_for", num_mb + int(_mb_body_sizes(mbw_for, n).sum())),
+        ("pfor_delta", num_mb + int(_mb_body_sizes(mbw_delta, n).sum())),
+    ]
+    mode = min(cands, key=lambda c: c[1])[0]
+    meta = {"n": n, "mode": mode}
+    if mode == "for":
+        payload = bitpack.pack(res_for, w_for)
+        meta.update(base=base, width=w_for)
+        g = g_for
+    elif mode == "delta":
+        payload = bitpack.pack(res_delta, w_delta)
+        meta.update(base=int(v[0]), width=w_delta)
+        g = g_delta
+    elif mode == "pfor_for":
+        payload = _pfor_pack(res_for, mbw_for)
+        meta.update(base=base)
+        g = g_for
     else:
-        mode, width, res, g = "for", w_for, res_for, g_for
-    payload = bitpack.pack(res, width)
-    meta = {"n": n, "mode": mode, "base": base, "width": width}
+        payload = _pfor_pack(res_delta, mbw_delta)
+        meta.update(base=int(v[0]))
+        g = g_delta
     if g > 1:
         meta["gcd"] = g
     return payload, meta
@@ -77,10 +187,14 @@ def decode(payload: bytes, meta: dict) -> np.ndarray:
     n = meta["n"]
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    res = bitpack.unpack(payload, meta["width"], n)
+    mode = meta["mode"]
+    if mode.startswith("pfor"):
+        res = _pfor_unpack(payload, n)
+    else:
+        res = bitpack.unpack(payload, meta["width"], n)
     g = meta.get("gcd", 1)
     base = np.int64(meta["base"])
-    if meta["mode"] == "for":
+    if mode in ("for", "pfor_for"):
         if g > 1:
             res = res * np.uint64(g)
         return (res + base.view(np.uint64)).view(np.int64)

@@ -477,3 +477,68 @@ class TestRound2Properties:
         w = domain.slice_kmers_packed([b], np.array([pos]), k)
         got = domain.unpack_batch(w.reshape(1, 1), k).astype(str)[0]
         assert got == seq[pos : pos + k].lower()
+
+
+class TestPforMiniblocks:
+    def test_pfor_selected_on_outlier_deltas_and_smaller(self):
+        """Rare large jumps in near-sorted values (host-clustered crawl
+        timestamps) must not force the whole block to the outlier's
+        width: the per-miniblock layout self-selects and beats the
+        global width by >15% (measured ~23% — BENCH/ROUND3.md)."""
+        from kmers_spark.kernels import bitpack, foren
+
+        rng = np.random.default_rng(5)
+        n = 50_000
+        v = (np.cumsum(np.where(rng.random(n) < 0.002,
+                                rng.integers(10**9, 10**12, n),
+                                rng.integers(0, 2000, n)))
+             + 1_700_000_000_000_000).astype(np.int64)
+        p, m = foren.encode(v)
+        assert m["mode"] == "pfor_delta"
+        assert (np.asarray(foren.decode(p, m)) == v).all()
+        # global-width delta size for comparison
+        d = np.diff(v, prepend=v[0]).astype(np.int64)
+        zz = ((d << np.int64(1)) ^ (d >> np.int64(63))).view(np.uint64)
+        global_sz = (n * bitpack.width_for(int(zz.max())) + 7) // 8
+        assert len(p) < 0.85 * global_sz
+
+    def test_pfor_not_selected_when_global_wins(self):
+        """Uniform residuals have no width variance to exploit: the
+        miniblock headers would be pure overhead, so global modes stay."""
+        from kmers_spark.kernels import foren
+
+        rng = np.random.default_rng(6)
+        v = rng.integers(0, 2**30, 20_000).astype(np.int64)
+        p, m = foren.encode(v)
+        assert m["mode"] in ("for", "delta")
+
+    def test_pfor_roundtrip_edge_shapes(self):
+        from kmers_spark.kernels import foren
+
+        rng = np.random.default_rng(7)
+        for n in (1, 127, 128, 129, 255, 256, 257, 4096):
+            # zero-width miniblocks interleaved with wide ones
+            v = np.repeat(rng.integers(0, 2**40, (n + 255) // 256), 256)[:n]
+            v = v + (rng.random(n) < 0.01) * 2**50
+            v = np.cumsum(v).astype(np.int64)
+            p, m = foren.encode(v)
+            assert (np.asarray(foren.decode(p, m)) == v).all(), (n, m["mode"])
+
+    def test_pfor_column_codec_both_paths(self):
+        """for_bitpack through the pandas and Arrow column codecs picks
+        pfor identically and stays byte-identical."""
+        import pandas as pd
+        import pyarrow as pa
+        from kmers_spark import arrowcodecs, codecs
+
+        rng = np.random.default_rng(8)
+        n = 30_000
+        v = (np.cumsum(np.where(rng.random(n) < 0.003,
+                                rng.integers(10**8, 10**11, n),
+                                rng.integers(0, 500, n)))).astype(np.int64)
+        p1, m1 = codecs.encode_column(pd.Series(v), "for_bitpack", "int64")
+        p2, m2 = arrowcodecs.encode_column_arrow(pa.array(v), "for_bitpack", "int64")
+        assert p1 == p2 and m1 == m2
+        assert m1["for"]["mode"] == "pfor_delta"
+        assert (codecs.decode_column(p1, m1).to_numpy(dtype=np.int64) == v).all()
+        assert (arrowcodecs.decode_column_arrow(p2, m2).to_numpy() == v).all()
