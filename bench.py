@@ -164,6 +164,23 @@ def main():
         n2 = dec.decode_colocated(s, peak["out"]).count()
         timings["decode_pages_colocated"] = round(time.perf_counter() - t0, 3)
         assert n2 == PAGES_ROWS
+
+        # point lookups on the compressed store: 3 present keys (bucket +
+        # key-range pruning decode only their buckets) and 1 absent key
+        # outside every range (zero buckets decoded, no Spark job for
+        # bucketing — driver-side xxhash64)
+        urls = [
+            r["url"]
+            for r in s.read.parquet(str(CACHE)).select("url").limit(3).collect()
+        ]
+        t0 = time.perf_counter()
+        n3 = dec.lookup_keys(s, peak["out"], urls).count()
+        timings["lookup_keys_present"] = round(time.perf_counter() - t0, 3)
+        assert n3 == len(set(urls))
+        t0 = time.perf_counter()
+        n4 = dec.lookup_keys(s, peak["out"], ["zzz://absent.invalid/x"]).count()
+        timings["lookup_keys_absent"] = round(time.perf_counter() - t0, 3)
+        assert n4 == 0
         shutil.rmtree(peak["out"], ignore_errors=True)
 
         import __spark_entry__ as entrymod
@@ -179,6 +196,8 @@ def main():
             "ngram_jaccard",
             "ann_cosine_topk",
             "ann_ivf_topk",
+            "ann_ivf_lloyd_topk",
+            "ann_topk_lsh_multi",
             "embedding_dup_pairs",
             "codec_roundtrip_documents",
         ):
