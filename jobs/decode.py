@@ -27,6 +27,11 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--verify", default=None)
     ap.add_argument(
+        "--columns", default=None,
+        help="comma-separated column projection: only these columns' "
+        "block payloads are shuffled and decompressed",
+    )
+    ap.add_argument(
         "--colocated", action="store_true",
         help="shuffle-free decode: whole block files per scan partition "
         "(requires the encode write layout, which encode_table produces)",
@@ -40,10 +45,15 @@ def main() -> None:
     from kmers_spark.session import get_spark
 
     spark = get_spark("kmers_spark_decode")
+    if args.colocated and args.columns:
+        raise SystemExit("--columns requires the shuffle path (not --colocated)")
     decoded = (
         dec.decode_colocated(spark, args.snapshot)
         if args.colocated
-        else dec.decode_table(spark, args.snapshot)
+        else dec.decode_table(
+            spark, args.snapshot,
+            columns=args.columns.split(",") if args.columns else None,
+        )
     )
     decoded.write.mode("overwrite").parquet(args.output)
 

@@ -701,3 +701,30 @@ def test_lookup_keys_key_range_pruning(spark, pages_df, tmp_path):
     # mixed probe: decodes only the present key's bucket
     got = dec.lookup_keys(spark, out, [url, probe])
     assert [r["url"] for r in got.collect()] == [url]
+
+
+def test_decode_column_projection(spark, pages_df, tmp_path):
+    """Column-projected decode: only the requested columns' block rows
+    enter the shuffle (the `column` filter reaches the block scan), and
+    the values stay bit-identical to a full decode."""
+    out = str(tmp_path / "snap_proj")
+    enc.encode_table(pages_df, out, num_buckets=4)
+
+    got = dec.decode_table(spark, out, columns=["url", "warc_ts"])
+    assert got.columns == ["url", "warc_ts"]
+    full = dec.decode_table(spark, out).select("url", "warc_ts")
+    assert got.count() == full.count()
+    assert got.exceptAll(full).count() == 0
+
+    # the projection filter is pushed to the block-parquet scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "column" in pushed, pushed
+
+    # single column, order follows manifest schema; unknown names raise
+    one = dec.decode_table(spark, out, columns=["lang"])
+    assert one.columns == ["lang"]
+    assert one.count() == pages_df.count()
+    with pytest.raises(KeyError):
+        dec.decode_table(spark, out, columns=["nope"])
