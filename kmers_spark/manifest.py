@@ -33,7 +33,6 @@ from typing import Any, Callable
 
 LEGACY_NAME = "manifest.json"
 VERSION_PREFIX = "manifest-v"
-KEEP_VERSIONS = 8  # older versions are pruned best-effort after commit
 
 
 def _vpath(out_dir: str, v: int) -> str:
@@ -66,14 +65,22 @@ def _list_versions(out_dir: str) -> list[int]:
 def _load_versioned(out_dir: str) -> tuple[dict[str, Any] | None, int]:
     """(manifest, version). Version 0 = legacy single-file or absent.
 
-    Resilient to a concurrent pruner: a version listed but already
-    unlinked is skipped in favor of the next-newest one.
+    Always serves the NEWEST version: if the newest listed file vanishes
+    between listdir and open (external cleanup), the listing is retried
+    rather than silently walking back to a stale older version (a stale
+    read here would make commit() merge against missing state).
     """
-    for v in reversed(_list_versions(out_dir)):
-        m = _read_json(_vpath(out_dir, v))
+    for _ in range(8):
+        versions = _list_versions(out_dir)
+        if not versions:
+            return _read_json(os.path.join(out_dir, LEGACY_NAME)), 0
+        m = _read_json(_vpath(out_dir, versions[-1]))
         if m is not None:
-            return m, v
-    return _read_json(os.path.join(out_dir, LEGACY_NAME)), 0
+            return m, versions[-1]
+    raise RuntimeError(
+        f"manifest versions in {out_dir} keep vanishing between list and "
+        "read (external cleanup racing this reader?)"
+    )
 
 
 def load(out_dir: str) -> dict[str, Any] | None:
@@ -95,6 +102,8 @@ def commit(out_dir: str, mutate: Callable[[dict[str, Any] | None], dict[str, Any
     for _ in range(max_retries):
         base, v = _load_versioned(out_dir)
         new = mutate(copy.deepcopy(base) if base is not None else None)
+        if base is not None and new == base:
+            return new  # no-op mutation: nothing to publish
         tmp = os.path.join(out_dir, f".manifest-tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(new, f, indent=1, sort_keys=True)
@@ -112,8 +121,16 @@ def commit(out_dir: str, mutate: Callable[[dict[str, Any] | None], dict[str, Any
 
 
 def _after_publish(out_dir: str, v: int) -> None:
-    """Best-effort housekeeping: version hint, old-version pruning,
-    legacy-file removal (its content lives on as version 1+)."""
+    """Best-effort housekeeping: version hint and legacy-file removal
+    (its content lives on as version 1+).
+
+    Old versions are deliberately NOT auto-pruned: unlinking version N
+    would reopen its name, and a stale committer's create-if-absent on
+    the reopened slot would succeed — an ABA on the CAS that silently
+    drops its commit from the live chain. Version files are ~KBs;
+    retention is an operator action (Iceberg's expire-snapshots
+    analogue) that must only run when no committer can still be
+    holding a version that old."""
     hint_tmp = os.path.join(out_dir, ".version-hint.tmp")
     try:
         with open(hint_tmp, "w") as f:
@@ -121,12 +138,6 @@ def _after_publish(out_dir: str, v: int) -> None:
         os.replace(hint_tmp, os.path.join(out_dir, "version-hint.text"))
     except OSError:
         pass
-    for old in _list_versions(out_dir):
-        if old <= v - KEEP_VERSIONS:
-            try:
-                os.unlink(_vpath(out_dir, old))
-            except OSError:
-                pass
     try:
         os.unlink(os.path.join(out_dir, LEGACY_NAME))
     except OSError:

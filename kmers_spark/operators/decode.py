@@ -43,6 +43,8 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
         raise FileNotFoundError(f"no manifest in {out_dir}")
     full = m["schema"]  # {column: logical type} — insertion order preserved
     if columns is not None:
+        if not columns:
+            raise ValueError("columns projection must not be empty")
         unknown = [c for c in columns if c not in full]
         if unknown:
             raise KeyError(f"columns not in snapshot schema: {unknown}")
@@ -145,8 +147,13 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
         rng = ranges.get(str(b))
         # no recorded range (legacy snapshot / empty bucket stats / non-
         # string key column) keeps the bucket; a range excluding the key
-        # proves it's absent
-        if rng is None or not isinstance(rng[0], str) or rng[0] <= k <= rng[1]:
+        # proves it's absent. Both ends must be strings to compare.
+        if (
+            rng is None
+            or not isinstance(rng[0], str)
+            or not isinstance(rng[1], str)
+            or rng[0] <= k <= rng[1]
+        ):
             buckets.add(b)
     out_schema = ", ".join(
         f"`{c}` {_SPARK_TYPE[t]}" for c, t in m["schema"].items()

@@ -78,7 +78,10 @@ def make_encode_fn(schema: dict[str, str], key: str, codec_overrides: dict[str, 
                 lo, hi = s.iloc[0], s.iloc[-1]
                 lo = lo.item() if hasattr(lo, "item") else lo
                 hi = hi.item() if hasattr(hi, "item") else hi
-                meta = {**meta, "key_min": lo, "key_max": hi}
+                # nulls sort last: a null max means the range is not a
+                # total bound — record nothing (pruning stays bucket-only)
+                if isinstance(lo, (str, int)) and isinstance(hi, (str, int)):
+                    meta = {**meta, "key_min": lo, "key_max": hi}
             out.append(
                 {
                     "bucket": bucket,
@@ -128,8 +131,11 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
             payload, meta = arrowcodecs.encode_column_arrow(arr, codec, typ)
             codec = meta.get("codec", codec)
             if col == key and len(arr) and typ in ("string", "int64"):
-                # key range for manifest pruning (rows are key-sorted)
-                meta = {**meta, "key_min": arr[0].as_py(), "key_max": arr[-1].as_py()}
+                # key range for manifest pruning (rows are key-sorted;
+                # nulls sort last, so a null max voids the range)
+                lo, hi = arr[0].as_py(), arr[-1].as_py()
+                if isinstance(lo, (str, int)) and isinstance(hi, (str, int)):
+                    meta = {**meta, "key_min": lo, "key_max": hi}
             if typ in ("string", "binary"):
                 from .. import arrowview as av
 
@@ -219,17 +225,37 @@ def encode_table(
             if detect_skew
             else {}
         )
-        manifest.init(
-            out_dir, snapshot_id=snapshot_id, schema=schema, num_buckets=num_buckets,
-            key=key,
-        )
 
-        def set_job_config(cur: dict) -> dict:
+        def create_or_config(cur: dict | None) -> dict:
+            if cur is None:
+                cur = {
+                    "format_version": 2,
+                    "snapshot_id": snapshot_id,
+                    "schema": schema,
+                    "key": key,
+                    "num_buckets": num_buckets,
+                    "seed": 42,
+                    "committed_buckets": [],
+                    "blocks": {},
+                    "wave_dirs": [],
+                    "created_unix": int(time.time()),
+                }
+            elif cur["num_buckets"] != num_buckets or cur["schema"] != schema:
+                raise ValueError("existing manifest is incompatible with this job config")
+            elif not resume:
+                if cur.get("committed_buckets"):
+                    # committed blocks were salted with the OLD hot_keys;
+                    # silently swapping the salt table would send lookups
+                    # to the wrong buckets — a fresh run needs a fresh dir
+                    raise ValueError(
+                        f"resume=False but {out_dir} already holds committed "
+                        "buckets; delete the snapshot dir or resume"
+                    )
             cur["hot_keys"] = hot
             cur["codec_overrides"] = codec_overrides or {}
             return cur
 
-        m = manifest.commit(out_dir, set_job_config)
+        m = manifest.commit(out_dir, create_or_config)
     hot = m["hot_keys"]
 
     m = migrate_legacy_layout(out_dir, m)
@@ -500,10 +526,19 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
         return m
 
     m = manifest.commit(out_dir, swap)
-    # the swap unregistered `old`; this job owns them now — reclaim
-    # immediately (readers that raced the swap saw one consistent list)
+    # The swap unregistered `old`, but a reader that loaded the pre-swap
+    # manifest may still be scanning those dirs — deleting them now
+    # would fail it mid-flight. Touch them instead: as fresh
+    # unregistered dirs they sit out sweep_orphan_waves' grace window
+    # (readers finish), then the next sweep reclaims them. Same reader
+    # contract as Iceberg: expire/vacuum lags the metadata swap.
+    now = time.time()
     for d in old:
-        shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+        try:
+            os.utime(os.path.join(out_dir, d), (now, now))
+        except OSError:
+            pass
+    sweep_orphan_waves(out_dir)  # reclaims PREVIOUSLY retired dirs
     return m
 
 

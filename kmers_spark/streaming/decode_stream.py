@@ -30,19 +30,22 @@ from ..operators.encode import BLOCK_SCHEMA, assert_utc_session
 STATE_NAME = "processed_waves.json"
 
 
-def _load_state(state_path: str) -> set[str]:
+def _load_state(state_path: str) -> dict:
     try:
         with open(state_path) as f:
-            return set(json.load(f))
+            st = json.load(f)
     except FileNotFoundError:
-        return set()
+        return {"waves": [], "buckets": []}
+    if isinstance(st, list):  # pre-bucket-tracking state files
+        return {"waves": st, "buckets": []}
+    return st
 
 
-def _save_state(state_path: str, processed: set[str]) -> None:
+def _save_state(state_path: str, waves: set[str], buckets: set[int]) -> None:
     os.makedirs(os.path.dirname(state_path), exist_ok=True)
     tmp = state_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(sorted(processed), f)
+        json.dump({"waves": sorted(waves), "buckets": sorted(buckets)}, f)
     os.replace(tmp, state_path)
 
 
@@ -51,23 +54,49 @@ def decode_new_waves(spark: SparkSession, out_dir: str, sink_dir: str,
     """Decode every committed-but-unprocessed wave into
     sink_dir/wave=<id>/ (overwrite => replay-idempotent); returns the
     waves decoded this call. Reads ONLY the manifest's wave list, so
-    uncommitted orphan dirs are never decoded."""
+    uncommitted orphan dirs are never decoded.
+
+    Processed state tracks BUCKETS as well as wave names: a compaction
+    rewrites already-delivered waves into one new dir, which would look
+    like fresh work by name — but every bucket it holds was already
+    delivered, so it's marked processed WITHOUT re-decoding (no
+    duplicate rows in the sink). A wave with no manifest bucket list
+    (legacy) falls back to name-only tracking."""
     m = manifest.load(out_dir)
     if m is None:
         return []
     schema = m["schema"]
     assert_utc_session(spark, schema)
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
-    processed = _load_state(state_path)
-    todo = [d for d in m.get("wave_dirs", []) if d not in processed]
-    for wd in todo:
+    st = _load_state(state_path)
+    waves, buckets = set(st["waves"]), set(st["buckets"])
+    wb = m.get("wave_buckets", {})
+    decoded_waves = []
+    for wd in m.get("wave_dirs", []):
+        if wd in waves:
+            continue
+        wave_buckets = wb.get(wd)
+        if wave_buckets is not None and wave_buckets and set(wave_buckets) <= buckets:
+            # a compacted rewrite of waves this stream already delivered
+            waves.add(wd)
+            _save_state(state_path, waves, buckets)
+            continue
         blocks = spark.read.schema(BLOCK_SCHEMA).parquet(f"{out_dir}/{wd}")
+        if wave_buckets is not None and buckets.intersection(wave_buckets):
+            # partial overlap (compaction merged delivered + undelivered
+            # waves): decode only the buckets this stream hasn't shipped
+            blocks = blocks.filter(
+                blocks.bucket.isin(sorted(set(wave_buckets) - buckets))
+            )
         decoded = decode_blocks_df(blocks, schema, out_schema)
         wave_id = wd.rsplit("/", 1)[-1]
         decoded.write.mode("overwrite").parquet(f"{sink_dir}/wave={wave_id}")
-        processed.add(wd)
-        _save_state(state_path, processed)  # marker AFTER the data lands
-    return todo
+        waves.add(wd)
+        if wave_buckets is not None:
+            buckets.update(wave_buckets)
+        _save_state(state_path, waves, buckets)  # marker AFTER the data lands
+        decoded_waves.append(wd)
+    return decoded_waves
 
 
 def decode_stream(spark: SparkSession, out_dir: str, sink_dir: str,

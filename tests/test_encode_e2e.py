@@ -430,7 +430,17 @@ def test_compact_waves(spark, pages_df, tmp_path):
     )
     assert before == after  # payloads moved verbatim
     _roundtrip_check(spark, pages_df, dec.decode_table(spark, out))
-    # old dirs swept
+    # old dirs are RETIRED, not yanked from under concurrent readers:
+    # they survive the grace window, then the next sweep reclaims them
+    import time
+
+    dirs = [n for n in os.listdir(f"{out}/blocks") if n.startswith("w_")]
+    assert len(dirs) == N_BUCKETS // 2 + 1
+    old_t = time.time() - 2 * enc.SWEEP_GRACE_SEC
+    for n in dirs:
+        if f"blocks/{n}" not in m2["wave_dirs"]:
+            os.utime(f"{out}/blocks/{n}", (old_t, old_t))
+    enc.sweep_orphan_waves(out)
     dirs = [n for n in os.listdir(f"{out}/blocks") if n.startswith("w_")]
     assert len(dirs) == 1
     # idempotent
@@ -728,3 +738,22 @@ def test_decode_column_projection(spark, pages_df, tmp_path):
     assert one.count() == pages_df.count()
     with pytest.raises(KeyError):
         dec.decode_table(spark, out, columns=["nope"])
+
+
+def test_manifest_versions_never_auto_pruned(tmp_path):
+    """Auto-pruning old versions would reopen their names and let a
+    stale committer's create-if-absent succeed on a dead slot (ABA on
+    the CAS, losing its commit silently). The chain must keep every
+    version; retention is an explicit operator action."""
+    import os
+
+    out = str(tmp_path / "snap_aba")
+    manifest.init(out, snapshot_id="a", schema={"url": "string"}, num_buckets=64,
+                  key="url")
+    for b in range(12):
+        manifest.commit_buckets(out, {b: []}, wave_dir=f"blocks/w_{b}")
+    versions = sorted(
+        int(n[len("manifest-v"):-len(".json")])
+        for n in os.listdir(out) if n.startswith("manifest-v")
+    )
+    assert versions == list(range(1, 14))  # init + 12 commits, none pruned

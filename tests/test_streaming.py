@@ -180,10 +180,51 @@ def test_streaming_decode_of_wave_layout(spark, tmp_path):
     # into the same files (overwrite), never duplicating rows
     import json
     with open(state) as f:
-        processed = json.load(f)
+        st = json.load(f)
+    lost = st["waves"].pop()
+    st["buckets"] = []  # as if the marker write never happened
     with open(state, "w") as f:
-        json.dump(processed[:-1], f)
+        json.dump(st, f)
+    assert ds.decode_new_waves(spark, out, sink, state) == [lost]
+    assert ds.read_decoded(spark, sink).count() == df.count()
+
+
+def test_streaming_decode_survives_compaction(spark, tmp_path):
+    """Compaction rewrites delivered waves into a fresh dir; the stream
+    must not re-deliver those rows (bucket-level processed state), and
+    must still deliver buckets compaction merged in that it had NOT yet
+    shipped."""
+    from kmers_spark import pages
+    from kmers_spark.operators import encode as enc
+    from kmers_spark.streaming import decode_stream as ds
+
+    out = str(tmp_path / "snap_sc")
+    sink = str(tmp_path / "sink_sc")
+    state = str(tmp_path / "ckpt_sc/processed_waves.json")
+    df = pages.pages_df(spark, 1000, seed=11, partitions=2).cache()
+    df.count()
+
+    # two waves; the stream delivers only the first
+    enc.encode_table(df, out, num_buckets=4, detect_skew=False,
+                     fail_buckets_over=2, commit_every=2)
     assert len(ds.decode_new_waves(spark, out, sink, state)) == 1
+    n1 = ds.read_decoded(spark, sink).count()
+    enc.encode_table(df, out, num_buckets=4, detect_skew=False, commit_every=2)
+
+    # compaction merges the delivered and the undelivered wave
+    enc.compact_waves(spark, out)
+
+    # the stream sees one new (compacted) wave: it decodes ONLY the
+    # buckets it hasn't shipped — total rows equal the table exactly
+    done = ds.decode_new_waves(spark, out, sink, state)
+    assert len(done) == 1
+    got = ds.read_decoded(spark, sink)
+    assert got.count() == df.count() > n1
+    assert got.select("url").distinct().count() == df.count()
+
+    # fully-delivered store + another compaction: nothing re-decodes
+    enc.compact_waves(spark, out)  # no-op (single wave)
+    assert ds.decode_new_waves(spark, out, sink, state) == []
     assert ds.read_decoded(spark, sink).count() == df.count()
 
 
