@@ -27,6 +27,11 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--verify", default=None)
     ap.add_argument(
+        "--version", type=int, default=None,
+        help="time travel: decode AS OF this manifest version "
+        "(the immutable chain keeps every commit's view)",
+    )
+    ap.add_argument(
         "--columns", default=None,
         help="comma-separated column projection: only these columns' "
         "block payloads are shuffled and decompressed",
@@ -53,6 +58,7 @@ def main() -> None:
         else dec.decode_table(
             spark, args.snapshot,
             columns=args.columns.split(",") if args.columns else None,
+            version=args.version,
         )
     )
     decoded.write.mode("overwrite").parquet(args.output)

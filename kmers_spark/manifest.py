@@ -83,8 +83,24 @@ def _load_versioned(out_dir: str) -> tuple[dict[str, Any] | None, int]:
     )
 
 
-def load(out_dir: str) -> dict[str, Any] | None:
-    return _load_versioned(out_dir)[0]
+def load(out_dir: str, version: int | None = None) -> dict[str, Any] | None:
+    """Latest manifest, or — the immutable version chain's time-travel
+    read — exactly version N as some past commit published it. A
+    missing version (expired by operator retention) raises."""
+    if version is None:
+        return _load_versioned(out_dir)[0]
+    m = _read_json(_vpath(out_dir, version))
+    if m is None:
+        raise FileNotFoundError(
+            f"manifest version {version} not found in {out_dir} "
+            "(expired by retention?)"
+        )
+    return m
+
+
+def current_version(out_dir: str) -> int:
+    """Latest version number (0 = legacy single-file or absent)."""
+    return _load_versioned(out_dir)[1]
 
 
 def commit(out_dir: str, mutate: Callable[[dict[str, Any] | None], dict[str, Any]],

@@ -28,8 +28,14 @@ _SPARK_TYPE = {
 
 
 def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = None,
-                 columns: list[str] | None = None) -> DataFrame:
-    """Decode the store (optionally bucket- and column-projected).
+                 columns: list[str] | None = None,
+                 version: int | None = None) -> DataFrame:
+    """Decode the store (optionally bucket- and column-projected, and
+    optionally AS OF a past manifest version — time travel over the
+    immutable version chain: the read sees exactly the waves that
+    version's commit published, Iceberg snapshot-read semantics. A
+    version whose wave dirs were since compacted away and reclaimed
+    fails at scan time, like reading an expired Iceberg snapshot).
 
     `columns` is the block-store analogue of parquet column pruning:
     the projection is pushed BELOW the bucket shuffle as a filter on the
@@ -38,7 +44,7 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
     decompressed — decoding one column of a 10^12-row snapshot moves
     ~1/n_cols of the bytes. Output column order follows the manifest
     schema."""
-    m = manifest.load(out_dir)
+    m = manifest.load(out_dir, version=version)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
     full = m["schema"]  # {column: logical type} — insertion order preserved

@@ -757,3 +757,27 @@ def test_manifest_versions_never_auto_pruned(tmp_path):
         for n in os.listdir(out) if n.startswith("manifest-v")
     )
     assert versions == list(range(1, 14))  # init + 12 commits, none pruned
+
+
+def test_time_travel_reads(spark, pages_df, tmp_path):
+    """decode_table(version=N) reads exactly the waves version N's
+    commit published (snapshot-read over the immutable version chain)."""
+    out = str(tmp_path / "snap_tt")
+    enc.encode_table(pages_df, out, num_buckets=4, detect_skew=False,
+                     fail_buckets_over=2, commit_every=2)
+    v1 = manifest.current_version(out)
+    rows_v1 = dec.decode_table(spark, out).count()
+    assert 0 < rows_v1 < pages_df.count()
+
+    enc.encode_table(pages_df, out, num_buckets=4, detect_skew=False, commit_every=2)
+    v2 = manifest.current_version(out)
+    assert v2 > v1
+    assert dec.decode_table(spark, out).count() == pages_df.count()
+
+    # as-of the first commit: only the first wave's rows, same values
+    past = dec.decode_table(spark, out, version=v1)
+    assert past.count() == rows_v1
+    assert past.join(pages_df, "url", "left_anti").count() == 0
+
+    with pytest.raises(FileNotFoundError):
+        dec.decode_table(spark, out, version=v2 + 100)
