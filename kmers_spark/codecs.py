@@ -22,22 +22,50 @@ import zlib
 import numpy as np
 import pandas as pd
 
-ZLIB_MIN_GAIN = 0.92  # keep zlib'd payload only if it shrinks >8%
+ZLIB_MIN_GAIN = 0.92  # keep backstopped payload only if it shrinks >8%
+
+
+def _zstd():
+    """zstd-3 one-shot codec (pyarrow bundles libzstd). Lazy: workers
+    construct it once per process."""
+    import pyarrow as pa
+
+    global _ZSTD_CODEC
+    try:
+        return _ZSTD_CODEC
+    except NameError:
+        _ZSTD_CODEC = pa.Codec("zstd", compression_level=3)
+        return _ZSTD_CODEC
 
 
 def _maybe_zlib(payload: bytes, meta: dict) -> bytes:
-    """Entropy backstop: deterministic zlib over the final payload when
-    the codec output still has byte-level redundancy (e.g. front-coded
-    url residuals). Decode inverts via meta["z"]."""
-    z = zlib.compress(payload, 6)
+    """Entropy backstop: deterministic zstd-3 over the final payload
+    when the codec output still has byte-level redundancy (e.g.
+    front-coded url residuals). Decode inverts via meta["z"].
+
+    The ATTEMPT runs on every block payload even when discarded, so its
+    cost is pure encode overhead: measured on the five pages column
+    bodies, zlib-6 burns ~21 ms/MB for the same ratio zstd-3 gets at
+    ~2 ms/MB (equal to ±0.2% — the codec bodies sit near their entropy
+    limit) — switching the attempt reclaimed ~27% of single-core encode
+    time (BENCH/ROUND3.md). meta z=1 (legacy zlib blocks) still
+    decodes; new blocks write z="zstd" + zn (raw length for one-shot
+    decompress)."""
+    z = _zstd().compress(payload)
     if len(z) < ZLIB_MIN_GAIN * len(payload):
-        meta["z"] = 1
-        return z
+        meta["z"] = "zstd"
+        meta["zn"] = len(payload)
+        return bytes(z)
     return payload
 
 
 def _maybe_unzlib(payload: bytes, meta: dict) -> bytes:
-    return zlib.decompress(payload) if meta.get("z") else payload
+    z = meta.get("z")
+    if not z:
+        return payload
+    if z == "zstd":
+        return bytes(_zstd().decompress(payload, meta["zn"]))
+    return zlib.decompress(payload)  # legacy z=1 blocks
 
 from .kernels import bitpack, dictenc, floats, foren, fsst, prefix, rle, sortdelta, words
 
