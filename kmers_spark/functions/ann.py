@@ -293,7 +293,9 @@ def ivf_centroids(spark: SparkSession, sf_dir: str, n_cents: int = 16,
 
     Returns (cent_id, cent_emb array<double>).
     """
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # each iteration scans the corpus twice (assignment + mean); persist
+    # once instead of re-reading parquet 2*iters times
+    e = _emb(spark, sf_dir).select("vec_id", "embedding").persist()
     cents = e.filter(F.col("vec_id") < n_cents).select(
         F.col("vec_id").alias("cent_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cent_emb"),
@@ -333,6 +335,7 @@ def ivf_centroids(spark: SparkSession, sf_dir: str, n_cents: int = 16,
             )
             .localCheckpoint(eager=True)
         )
+    e.unpersist()
     return cents
 
 

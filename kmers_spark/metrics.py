@@ -70,3 +70,22 @@ def snapshot_summary(spark: SparkSession, out_dir: str) -> dict:
         "skew_max_over_p50": round(sizes[-1] / max(sizes[len(sizes) // 2], 1), 2) if sizes else 0.0,
         "hot_keys": len(m.get("hot_keys", {})),
     }
+
+
+def snapshot_history(out_dir: str) -> list[dict]:
+    """One row per manifest version (the immutable commit chain):
+    version, committed-bucket count, wave count — the snapshot log
+    backing time-travel reads (decode_table(version=N))."""
+    from . import manifest
+
+    out = []
+    for v in manifest._list_versions(out_dir):
+        m = manifest.load(out_dir, version=v)
+        out.append(
+            {
+                "version": v,
+                "committed_buckets": len(m.get("committed_buckets", [])),
+                "waves": len(m.get("wave_dirs", [])),
+            }
+        )
+    return out

@@ -174,7 +174,8 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
     )
 
 
-def decode_colocated(spark: SparkSession, out_dir: str) -> DataFrame:
+def decode_colocated(spark: SparkSession, out_dir: str,
+                     columns: list[str] | None = None) -> DataFrame:
     """Shuffle-free decode: block files are written bucket-grouped, so a
     mapInArrow pass can reassemble each bucket's columns without moving
     payloads (the groupBy in decode_table re-shuffles ~enc_bytes; this
@@ -188,7 +189,16 @@ def decode_colocated(spark: SparkSession, out_dir: str) -> DataFrame:
     m = manifest.load(out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
-    schema = m["schema"]
+    full = m["schema"]
+    if columns is not None:
+        if not columns:
+            raise ValueError("columns projection must not be empty")
+        unknown = [c for c in columns if c not in full]
+        if unknown:
+            raise KeyError(f"columns not in snapshot schema: {unknown}")
+        schema = {c: t for c, t in full.items() if c in set(columns)}
+    else:
+        schema = full
     assert_utc_session(spark, schema)
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
     cols = list(schema.keys())
@@ -213,6 +223,9 @@ def decode_colocated(spark: SparkSession, out_dir: str) -> DataFrame:
     if not paths:  # manifest exists but nothing committed yet
         return spark.createDataFrame([], out_schema)
     blocks = s2.read.parquet(*paths)
+    if columns is not None and len(schema) < len(full):
+        # projection below the scan: unwanted payloads never decompress
+        blocks = blocks.filter(blocks.column.isin(cols))
 
     def decode_partition(batches):
         arrowcodecs.pin_worker_threads()

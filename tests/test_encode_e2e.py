@@ -781,3 +781,31 @@ def test_time_travel_reads(spark, pages_df, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         dec.decode_table(spark, out, version=v2 + 100)
+
+
+def test_colocated_column_projection(spark, pages_df, tmp_path):
+    """The shuffle-free decode also supports column projection (the
+    per-partition column-count contract adapts to the projected set)."""
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    out = str(tmp_path / "snap_coloc_proj")
+    enc.encode_table(pages_df, out, num_buckets=4)
+    got = dec.decode_colocated(spark, out, columns=["url", "lang"])
+    assert set(got.columns) == {"url", "lang"}  # order: manifest schema
+    full = dec.decode_table(spark, out).select(*got.columns)
+    assert got.count() == full.count()
+    assert got.exceptAll(full).count() == 0
+
+
+def test_snapshot_history(spark, pages_df, tmp_path):
+    from kmers_spark import metrics
+
+    out = str(tmp_path / "snap_hist")
+    enc.encode_table(pages_df, out, num_buckets=4, detect_skew=False, commit_every=2)
+    hist = metrics.snapshot_history(out)
+    assert [h["version"] for h in hist] == list(range(1, len(hist) + 1))
+    assert hist[0]["committed_buckets"] == 0     # creation commit
+    assert hist[-1]["committed_buckets"] == 4    # all buckets landed
+    assert hist[-1]["waves"] == 2
+    counts = [h["committed_buckets"] for h in hist]
+    assert counts == sorted(counts)  # monotone chain
