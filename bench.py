@@ -154,15 +154,22 @@ def main():
     try:
         from kmers_spark.operators import decode as dec
 
+        # noop write forces FULL materialization of every decoded byte:
+        # a bare count() over applyInArrow short-circuits the Arrow->row
+        # conversion of unused columns and under-reports by ~4x, and the
+        # two decode paths short-circuit differently (measured r3) — the
+        # noop sink makes the comparison honest
         t0 = time.perf_counter()
-        n = dec.decode_table(s, peak["out"]).count()
+        dec.decode_table(s, peak["out"]).write.format("noop").mode("overwrite").save()
         timings["decode_pages"] = round(time.perf_counter() - t0, 3)
+        n = dec.decode_table(s, peak["out"]).count()
         assert n == PAGES_ROWS, f"decode row count {n} != {PAGES_ROWS}"
 
         # shuffle-free path: whole block files per scan partition
         t0 = time.perf_counter()
-        n2 = dec.decode_colocated(s, peak["out"]).count()
+        dec.decode_colocated(s, peak["out"]).write.format("noop").mode("overwrite").save()
         timings["decode_pages_colocated"] = round(time.perf_counter() - t0, 3)
+        n2 = dec.decode_colocated(s, peak["out"]).count()
         assert n2 == PAGES_ROWS
 
         # point lookups on the compressed store: 3 present keys (bucket +

@@ -26,15 +26,20 @@ ZLIB_MIN_GAIN = 0.92  # keep backstopped payload only if it shrinks >8%
 
 
 def _zstd():
-    """zstd-3 one-shot codec (pyarrow bundles libzstd). Lazy: workers
-    construct it once per process."""
+    """zstd-6 one-shot codec (pyarrow bundles libzstd). Lazy: workers
+    construct it once per process. Level choice measured on the five
+    pages column bodies (BENCH/ROUND3.md): zstd plateaus ~1.4% larger
+    than zlib-6 from level 6 up (0.474 vs 0.468 body ratio), while the
+    attempt runs 1.7x faster (40 ms vs 69 ms per 2.8 MB) and
+    decompression is faster still; level 3 was 2.5x faster but 6%
+    larger — level 6 is the balance point."""
     import pyarrow as pa
 
     global _ZSTD_CODEC
     try:
         return _ZSTD_CODEC
     except NameError:
-        _ZSTD_CODEC = pa.Codec("zstd", compression_level=3)
+        _ZSTD_CODEC = pa.Codec("zstd", compression_level=6)
         return _ZSTD_CODEC
 
 
@@ -44,12 +49,13 @@ def _maybe_zlib(payload: bytes, meta: dict) -> bytes:
     front-coded url residuals). Decode inverts via meta["z"].
 
     The ATTEMPT runs on every block payload even when discarded, so its
-    cost is pure encode overhead: measured on the five pages column
-    bodies, zlib-6 burns ~21 ms/MB for the same ratio zstd-3 gets at
-    ~2 ms/MB (equal to ±0.2% — the codec bodies sit near their entropy
-    limit) — switching the attempt reclaimed ~27% of single-core encode
-    time (BENCH/ROUND3.md). meta z=1 (legacy zlib blocks) still
-    decodes; new blocks write z="zstd" + zn (raw length for one-shot
+    cost is pure encode overhead. Measured warm on the five pages
+    column bodies (2.8 MB, BENCH/ROUND3.md): zlib-6 takes 69 ms to
+    0.468 body ratio; zstd-6 takes 40 ms to 0.474 (zstd plateaus there
+    — level 12 is no smaller); zstd decompression is also faster.
+    Net: ~1.7x cheaper attempt and faster decode for ~0.1% on the
+    table-level ratio. meta z=1 (legacy zlib blocks) still decodes;
+    new blocks write z="zstd" + zn (raw length for one-shot
     decompress)."""
     z = _zstd().compress(payload)
     if len(z) < ZLIB_MIN_GAIN * len(payload):
