@@ -74,6 +74,46 @@ def _codec_roundtrip(table: str, key: str, cols: list[str] | None = None,
     return q
 
 
+def _scan_store(spark: SparkSession, sf_dir: str) -> str:
+    """Encode events into an on-disk block store once per sf_dir (the
+    store is the scan_table fixture). encode_table is resume-idempotent:
+    a complete store no-ops, so repeated query calls pay only a
+    manifest read; a partially-built store (killed driver) completes."""
+    import hashlib
+
+    from kmers_spark.operators.encode import encode_table
+
+    out = f"/tmp/kmers_scan_store_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    encode_table(df, out, key="event_id", num_buckets=8, detect_skew=False)
+    return out
+
+
+def _scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan_table with zone-map pruning: buckets whose recorded bounds
+    exclude the predicate are dropped driver-side before any payload
+    read; the residual filter runs JVM-side on the decoded rows."""
+    from kmers_spark.operators.decode import scan_table
+
+    return scan_table(
+        spark, _scan_store(spark, sf_dir),
+        [("event_type", "=", "error"), ("value", ">=", 100.0)],
+    )
+
+
+def _scan_pushdown_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from kmers_spark.operators.decode import scan_table
+
+    return scan_table(
+        spark, _scan_store(spark, sf_dir),
+        [("ts", ">=", datetime.datetime(2024, 1, 10)),
+         ("event_type", "in", ["click", "view"])],
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kmers_spark.functions import ann, dedup, dna, multimodal, olap, textqc
 
@@ -112,6 +152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_plain_doubles": _codec_roundtrip(
             "events", "event_id", ["event_id", "value"], {"value": "plain"}
         ),
+        # --- filtered scans over the compressed store (zone-map pruning) ---
+        "scan_filter_pushdown": _scan_pushdown,
+        "scan_pushdown_ts_range": _scan_pushdown_ts,
         # --- training-data pipeline ops ---
         "dedup_exact": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
@@ -261,6 +304,14 @@ def oracle_sql() -> dict[str, str]:
         "codec_for_timestamps": "SELECT event_id, ts FROM events",
         "codec_bitpack_ids": "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem",
         "codec_plain_doubles": "SELECT event_id, value FROM events",
+        "scan_filter_pushdown": (
+            "SELECT * FROM events WHERE event_type = 'error' AND value >= 100.0"
+        ),
+        "scan_pushdown_ts_range": (
+            "SELECT event_id, ts, event_type, value FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+            "AND event_type IN ('click', 'view')"
+        ),
         # training-data ops
         "dedup_exact": (
             f"WITH dd AS ({_DOCS_DUP}) "

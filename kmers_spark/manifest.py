@@ -178,6 +178,7 @@ def init(out_dir: str, *, snapshot_id: str, schema: dict[str, str], num_buckets:
             "format_version": 2,
             "snapshot_id": snapshot_id,
             "schema": schema,          # {column: logical type}
+            "columns": list(schema),   # input column order (JSON sorts dicts)
             "key": key,                # ordering/bucketing key column
             "num_buckets": num_buckets,
             "seed": seed,
@@ -239,6 +240,18 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
         return m
 
     return commit(out_dir, mutate)
+
+
+def ordered_schema(m: dict[str, Any]) -> dict[str, str]:
+    """{column: type} in the ORIGINAL input column order. Manifest JSON
+    is dumped sort_keys=True, which alphabetizes the schema dict; the
+    true order rides in m["columns"]. Legacy snapshots (no "columns")
+    keep the sorted order they were always read back in."""
+    schema = m["schema"]
+    order = m.get("columns")
+    if not order:
+        return schema
+    return {c: schema[c] for c in order}
 
 
 def pending_buckets(out_dir: str) -> list[int]:

@@ -47,7 +47,7 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
     m = manifest.load(out_dir, version=version)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
-    full = m["schema"]  # {column: logical type} — insertion order preserved
+    full = manifest.ordered_schema(m)  # {column: type}, input order
     if columns is not None:
         if not columns:
             raise ValueError("columns projection must not be empty")
@@ -128,6 +128,92 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str)
     return grouped.applyInPandas(decode_group, out_schema)
 
 
+def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
+               columns: list[str] | None = None,
+               version: int | None = None) -> DataFrame:
+    """Filtered scan over the compressed store with zone-map pruning.
+
+    `filters` is a list of (column, op, value) with op in zonemap.OPS
+    (=, <, <=, >, >=, in), ANDed together — the DataFrame-source
+    pushdown contract (Spark's own parquet filter API uses the same
+    triples). Pruning happens in three layers before any payload is
+    decompressed:
+
+      1. DRIVER, zero Spark jobs: the manifest's per-(bucket, column)
+         zone bounds (recorded by encode from each block's meta) drop
+         every bucket whose bounds exclude a filter. A predicate
+         outside the global value range plans an empty LogicalRDD —
+         no scan at all.
+      2. Wave-dir pruning: surviving buckets select wave dirs via
+         wave_buckets (whole directories of a 10^5-bucket snapshot
+         never hit the file listing).
+      3. Parquet row-group stats on the bucket column inside the
+         surviving dirs.
+
+    The residual filter is then applied JVM-side on the decoded rows
+    (zone bounds are block-granular, and string bounds are truncated,
+    so residual evaluation is always required). Columns the filters
+    need are decoded even when `columns` projects them out, then
+    dropped.
+
+    Zone pruning is clustering-dependent (hash bucketing scatters
+    values): it pays on snapshots whose ingestion clusters the filter
+    column — see kmers_spark/zonemap.py."""
+    from .. import zonemap
+
+    m = manifest.load(out_dir, version=version)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    schema = manifest.ordered_schema(m)
+    norm = zonemap.normalize_filters(filters, schema)
+    out_cols = [c for c in schema if c in set(columns)] if columns is not None \
+        else list(schema)
+    if columns is not None and not out_cols:
+        raise ValueError("columns projection must not be empty")
+    buckets = zonemap.prune_buckets(m, norm)
+    if not buckets:
+        out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[schema[c]]}" for c in out_cols)
+        return spark.createDataFrame([], out_schema)
+    fcols = {c for c, _op, _bv, _v in norm}
+    decode_cols = [c for c in schema if c in set(out_cols) | fcols] \
+        if columns is not None else None
+    # all committed buckets surviving == unfiltered scan: skip the isin
+    # (no pruning value, and a 10^5-literal predicate bloats codegen)
+    bsel = None if len(buckets) == len(m.get("committed_buckets", [])) else buckets
+    df = decode_table(spark, out_dir, buckets=bsel, columns=decode_cols,
+                      version=version)
+    df = df.filter(_filters_expr(norm, schema))
+    if columns is not None and set(out_cols) != set(decode_cols or out_cols):
+        df = df.select(*out_cols)
+    return df
+
+
+def _filters_expr(norm: list[tuple], schema: dict[str, str]):
+    """Residual predicate: one ANDed JVM expression from normalized
+    filters (original literal values, cast to the column's type so
+    timestamp/ntz literals compare exactly)."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    conds = []
+    for col, op, _bv, value in norm:
+        c = F.col(col)
+        t = _SPARK_TYPE[schema[col]]
+        if op == "in":
+            lits = [F.lit(v).cast(t) for v in value]
+            conds.append(functools.reduce(
+                lambda a, b: a | b, (c == lv for lv in lits)
+            ) if lits else F.lit(False))
+            continue
+        lv = F.lit(value).cast(t)
+        conds.append(
+            {"=": c == lv, "<": c < lv, "<=": c <= lv,
+             ">": c > lv, ">=": c >= lv}[op]
+        )
+    return functools.reduce(lambda a, b: a & b, conds)
+
+
 def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame:
     """Point lookups against the COMPRESSED store: re-derive each key's
     bucket from the manifest (same salted hash the encode job used —
@@ -162,7 +248,7 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
         ):
             buckets.add(b)
     out_schema = ", ".join(
-        f"`{c}` {_SPARK_TYPE[t]}" for c, t in m["schema"].items()
+        f"`{c}` {_SPARK_TYPE[t]}" for c, t in manifest.ordered_schema(m).items()
     )
     if not buckets:
         return spark.createDataFrame([], out_schema)
@@ -189,7 +275,7 @@ def decode_colocated(spark: SparkSession, out_dir: str,
     m = manifest.load(out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
-    full = m["schema"]
+    full = manifest.ordered_schema(m)
     if columns is not None:
         if not columns:
             raise ValueError("columns projection must not be empty")

@@ -22,7 +22,7 @@ import time
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .. import codecs, manifest, selector
+from .. import codecs, manifest, selector, zonemap
 from . import partitioning
 
 BLOCK_SCHEMA = (
@@ -69,6 +69,12 @@ def make_encode_fn(schema: dict[str, str], key: str, codec_overrides: dict[str, 
                 selector.column_stats(s, typ), typ
             )
             payload, meta = codecs.encode_column(s, codec, typ)
+            zb = zonemap.bounds_pandas(s, typ)
+            if zb is not None:
+                # per-block zone map (Iceberg column bounds analogue):
+                # lands in the manifest at commit; scan_table prunes
+                # buckets whose bounds exclude a filter, driver-side
+                meta = {**meta, "zmin": zb[0], "zmax": zb[1]}
             if col == key and len(s) and typ in ("string", "int64"):
                 # Iceberg file-stats analogue: the block's key range rides
                 # in the key column's meta and lands in the manifest at
@@ -130,6 +136,9 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
             )
             payload, meta = arrowcodecs.encode_column_arrow(arr, codec, typ)
             codec = meta.get("codec", codec)
+            zb = zonemap.bounds_arrow(arr, typ)
+            if zb is not None:
+                meta = {**meta, "zmin": zb[0], "zmax": zb[1]}
             if col == key and len(arr) and typ in ("string", "int64"):
                 # key range for manifest pruning (rows are key-sorted;
                 # nulls sort last, so a null max voids the range)
@@ -232,6 +241,10 @@ def encode_table(
                     "format_version": 2,
                     "snapshot_id": snapshot_id,
                     "schema": schema,
+                    # JSON round-trips sort dict keys (manifest files are
+                    # dumped sort_keys=True), so the input column ORDER
+                    # rides separately; readers reassemble rows in it
+                    "columns": list(schema),
                     "key": key,
                     "num_buckets": num_buckets,
                     "seed": 42,
@@ -310,8 +323,12 @@ def encode_table(
                 .select(
                     "bucket", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes",
                     # the key column's meta carries the block's key range;
-                    # other columns' meta stays pruned out of the collect
+                    # other columns' meta stays pruned out of the collect —
+                    # zone bounds are plucked out JVM-side (meta can carry
+                    # per-miniblock width arrays; only 2 scalars cross)
                     F.when(F.col("column") == key, F.col("meta")).alias("key_meta"),
+                    F.get_json_object(F.col("meta"), "$.zmin").alias("zmin"),
+                    F.get_json_object(F.col("meta"), "$.zmax").alias("zmax"),
                 )
                 .collect()
             )
@@ -321,15 +338,22 @@ def encode_table(
                 stats[b] = []  # hash-empty buckets commit too (else they
                 # stay pending forever and every resume rewrites nothing)
             for r in written:
-                stats.setdefault(int(r["bucket"]), []).append(
-                    {
-                        "column": r["column"],
-                        "codec": r["codec"],
-                        "n_rows": r["n_rows"],
-                        "raw_nbytes": r["raw_nbytes"],
-                        "enc_nbytes": r["enc_nbytes"],
-                    }
-                )
+                stat = {
+                    "column": r["column"],
+                    "codec": r["codec"],
+                    "n_rows": r["n_rows"],
+                    "raw_nbytes": r["raw_nbytes"],
+                    "enc_nbytes": r["enc_nbytes"],
+                }
+                if r["zmin"] is not None and r["zmax"] is not None:
+                    typ = schema[r["column"]]
+                    if typ in ("int64", "timestamp", "timestamp_ntz"):
+                        stat["zmin"], stat["zmax"] = int(r["zmin"]), int(r["zmax"])
+                    elif typ == "double":
+                        stat["zmin"], stat["zmax"] = float(r["zmin"]), float(r["zmax"])
+                    else:
+                        stat["zmin"], stat["zmax"] = r["zmin"], r["zmax"]
+                stats.setdefault(int(r["bucket"]), []).append(stat)
                 if r["key_meta"] is not None:
                     km = json.loads(r["key_meta"])
                     if "key_min" in km:

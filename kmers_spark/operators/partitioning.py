@@ -25,7 +25,14 @@ _HOST_RE = re.compile(HOST_PATTERN)
 
 
 def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
-    return df.withColumn("_host", F.regexp_extract(F.col(url_col), HOST_PATTERN, 1))
+    """Grouping host for bucketing: the url's host when the key is
+    url-shaped, else the key value itself (cast to string). Without the
+    fallback a non-url key column (event_id, doc_id) extracts host ""
+    for EVERY row and the whole table degenerates into one bucket —
+    zero encode parallelism at any scale."""
+    key = F.col(url_col).cast("string")
+    host = F.regexp_extract(key, HOST_PATTERN, 1)
+    return df.withColumn("_host", F.when(host != F.lit(""), host).otherwise(key))
 
 
 def detect_hot_keys(df: DataFrame, num_buckets: int, url_col: str = "url",
@@ -88,7 +95,7 @@ def bucket_for_key(key: str, num_buckets: int, hot_keys: dict[str, int]) -> int:
     from .. import sparkhash
 
     m = _HOST_RE.match(key)
-    host = m.group(1) if m else ""  # regexp_extract yields "" on no match
+    host = m.group(1) if m else key  # non-url key: the key itself (with_host)
     n_salts = hot_keys.get(host)
     salt = sparkhash.pmod(sparkhash.xxhash64(key), n_salts) if n_salts else 0
     return sparkhash.pmod(sparkhash.xxhash64(host, salt), num_buckets)

@@ -1,0 +1,213 @@
+"""Per-block zone maps: column min/max recorded at encode time.
+
+Iceberg records per-data-file lower/upper bounds for every column and
+prunes files whose bounds exclude a scan predicate; the reference
+engine has no scan layer at all (it encodes single sequences —
+SURVEY.md §2), so this is engine-native metadata in the same spirit as
+the key ranges `lookup_keys` already uses. Here the "file" is a block
+(one bucket × one column), the bounds ride in the block's meta JSON,
+and the encode commit aggregates them into the manifest — so a
+filtered scan prunes whole buckets (and, through `wave_buckets`,
+whole wave directories) DRIVER-SIDE with zero Spark jobs before the
+first byte of payload is read.
+
+Zone pruning is value-clustering-dependent: hash bucketing scatters
+values, so on a hash-keyed snapshot bounds only prune predicates
+outside the global value range. It pays when ingestion is clustered
+(time-ordered crawls, per-host shards) or when the filter column
+correlates with the bucketing key. Bounds are therefore advisory:
+a bucket with no recorded bounds for a column is always kept.
+
+String bounds are truncated (Iceberg truncate(16)-style, 32 here):
+the lower bound is a prefix (a prefix sorts <= the full value), the
+upper bound is the prefix with its last code point incremented (sorts
+>= every value sharing the prefix). Python compares strings by code
+point and Spark by UTF-8 bytes — identical orders, since UTF-8
+preserves code-point order.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+# types with a total order we can prune on (binary is excluded: its
+# Python/Spark orders agree but the manifest is JSON and base64ing
+# bounds isn't worth it for opaque payload columns)
+PRUNABLE = ("int64", "timestamp", "timestamp_ntz", "double", "string")
+
+STR_BOUND_WIDTH = 32
+
+_SURROGATE_LO, _SURROGATE_HI = 0xD800, 0xDFFF
+_MAX_CP = 0x10FFFF
+
+
+def truncate_min(s: str, width: int = STR_BOUND_WIDTH) -> str:
+    """Lower bound after truncation: a prefix is <= the full string."""
+    return s if len(s) <= width else s[:width]
+
+
+def truncate_max(s: str, width: int = STR_BOUND_WIDTH) -> str | None:
+    """Upper bound after truncation: prefix with the last incrementable
+    code point bumped (skipping the surrogate gap). None = unbounded
+    (every truncated char is already U+10FFFF)."""
+    if len(s) <= width:
+        return s
+    p = s[:width]
+    for i in reversed(range(len(p))):
+        c = ord(p[i])
+        if c < _MAX_CP:
+            nc = c + 1
+            if _SURROGATE_LO <= nc <= _SURROGATE_HI:
+                nc = _SURROGATE_HI + 1
+            return p[:i] + chr(nc)
+    return None
+
+
+def _json_safe_pair(lo: Any, hi: Any, typ: str) -> tuple[Any, Any] | None:
+    if typ == "double":
+        lo, hi = float(lo), float(hi)
+        if not (math.isfinite(lo) and math.isfinite(hi)):
+            return None  # NaN/inf bounds don't order reliably across JSON
+        return lo, hi
+    if typ == "string":
+        hi2 = truncate_max(hi)
+        if hi2 is None:
+            return None
+        return truncate_min(lo), hi2
+    return int(lo), int(hi)  # int64 / timestamps as epoch-us
+
+
+def bounds_pandas(series, typ: str) -> tuple[Any, Any] | None:
+    """(zmin, zmax) over non-null values, JSON-safe, or None.
+
+    Nulls are excluded: comparison predicates are never satisfied by
+    NULL, so non-null bounds are sound for pruning them."""
+    if typ not in PRUNABLE:
+        return None
+    s = series.dropna()
+    if not len(s):
+        return None
+    if typ in ("timestamp", "timestamp_ntz"):
+        v = s.to_numpy(dtype="datetime64[us]").astype("int64")
+        return _json_safe_pair(v.min(), v.max(), "int64")
+    if typ == "double":
+        v = s.to_numpy(dtype="float64")
+        return _json_safe_pair(v.min(), v.max(), typ)
+    if typ == "int64":
+        v = s.to_numpy(dtype="int64")
+        return _json_safe_pair(v.min(), v.max(), typ)
+    return _json_safe_pair(min(s), max(s), typ)
+
+
+def bounds_arrow(arr, typ: str) -> tuple[Any, Any] | None:
+    """Arrow-native twin of bounds_pandas (no pandas materialization)."""
+    import pyarrow.compute as pc
+
+    if typ not in PRUNABLE:
+        return None
+    if len(arr) == arr.null_count:
+        return None
+    mm = pc.min_max(arr)  # skips nulls
+    lo, hi = mm["min"], mm["max"]
+    if typ in ("timestamp", "timestamp_ntz"):
+        return _json_safe_pair(lo.value, hi.value, "int64")  # raw epoch-us
+    return _json_safe_pair(lo.as_py(), hi.as_py(), typ)
+
+
+# ------------------------------------------------------------------ pruning
+
+OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def to_bound_space(value: Any, typ: str) -> Any:
+    """Map a filter literal into the space bounds are stored in."""
+    if typ in ("timestamp", "timestamp_ntz"):
+        import datetime
+        import numpy as np
+
+        if isinstance(value, (int,)):
+            return value  # already epoch-us
+        if isinstance(value, str):
+            value = datetime.datetime.fromisoformat(value)
+        if isinstance(value, datetime.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return int(np.datetime64(value, "us").astype("int64"))
+        raise TypeError(f"cannot interpret {value!r} as a timestamp bound")
+    if typ == "double":
+        return float(value)
+    if typ == "int64":
+        return int(value)
+    return value
+
+
+def may_match(rng: tuple[Any, Any] | list | None, op: str, value: Any,
+              truncated: bool = False) -> bool:
+    """Can ANY x in [lo, hi] satisfy `x op value`? Missing range = yes.
+
+    `truncated` marks string bounds: lo/hi then over-cover the true
+    range (lo <= true_min, hi >= true_max), which only ever widens the
+    answer — still sound."""
+    if rng is None:
+        return True
+    lo, hi = rng
+    if op == "=":
+        return lo <= value <= hi
+    if op == "in":
+        return any(lo <= v <= hi for v in value)
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    raise ValueError(f"unsupported filter op {op!r} (supported: {OPS})")
+
+
+def normalize_filters(filters: list[tuple], schema: dict[str, str]) -> list[tuple]:
+    """Validate (col, op, value) triples and map literals into bound
+    space; returns [(col, op, bound_value, original_value), ...]."""
+    out = []
+    for f in filters:
+        if len(f) != 3:
+            raise ValueError(f"filter must be (column, op, value): {f!r}")
+        col, op, value = f
+        if col not in schema:
+            raise KeyError(f"filter column {col!r} not in snapshot schema")
+        if op not in OPS:
+            raise ValueError(f"unsupported filter op {op!r} (supported: {OPS})")
+        typ = schema[col]
+        if op == "in":
+            bv = [to_bound_space(v, typ) for v in value]
+        else:
+            bv = to_bound_space(value, typ)
+        out.append((col, op, bv, value))
+    return out
+
+
+def prune_buckets(m: dict, filters: list[tuple]) -> list[int]:
+    """Committed buckets that MAY hold rows matching every filter
+    (AND semantics), judged purely from manifest zone stats — no Spark
+    job, no file reads. Filters must already be normalized."""
+    blocks = m.get("blocks", {})
+    schema = m["schema"]
+    keep = []
+    for b in m.get("committed_buckets", []):
+        stats = blocks.get(str(b), [])
+        ranges = {
+            s["column"]: (s["zmin"], s["zmax"])
+            for s in stats
+            if "zmin" in s and "zmax" in s
+        }
+        ok = True
+        for col, op, bv, _orig in filters:
+            if not may_match(ranges.get(col), op, bv,
+                             truncated=schema[col] == "string"):
+                ok = False
+                break
+        if ok:
+            keep.append(b)
+    return keep

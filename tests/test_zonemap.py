@@ -1,0 +1,244 @@
+"""Zone maps + filtered scans over the compressed store.
+
+Per-block column bounds ride in each block's meta, land in the
+manifest at commit, and scan_table prunes buckets driver-side before
+any payload is read (Iceberg column-bounds pruning, block-granular).
+Pruning must be SOUND (never drops a matching row) under truncation,
+nulls, legacy stores without bounds, and every supported op.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+import string as _string
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmers_spark import manifest, zonemap
+from kmers_spark.operators.decode import decode_table, scan_table
+from kmers_spark.operators.encode import encode_table
+
+
+# ------------------------------------------------------------- unit: bounds
+
+def test_truncate_bounds_are_bounds():
+    rng = random.Random(7)
+    alphabet = _string.printable + "é中\U0001F600\U0010FFFF"
+    for _ in range(500):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        lo = zonemap.truncate_min(s)
+        assert lo <= s and len(lo) <= zonemap.STR_BOUND_WIDTH
+        hi = zonemap.truncate_max(s)
+        if hi is not None:
+            assert hi >= s and len(hi) <= zonemap.STR_BOUND_WIDTH
+            # the incremented bound must not be a lone surrogate
+            assert all(not (0xD800 <= ord(c) <= 0xDFFF) for c in hi)
+
+
+def test_truncate_max_unbounded_when_all_max_codepoint():
+    assert zonemap.truncate_max("\U0010FFFF" * 40) is None
+    # not truncated -> exact value, even at the max code point
+    assert zonemap.truncate_max("\U0010FFFF" * 10) == "\U0010FFFF" * 10
+
+
+@pytest.mark.parametrize(
+    "rng,op,value,expect",
+    [
+        ((10, 20), "=", 15, True),
+        ((10, 20), "=", 9, False),
+        ((10, 20), "=", 21, False),
+        ((10, 20), "<", 10, False),
+        ((10, 20), "<", 11, True),
+        ((10, 20), "<=", 10, True),
+        ((10, 20), "<=", 9, False),
+        ((10, 20), ">", 20, False),
+        ((10, 20), ">", 19, True),
+        ((10, 20), ">=", 20, True),
+        ((10, 20), ">=", 21, False),
+        ((10, 20), "in", [1, 2, 15], True),
+        ((10, 20), "in", [1, 2, 30], False),
+        (None, "=", 999, True),  # no bounds recorded -> must keep
+    ],
+)
+def test_may_match_table(rng, op, value, expect):
+    assert zonemap.may_match(rng, op, value) is expect
+
+
+def test_may_match_exhaustive_soundness():
+    """For every small range and op, may_match is implied by the truth:
+    if some x in [lo, hi] satisfies the predicate, may_match is True."""
+    ops = {
+        "=": lambda x, v: x == v,
+        "<": lambda x, v: x < v,
+        "<=": lambda x, v: x <= v,
+        ">": lambda x, v: x > v,
+        ">=": lambda x, v: x >= v,
+    }
+    for lo in range(0, 6):
+        for hi in range(lo, 6):
+            for v in range(-1, 8):
+                domain = range(lo, hi + 1)
+                for op, fn in ops.items():
+                    truth = any(fn(x, v) for x in domain)
+                    got = zonemap.may_match((lo, hi), op, v)
+                    assert got or not truth, (lo, hi, op, v)
+                    # for untruncated int bounds the check is also exact
+                    assert got == truth, (lo, hi, op, v)
+
+
+# ----------------------------------------------------- integration fixtures
+
+@pytest.fixture(scope="module")
+def events_store(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("zonemap") / "events_store")
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    m = encode_table(df, out, key="event_id", num_buckets=8, detect_skew=False)
+    return out, df, m
+
+
+def test_non_url_key_spreads_buckets(events_store):
+    """The with_host fallback: an int64 key must hash across all
+    buckets, not collapse to the empty-host bucket."""
+    _out, _df, m = events_store
+    nonempty = [b for b, s in m["blocks"].items() if s]
+    assert len(nonempty) == 8
+
+
+def test_bucket_for_key_mirror_non_url(spark, events_store):
+    """Driver-side bucket mirror agrees with the Spark expression for
+    non-url keys too (the fallback changed both sides in lockstep)."""
+    from kmers_spark.operators import partitioning
+
+    _out, df, m = events_store
+    rows = (
+        partitioning.with_bucket(
+            df.select(F.col("event_id").cast("string").alias("event_id")),
+            8, {}, url_col="event_id",
+        )
+        .select("event_id", "bucket").limit(50).collect()
+    )
+    for r in rows:
+        assert partitioning.bucket_for_key(r["event_id"], 8, {}) == r["bucket"]
+
+
+def test_manifest_records_bounds_for_all_prunable_columns(events_store):
+    _out, _df, m = events_store
+    for b, stats in m["blocks"].items():
+        by_col = {s["column"]: s for s in stats}
+        for col in ("event_id", "ts", "user_id", "event_type", "value", "props"):
+            assert "zmin" in by_col[col], (b, col)
+            assert by_col[col]["zmin"] <= by_col[col]["zmax"]
+        # timestamps are stored as epoch-us ints (JSON-safe, orderable)
+        assert isinstance(by_col["ts"]["zmin"], int)
+
+
+@pytest.mark.parametrize(
+    "filters",
+    [
+        [("event_type", "=", "error")],
+        [("event_type", "=", "error"), ("value", ">=", 100.0)],
+        [("value", "<", 50.0)],
+        [("user_id", ">=", 10), ("user_id", "<", 13)],
+        [("event_type", "in", ["signup", "view"])],
+        [("ts", ">=", datetime.datetime(2024, 1, 10))],
+        [("ts", "<", datetime.datetime(2024, 1, 5)), ("value", ">", 200.0)],
+        [("props", ">=", '{"k": 5')],  # string range on a json-ish column
+    ],
+)
+def test_scan_matches_decode_plus_filter(spark, events_store, filters):
+    out, _df, m = events_store
+    got = scan_table(spark, out, filters).toPandas()
+    norm = zonemap.normalize_filters(filters, m["schema"])
+    from kmers_spark.operators.decode import _filters_expr
+
+    want = decode_table(spark, out).filter(
+        _filters_expr(norm, m["schema"])
+    ).toPandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got.equals(want)
+    assert len(got)  # every fixture filter matches something
+
+
+def test_scan_projection_keeps_filter_semantics(spark, events_store):
+    out, df, _m = events_store
+    got = scan_table(
+        spark, out, [("event_type", "=", "error")], columns=["event_id", "value"]
+    )
+    assert got.columns == ["event_id", "value"]
+    exp = df.filter(df.event_type == "error").select("event_id", "value")
+    a = got.toPandas().sort_values("event_id").reset_index(drop=True)
+    b = exp.toPandas().sort_values("event_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_scan_outside_global_range_plans_no_scan(spark, events_store):
+    """A predicate outside every bucket's bounds prunes ALL buckets:
+    the result is an empty local plan — zero files listed, zero jobs."""
+    out, _df, _m = events_store
+    res = scan_table(spark, out, [("value", ">", 1e12)])
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" not in plan  # no parquet source at all
+    assert res.count() == 0
+    assert res.columns == ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def test_scan_prunes_clustered_buckets(spark, tmp_path):
+    """On a fixture whose filter column is constant per bucket (the
+    clustered-ingestion case zone maps exist for), a point predicate
+    keeps exactly one bucket."""
+    from kmers_spark.operators import partitioning
+
+    n_b = 8
+    rows = []
+    for i in range(400):
+        key = f"k{i:05d}"
+        b = partitioning.bucket_for_key(key, n_b, {})
+        rows.append((key, b * 1000 + (i % 100), float(b)))
+    df = spark.createDataFrame(rows, "url string, shard long, score double")
+    out = str(tmp_path / "clustered")
+    m = encode_table(df, out, key="url", num_buckets=n_b, detect_skew=False)
+
+    norm = zonemap.normalize_filters([("shard", "=", 3025)], m["schema"])
+    kept = zonemap.prune_buckets(m, norm)
+    assert kept == [3]
+
+    got = scan_table(spark, out, [("shard", ">=", 3000), ("shard", "<", 4000)])
+    want = [r for r in rows if 3000 <= r[1] < 4000]
+    assert sorted(map(tuple, got.collect())) == sorted(want)
+
+
+def test_scan_on_legacy_store_without_bounds(spark, events_store, tmp_path):
+    """Bounds are advisory: a manifest whose stats carry no zmin/zmax
+    (pre-zone-map snapshot) keeps every bucket and stays correct."""
+    out, df, m = events_store
+    import copy
+
+    legacy = copy.deepcopy(m)
+    for stats in legacy["blocks"].values():
+        for s in stats:
+            s.pop("zmin", None)
+            s.pop("zmax", None)
+    norm = zonemap.normalize_filters([("value", ">", 1e12)], m["schema"])
+    assert zonemap.prune_buckets(legacy, norm) == legacy["committed_buckets"]
+
+
+def test_scan_rejects_bad_filters(spark, events_store):
+    out, _df, _m = events_store
+    with pytest.raises(KeyError):
+        scan_table(spark, out, [("nope", "=", 1)])
+    with pytest.raises(ValueError):
+        scan_table(spark, out, [("value", "!=", 1.0)])
+    with pytest.raises(ValueError):
+        scan_table(spark, out, [("value", "=")])
+
+
+def test_decode_preserves_input_column_order(spark, events_store):
+    """The manifest JSON sorts dict keys; the ordered `columns` list
+    restores the writer's column order on every read path."""
+    out, df, _m = events_store
+    assert decode_table(spark, out).columns == df.columns
+    m2 = manifest.load(out)
+    assert m2["columns"] == df.columns
