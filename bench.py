@@ -172,6 +172,25 @@ def main():
         n2 = dec.decode_colocated(s, peak["out"]).count()
         assert n2 == PAGES_ROWS
 
+        # selective filtered scan (lang = 'pl' is ~1% of rows): the
+        # kernel-side late materialization decodes lang first and only
+        # materializes html/text for matching rows; the _nopushdown twin
+        # decodes everything and filters JVM-side — the delta is the
+        # late-materialization win (zone pruning contributes little
+        # here: hash bucketing scatters langs across buckets)
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        dec.scan_table(s, peak["out"], [("lang", "=", "pl")]).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["scan_filtered_pages"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        dec.decode_table(s, peak["out"]).filter(F.col("lang") == "pl").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["scan_filtered_pages_nopushdown"] = round(time.perf_counter() - t0, 3)
+
         # point lookups on the compressed store: 3 present keys (bucket +
         # key-range pruning decode only their buckets) and 1 absent key
         # outside every range (zero buckets decoded, no Spark job for

@@ -76,6 +76,12 @@ def _load_versioned(out_dir: str) -> tuple[dict[str, Any] | None, int]:
             return _read_json(os.path.join(out_dir, LEGACY_NAME)), 0
         m = _read_json(_vpath(out_dir, versions[-1]))
         if m is not None:
+            if m.get("expired"):
+                raise RuntimeError(
+                    f"latest manifest version {versions[-1]} in {out_dir} is "
+                    "an expired tombstone — retention ran with the live "
+                    "version somehow included (corrupt chain)"
+                )
             return m, versions[-1]
     raise RuntimeError(
         f"manifest versions in {out_dir} keep vanishing between list and "
@@ -94,6 +100,11 @@ def load(out_dir: str, version: int | None = None) -> dict[str, Any] | None:
         raise FileNotFoundError(
             f"manifest version {version} not found in {out_dir} "
             "(expired by retention?)"
+        )
+    if m.get("expired"):
+        raise FileNotFoundError(
+            f"manifest version {version} in {out_dir} was expired by "
+            f"retention at unix {m.get('expired_unix')}"
         )
     return m
 
@@ -240,6 +251,39 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
         return m
 
     return commit(out_dir, mutate)
+
+
+def expire_versions(out_dir: str, keep_last: int = 10) -> list[int]:
+    """Retention (Iceberg expire-snapshots analogue): tombstone manifest
+    versions older than the newest `keep_last`.
+
+    Old versions are NOT unlinked — deleting `manifest-v{N}.json` would
+    reopen its name, and a stale committer's create-if-absent on the
+    reopened slot would succeed and be silently dropped from the chain
+    (the ABA _after_publish documents). Instead each expired version's
+    content is atomically REPLACED with a tombstone: the name stays
+    occupied (stale CAS attempts still lose and retry against fresh
+    state), time-travel reads of the version fail loudly, and the disk
+    cost drops to ~40 bytes per version. Data-dir reclamation stays
+    with sweep_orphan_waves/compaction — this expires metadata only.
+
+    Returns the version numbers expired by THIS call."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest version must survive)")
+    versions = _list_versions(out_dir)
+    expired = []
+    for v in versions[:-keep_last] if keep_last < len(versions) else []:
+        cur = _read_json(_vpath(out_dir, v))
+        if cur is None or cur.get("expired"):
+            continue
+        tmp = os.path.join(out_dir, f".manifest-expire-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"expired": True, "expired_unix": int(time.time())}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _vpath(out_dir, v))  # atomic: the name never vanishes
+        expired.append(v)
+    return expired
 
 
 def ordered_schema(m: dict[str, Any]) -> dict[str, str]:

@@ -80,7 +80,11 @@ def snapshot_history(out_dir: str) -> list[dict]:
 
     out = []
     for v in manifest._list_versions(out_dir):
-        m = manifest.load(out_dir, version=v)
+        try:
+            m = manifest.load(out_dir, version=v)
+        except FileNotFoundError:  # expired tombstone: keep the row
+            out.append({"version": v, "expired": True})
+            continue
         out.append(
             {
                 "version": v,

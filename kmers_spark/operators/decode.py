@@ -29,7 +29,8 @@ _SPARK_TYPE = {
 
 def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = None,
                  columns: list[str] | None = None,
-                 version: int | None = None) -> DataFrame:
+                 version: int | None = None,
+                 filters: list[tuple] | None = None) -> DataFrame:
     """Decode the store (optionally bucket- and column-projected, and
     optionally AS OF a past manifest version — time travel over the
     immutable version chain: the read sees exactly the waves that
@@ -43,7 +44,14 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
     bulk of every block) are neither read into the shuffle nor
     decompressed — decoding one column of a 10^12-row snapshot moves
     ~1/n_cols of the bytes. Output column order follows the manifest
-    schema."""
+    schema.
+
+    `filters` ((col, op, value) triples, ANDed) are evaluated INSIDE
+    the decode kernel (late materialization — see decode_blocks_df);
+    filter columns must survive the `columns` projection. scan_table
+    is the user surface that combines this with zone-map bucket
+    pruning; here the kernel filter alone still bounds what crosses
+    the Arrow boundary."""
     m = manifest.load(out_dir, version=version)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
@@ -71,11 +79,29 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
         blocks = blocks.filter(blocks.bucket.isin(buckets))
     if columns is not None and len(schema) < len(full):
         blocks = blocks.filter(blocks.column.isin(cols))
-    return decode_blocks_df(blocks, schema, out_schema)
+    norm = None
+    if filters:
+        from .. import zonemap
+
+        norm = zonemap.normalize_filters(filters, schema)
+    return decode_blocks_df(blocks, schema, out_schema, norm_filters=norm)
 
 
-def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str) -> DataFrame:
-    """block rows -> original rows; Arrow path when available."""
+def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
+                     norm_filters: list[tuple] | None = None) -> DataFrame:
+    """block rows -> original rows; Arrow path when available.
+
+    `norm_filters` (zonemap.normalize_filters output) pushes the scan
+    predicate INTO the decode kernel — late materialization: the filter
+    columns decode first, the selection mask is evaluated on them, and
+    the bulk columns (html/text dominate every block) are decoded only
+    when the mask selects anything and emitted only for matching rows.
+    A selective filter therefore moves matching rows across the Arrow
+    boundary instead of whole buckets, and a bucket with zero matches
+    skips bulk decode entirely (block-granular dictionary-scan
+    behavior, one level below the manifest's zone pruning)."""
+    from .. import zonemap
+
     cols = list(schema.keys())
     grouped = blocks.groupBy("bucket")
 
@@ -86,7 +112,6 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str)
 
         def decode_group_arrow(table: "pa.Table") -> "pa.Table":
             arrowcodecs.pin_worker_threads()
-            arrays: dict[str, pa.Array] = {}
             col_names = table.column("column").to_pylist()
             if len(set(col_names)) != len(col_names):
                 raise ValueError(
@@ -97,12 +122,28 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str)
                 )
             metas = table.column("meta").to_pylist()
             payloads = table.column("payload")
-            for i, cname in enumerate(col_names):
-                meta = json.loads(metas[i])
-                arrays[cname] = arrowcodecs.decode_column_arrow(
-                    payloads[i].as_py(), meta
-                )
-            return pa.table({c: arrays[c] for c in cols})
+            idx = {cname: i for i, cname in enumerate(col_names)}
+            arrays: dict[str, pa.Array] = {}
+
+            def dec(cname: str) -> pa.Array:
+                if cname not in arrays:
+                    i = idx[cname]
+                    arrays[cname] = arrowcodecs.decode_column_arrow(
+                        payloads[i].as_py(), json.loads(metas[i])
+                    )
+                return arrays[cname]
+
+            if norm_filters:
+                import pyarrow.compute as pc
+
+                mask = zonemap.arrow_mask(dec, norm_filters)
+                if not (pc.sum(mask).as_py() or 0):
+                    return pa.table(
+                        {c: pa.array([], type=zonemap.arrow_type(schema[c]))
+                         for c in cols}
+                    )
+                return pa.table({c: dec(c) for c in cols}).filter(mask)
+            return pa.table({c: dec(c) for c in cols})
 
         return grouped.applyInArrow(decode_group_arrow, out_schema)
 
@@ -112,18 +153,33 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str)
                 f"duplicate block rows for bucket {pdf['bucket'].iloc[0]}: "
                 f"{sorted(pdf['column'])}"
             )
-        series = {}
-        for _, row in pdf.iterrows():
-            meta = json.loads(row["meta"])
-            series[row["column"]] = codecs.decode_column(bytes(row["payload"]), meta)
-        n = len(next(iter(series.values()))) if series else 0
+        rows_by_col = {row["column"]: row for _, row in pdf.iterrows()}
+        series: dict[str, pd.Series] = {}
+
+        def dec(cname: str) -> pd.Series:
+            if cname not in series:
+                row = rows_by_col[cname]
+                series[cname] = codecs.decode_column(
+                    bytes(row["payload"]), json.loads(row["meta"])
+                )
+            return series[cname]
+
+        mask = None
+        if norm_filters:
+            mask = zonemap.pandas_mask(dec, norm_filters, schema)
+            if not mask.any():
+                return pd.DataFrame(columns=cols)
+        n = len(dec(cols[0])) if cols else 0
         data = {}
         for c in cols:
-            s = series[c]
+            s = dec(c)
             if schema[c] == "binary":
                 s = s.map(lambda v: None if v is None else bytes(v))
             data[c] = s.reset_index(drop=True)
-        return pd.DataFrame(data, columns=cols) if n else pd.DataFrame(columns=cols)
+        if not n:
+            return pd.DataFrame(columns=cols)
+        out = pd.DataFrame(data, columns=cols)
+        return out[mask].reset_index(drop=True) if mask is not None else out
 
     return grouped.applyInPandas(decode_group, out_schema)
 
@@ -181,7 +237,11 @@ def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
     # (no pruning value, and a 10^5-literal predicate bloats codegen)
     bsel = None if len(buckets) == len(m.get("committed_buckets", [])) else buckets
     df = decode_table(spark, out_dir, buckets=bsel, columns=decode_cols,
-                      version=version)
+                      version=version, filters=filters)
+    # the kernel already applied the predicate (late materialization);
+    # the JVM residual re-asserts it over the surviving rows — near-free
+    # (codegen over matches only) and keeps the query's semantics
+    # visible to Catalyst for anything stacked on top
     df = df.filter(_filters_expr(norm, schema))
     if columns is not None and set(out_cols) != set(decode_cols or out_cols):
         df = df.select(*out_cols)
@@ -261,7 +321,8 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
 
 
 def decode_colocated(spark: SparkSession, out_dir: str,
-                     columns: list[str] | None = None) -> DataFrame:
+                     columns: list[str] | None = None,
+                     filters: list[tuple] | None = None) -> DataFrame:
     """Shuffle-free decode: block files are written bucket-grouped, so a
     mapInArrow pass can reassemble each bucket's columns without moving
     payloads (the groupBy in decode_table re-shuffles ~enc_bytes; this
@@ -289,6 +350,11 @@ def decode_colocated(spark: SparkSession, out_dir: str,
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
     cols = list(schema.keys())
     n_cols = len(cols)
+    norm = None
+    if filters:
+        from .. import zonemap
+
+        norm = zonemap.normalize_filters(filters, schema)
 
     # Whole files per scan partition so buckets never split: the default
     # spark.sql.files.maxPartitionBytes (128MB) would split a large block
@@ -337,13 +403,27 @@ def decode_colocated(spark: SparkSession, out_dir: str,
                 raise ValueError(
                     f"bucket {b} split across partitions ({len(idx)}/{n_cols} columns)"
                 )
-            arrays = {
-                c: arrowcodecs.decode_column_arrow(
-                    payloads[idx[c]].as_py(), json.loads(metas[idx[c]])
-                )
-                for c in cols
-            }
-            for batch in pa.table(arrays).to_batches():
+            arrays: dict = {}
+
+            def dec(cname, _idx=idx):
+                if cname not in arrays:
+                    arrays[cname] = arrowcodecs.decode_column_arrow(
+                        payloads[_idx[cname]].as_py(),
+                        json.loads(metas[_idx[cname]]),
+                    )
+                return arrays[cname]
+
+            if norm:
+                from .. import zonemap
+                import pyarrow.compute as pc
+
+                mask = zonemap.arrow_mask(dec, norm)
+                if not (pc.sum(mask).as_py() or 0):
+                    continue  # zero matches: bulk columns never decode
+                out = pa.table({c: dec(c) for c in cols}).filter(mask)
+            else:
+                out = pa.table({c: dec(c) for c in cols})
+            for batch in out.to_batches():
                 yield batch
 
     return blocks.mapInArrow(decode_partition, out_schema)

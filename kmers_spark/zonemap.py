@@ -188,6 +188,76 @@ def normalize_filters(filters: list[tuple], schema: dict[str, str]) -> list[tupl
     return out
 
 
+def arrow_type(typ: str):
+    """Arrow type decode_column_arrow emits for a logical type."""
+    import pyarrow as pa
+
+    return {
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "int64": pa.int64(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+        "double": pa.float64(),
+    }[typ]
+
+
+def arrow_mask(get_col, norm: list[tuple]):
+    """Selection mask for normalized filters over decoded Arrow arrays
+    (kernel-side late materialization: scan_table decodes filter
+    columns first, evaluates this mask, and only then decodes — and
+    emits — the bulk columns for matching rows). Comparison happens in
+    bound space (timestamps as epoch-us ints), which is exactly the
+    space `normalize_filters` mapped the literals into; NULL never
+    matches, mirroring SQL comparison semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = None
+    for col, op, bv, _orig in norm:
+        arr = get_col(col)
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.int64())
+        if op == "in":
+            m = pc.is_in(arr, value_set=pa.array(list(bv), type=arr.type))
+        else:
+            fn = {"=": pc.equal, "<": pc.less, "<=": pc.less_equal,
+                  ">": pc.greater, ">=": pc.greater_equal}[op]
+            m = fn(arr, pa.scalar(bv, type=arr.type))
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask
+
+
+def pandas_mask(get_col, norm: list[tuple], schema: dict[str, str]):
+    """numpy twin of arrow_mask for the pandas decode fallback path."""
+    import numpy as np
+
+    mask = None
+    for col, op, bv, _orig in norm:
+        s = get_col(col)
+        typ = schema[col]
+        valid = s.notna().to_numpy(dtype=bool)
+        m = np.zeros(len(s), dtype=bool)
+        if valid.any():
+            if typ in ("timestamp", "timestamp_ntz"):
+                v = s[valid].to_numpy(dtype="datetime64[us]").astype("int64")
+            else:
+                v = s[valid].to_numpy()
+            if op == "in":
+                hit = np.isin(v, np.array(list(bv), dtype=v.dtype)) if v.dtype.kind != "O" \
+                    else np.array([x in set(bv) for x in v], dtype=bool)
+            else:
+                import operator
+
+                fn = {"=": operator.eq, "<": operator.lt, "<=": operator.le,
+                      ">": operator.gt, ">=": operator.ge}[op]
+                hit = fn(v, bv)
+            m[valid] = np.asarray(hit, dtype=bool)
+        mask = m if mask is None else mask & m
+    return mask
+
+
 def prune_buckets(m: dict, filters: list[tuple]) -> list[int]:
     """Committed buckets that MAY hold rows matching every filter
     (AND semantics), judged purely from manifest zone stats — no Spark

@@ -235,6 +235,85 @@ def test_scan_rejects_bad_filters(spark, events_store):
         scan_table(spark, out, [("value", "=")])
 
 
+def test_kernel_filter_matches_jvm_filter(spark, events_store):
+    """decode_table(filters=...) — the in-kernel late-materialization
+    path — must agree exactly with decoding everything and filtering
+    JVM-side, across types, ops, and null semantics."""
+    out, _df, m = events_store
+    cases = [
+        [("event_type", "=", "error"), ("value", ">=", 100.0)],
+        [("ts", "<", datetime.datetime(2024, 1, 5))],
+        [("user_id", "in", [1, 5, 9])],
+        [("value", ">", 1e12)],  # zero matches everywhere
+    ]
+    for filters in cases:
+        got = decode_table(spark, out, filters=filters).toPandas()
+        norm = zonemap.normalize_filters(filters, m["schema"])
+        from kmers_spark.operators.decode import _filters_expr
+
+        want = decode_table(spark, out).filter(
+            _filters_expr(norm, m["schema"])
+        ).toPandas()
+        got = got.sort_values("event_id").reset_index(drop=True)
+        want = want.sort_values("event_id").reset_index(drop=True)
+        assert got.equals(want), filters
+
+
+def test_colocated_filter_matches(spark, events_store):
+    from kmers_spark.operators.decode import decode_colocated
+
+    out, df, _m = events_store
+    got = decode_colocated(
+        spark, out, filters=[("event_type", "=", "purchase"), ("value", "<", 50.0)]
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+    want = (
+        df.filter((df.event_type == "purchase") & (df.value < 50.0))
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert len(got)
+
+
+def test_masks_agree_pandas_vs_arrow(events_store):
+    """The two kernel mask implementations (Arrow path / pandas
+    fallback) select identical rows, including null handling."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    schema = {"a": "int64", "b": "string", "t": "timestamp_ntz", "v": "double"}
+    pdf = pd.DataFrame(
+        {
+            "a": pd.array([1, 2, None, 4, 5], dtype="Int64"),
+            "b": ["x", None, "y", "x", "z"],
+            "t": pd.to_datetime(
+                ["2024-01-01", "2024-01-05", None, "2024-02-01", "2024-01-20"]
+            ),
+            "v": [1.0, float("nan"), 3.0, 4.0, 5.0],
+        }
+    )
+    arrow = {
+        "a": pa.array([1, 2, None, 4, 5], pa.int64()),
+        "b": pa.array(["x", None, "y", "x", "z"], pa.string()),
+        "t": pa.array(pdf["t"], pa.timestamp("us")),
+        "v": pa.array([1.0, None, 3.0, 4.0, 5.0], pa.float64()),
+    }
+    pdf_nullsafe = pdf.copy()
+    pdf_nullsafe["v"] = pd.array([1.0, None, 3.0, 4.0, 5.0], dtype="Float64")
+    cases = [
+        [("a", ">=", 2)],
+        [("b", "=", "x")],
+        [("b", "in", ["x", "z"])],
+        [("t", "<", datetime.datetime(2024, 1, 10))],
+        [("v", ">", 2.5), ("a", "<", 5)],
+    ]
+    for filters in cases:
+        norm = zonemap.normalize_filters(filters, schema)
+        am = zonemap.arrow_mask(lambda c: arrow[c], norm).to_pylist()
+        pm = zonemap.pandas_mask(lambda c: pdf_nullsafe[c], norm, schema)
+        assert [bool(x) for x in am] == list(np.asarray(pm)), filters
+
+
 def test_decode_preserves_input_column_order(spark, events_store):
     """The manifest JSON sorts dict keys; the ordered `columns` list
     restores the writer's column order on every read path."""
