@@ -41,6 +41,12 @@ def main() -> None:
         help="shuffle-free decode: whole block files per scan partition "
         "(requires the encode write layout, which encode_table produces)",
     )
+    ap.add_argument(
+        "--filter", action="append", default=[], metavar="COL:OP:VALUE",
+        help="scan predicate (repeatable, ANDed): op in = < <= > >=; "
+        "value parsed by the column's type (timestamps ISO-8601). "
+        "Zone-map bucket pruning + in-kernel late materialization.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -50,17 +56,42 @@ def main() -> None:
     from kmers_spark.session import get_spark
 
     spark = get_spark("kmers_spark_decode")
-    if args.colocated and args.columns:
-        raise SystemExit("--columns requires the shuffle path (not --colocated)")
-    decoded = (
-        dec.decode_colocated(spark, args.snapshot)
-        if args.colocated
-        else dec.decode_table(
-            spark, args.snapshot,
-            columns=args.columns.split(",") if args.columns else None,
-            version=args.version,
+    if args.colocated and args.version is not None:
+        raise SystemExit("--version requires the shuffle path (not --colocated)")
+    filters = None
+    if args.filter:
+        m = manifest.load(args.snapshot)
+        if m is None:
+            raise SystemExit(f"no manifest in {args.snapshot}")
+        schema = m["schema"]
+        filters = []
+        for spec in args.filter:
+            col, op, raw = spec.split(":", 2)
+            typ = schema.get(col)
+            if typ is None:
+                raise SystemExit(f"--filter column {col!r} not in snapshot schema")
+            if typ == "int64":
+                val = int(raw)
+            elif typ == "double":
+                val = float(raw)
+            elif typ in ("timestamp", "timestamp_ntz"):
+                import datetime
+
+                val = datetime.datetime.fromisoformat(raw)
+            else:
+                val = raw
+            filters.append((col, op, val))
+    columns = args.columns.split(",") if args.columns else None
+    if args.filter and not args.colocated:
+        decoded = dec.scan_table(spark, args.snapshot, filters, columns=columns)
+    elif args.colocated:
+        decoded = dec.decode_colocated(
+            spark, args.snapshot, columns=columns, filters=filters
         )
-    )
+    else:
+        decoded = dec.decode_table(
+            spark, args.snapshot, columns=columns, version=args.version
+        )
     decoded.write.mode("overwrite").parquet(args.output)
 
     result = {"rows": spark.read.parquet(args.output).count()}

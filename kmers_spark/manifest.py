@@ -253,6 +253,60 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
     return commit(out_dir, mutate)
 
 
+ALLOWED_TYPES = ("string", "binary", "int64", "timestamp", "timestamp_ntz", "double")
+
+
+def evolve_schema(out_dir: str, add: dict[str, str]) -> dict[str, Any]:
+    """Iceberg-style add-column schema evolution, as a CAS commit.
+
+    New columns append to the schema (and to the ordered column list);
+    buckets committed BEFORE the evolution simply have no block for
+    them — decode null-fills from the per-bucket column sets the
+    manifest already records, exactly Iceberg's read-missing-as-null
+    contract. Buckets encoded after the evolution (remaining waves of
+    an in-progress snapshot, or a later re-encode) carry real blocks.
+    Drop/rename are intentionally unsupported: blocks are immutable
+    and name-addressed, so a rename would orphan committed data."""
+    if not add:
+        raise ValueError("no columns to add")
+
+    def mutate(m: dict[str, Any] | None) -> dict[str, Any]:
+        if m is None:
+            raise FileNotFoundError(f"no manifest in {out_dir}")
+        # legacy snapshots have no ordered list: their decode order was
+        # (and stays) the JSON-sorted one, with new columns appended
+        order = m.get("columns") or sorted(m["schema"])
+        for c, t in add.items():
+            if c in m["schema"]:
+                raise ValueError(f"column {c!r} already exists")
+            if t not in ALLOWED_TYPES:
+                raise ValueError(f"type {t!r} not in {ALLOWED_TYPES}")
+            m["schema"][c] = t
+            order = order + [c]
+        m["columns"] = order
+        return m
+
+    return commit(out_dir, mutate)
+
+
+def missing_columns(m: dict[str, Any], cols: list[str]) -> dict[int, set]:
+    """{bucket: columns of `cols` that bucket has NO block for} — the
+    per-bucket null-fill set schema evolution creates. Derived from the
+    manifest's per-bucket block stats; empty dict when no evolution
+    ever happened (the common case — decode's strict bucket-integrity
+    checks then apply unweakened)."""
+    out: dict[int, set] = {}
+    blocks = m.get("blocks", {})
+    for b in m.get("committed_buckets", []):
+        have = {s["column"] for s in blocks.get(str(b), [])}
+        if not have:
+            continue  # hash-empty bucket: produces no rows at all
+        miss = {c for c in cols if c not in have}
+        if miss:
+            out[int(b)] = miss
+    return out
+
+
 def expire_versions(out_dir: str, keep_last: int = 10) -> list[int]:
     """Retention (Iceberg expire-snapshots analogue): tombstone manifest
     versions older than the newest `keep_last`.

@@ -66,29 +66,50 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
     else:
         schema = full
     assert_utc_session(spark, schema)
-    out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
     cols = list(schema.keys())
+
+    # schema evolution: buckets committed before an evolve_schema call
+    # have no block for the added columns — decode null-fills them from
+    # the manifest's per-bucket column sets (Iceberg read-as-null)
+    missing = manifest.missing_columns(m, cols)
+    dec_schema = dict(schema)
+    anchor = None
+    if missing and columns is not None:
+        key = m.get("key")
+        # a projection of ONLY evolved columns would leave old buckets
+        # with zero block rows (their row count unknowable) — anchor on
+        # the key column, which every non-empty bucket has, then drop it
+        if key in full and key not in dec_schema and any(
+            miss >= set(cols) for miss in missing.values()
+        ):
+            anchor = key
+            dec_schema[key] = full[key]
+    out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in dec_schema.items())
 
     # manifest-level wave pruning first (skip whole data dirs), then the
     # bucket predicate prunes parquet row groups inside the survivors
     paths = committed_wave_paths(out_dir, m, buckets=buckets)
     if not paths:
-        return spark.createDataFrame([], out_schema)
+        df = spark.createDataFrame([], out_schema)
+        return df.select(*cols) if anchor else df
     blocks = spark.read.parquet(*paths)
     if buckets is not None:
         blocks = blocks.filter(blocks.bucket.isin(buckets))
-    if columns is not None and len(schema) < len(full):
-        blocks = blocks.filter(blocks.column.isin(cols))
+    if columns is not None and len(dec_schema) < len(full):
+        blocks = blocks.filter(blocks.column.isin(list(dec_schema)))
     norm = None
     if filters:
         from .. import zonemap
 
         norm = zonemap.normalize_filters(filters, schema)
-    return decode_blocks_df(blocks, schema, out_schema, norm_filters=norm)
+    df = decode_blocks_df(blocks, dec_schema, out_schema, norm_filters=norm,
+                          missing=missing)
+    return df.select(*cols) if anchor else df
 
 
 def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
-                     norm_filters: list[tuple] | None = None) -> DataFrame:
+                     norm_filters: list[tuple] | None = None,
+                     missing: dict[int, set] | None = None) -> DataFrame:
     """block rows -> original rows; Arrow path when available.
 
     `norm_filters` (zonemap.normalize_filters output) pushes the scan
@@ -99,10 +120,16 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
     A selective filter therefore moves matching rows across the Arrow
     boundary instead of whole buckets, and a bucket with zero matches
     skips bulk decode entirely (block-granular dictionary-scan
-    behavior, one level below the manifest's zone pruning)."""
+    behavior, one level below the manifest's zone pruning).
+
+    `missing` ({bucket: columns that bucket has no block for}, from
+    manifest.missing_columns) null-fills schema-evolved columns; a
+    column absent WITHOUT a missing-set entry is still a hard error
+    (bucket split across partitions / corrupt wave)."""
     from .. import zonemap
 
     cols = list(schema.keys())
+    missing = missing or {}
     grouped = blocks.groupBy("bucket")
 
     if hasattr(grouped, "applyInArrow"):
@@ -123,14 +150,29 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
             metas = table.column("meta").to_pylist()
             payloads = table.column("payload")
             idx = {cname: i for i, cname in enumerate(col_names)}
+            bucket_id = int(table.column("bucket")[0].as_py())
+            miss = missing.get(bucket_id, ())
+            absent = [c for c in cols if c not in idx and c not in miss]
+            if absent:
+                raise ValueError(
+                    f"bucket {bucket_id} has no block for columns {absent} "
+                    "(split across partitions, or a corrupt wave dir)"
+                )
             arrays: dict[str, pa.Array] = {}
 
             def dec(cname: str) -> pa.Array:
                 if cname not in arrays:
-                    i = idx[cname]
-                    arrays[cname] = arrowcodecs.decode_column_arrow(
-                        payloads[i].as_py(), json.loads(metas[i])
-                    )
+                    if cname in idx:
+                        i = idx[cname]
+                        arrays[cname] = arrowcodecs.decode_column_arrow(
+                            payloads[i].as_py(), json.loads(metas[i])
+                        )
+                    else:  # schema-evolved: null-fill at the bucket's
+                        # row count (any present block's meta carries n)
+                        n = json.loads(metas[next(iter(idx.values()))])["n"]
+                        arrays[cname] = pa.nulls(
+                            n, type=zonemap.arrow_type(schema[cname])
+                        )
                 return arrays[cname]
 
             if norm_filters:
@@ -154,14 +196,26 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
                 f"{sorted(pdf['column'])}"
             )
         rows_by_col = {row["column"]: row for _, row in pdf.iterrows()}
+        bucket_id = int(pdf["bucket"].iloc[0])
+        miss = missing.get(bucket_id, ())
+        absent = [c for c in cols if c not in rows_by_col and c not in miss]
+        if absent:
+            raise ValueError(
+                f"bucket {bucket_id} has no block for columns {absent} "
+                "(split across partitions, or a corrupt wave dir)"
+            )
         series: dict[str, pd.Series] = {}
 
         def dec(cname: str) -> pd.Series:
             if cname not in series:
-                row = rows_by_col[cname]
-                series[cname] = codecs.decode_column(
-                    bytes(row["payload"]), json.loads(row["meta"])
-                )
+                if cname in rows_by_col:
+                    row = rows_by_col[cname]
+                    series[cname] = codecs.decode_column(
+                        bytes(row["payload"]), json.loads(row["meta"])
+                    )
+                else:  # schema-evolved: null-fill
+                    n = json.loads(next(iter(rows_by_col.values()))["meta"])["n"]
+                    series[cname] = pd.Series([None] * n, dtype=object)
             return series[cname]
 
         mask = None
@@ -347,9 +401,19 @@ def decode_colocated(spark: SparkSession, out_dir: str,
     else:
         schema = full
     assert_utc_session(spark, schema)
-    out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
     cols = list(schema.keys())
-    n_cols = len(cols)
+    missing = manifest.missing_columns(m, cols)
+    dec_schema = dict(schema)
+    anchor = None
+    if missing and columns is not None:
+        key = m.get("key")
+        if key in full and key not in dec_schema and any(
+            miss >= set(cols) for miss in missing.values()
+        ):
+            anchor = key
+            dec_schema[key] = full[key]
+    out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in dec_schema.items())
+    dec_cols = list(dec_schema.keys())
     norm = None
     if filters:
         from .. import zonemap
@@ -373,11 +437,12 @@ def decode_colocated(spark: SparkSession, out_dir: str,
     s2.conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
     paths = committed_wave_paths(out_dir, m)
     if not paths:  # manifest exists but nothing committed yet
-        return spark.createDataFrame([], out_schema)
+        df = spark.createDataFrame([], out_schema)
+        return df.select(*cols) if anchor else df
     blocks = s2.read.parquet(*paths)
-    if columns is not None and len(schema) < len(full):
+    if columns is not None and len(dec_schema) < len(full):
         # projection below the scan: unwanted payloads never decompress
-        blocks = blocks.filter(blocks.column.isin(cols))
+        blocks = blocks.filter(blocks.column.isin(dec_cols))
 
     def decode_partition(batches):
         arrowcodecs.pin_worker_threads()
@@ -399,18 +464,29 @@ def decode_colocated(spark: SparkSession, out_dir: str,
                 )
             cols_of_b[col_names[i]] = i
         for b, idx in per_bucket.items():
-            if len(idx) != n_cols:
+            miss = missing.get(int(b), ())
+            absent = [c for c in dec_cols if c not in idx and c not in miss]
+            if absent:
                 raise ValueError(
-                    f"bucket {b} split across partitions ({len(idx)}/{n_cols} columns)"
+                    f"bucket {b} split across partitions or corrupt "
+                    f"(no block for columns {absent})"
                 )
             arrays: dict = {}
 
             def dec(cname, _idx=idx):
                 if cname not in arrays:
-                    arrays[cname] = arrowcodecs.decode_column_arrow(
-                        payloads[_idx[cname]].as_py(),
-                        json.loads(metas[_idx[cname]]),
-                    )
+                    if cname in _idx:
+                        arrays[cname] = arrowcodecs.decode_column_arrow(
+                            payloads[_idx[cname]].as_py(),
+                            json.loads(metas[_idx[cname]]),
+                        )
+                    else:  # schema-evolved column: null-fill
+                        from .. import zonemap
+
+                        n = json.loads(metas[next(iter(_idx.values()))])["n"]
+                        arrays[cname] = pa.nulls(
+                            n, type=zonemap.arrow_type(dec_schema[cname])
+                        )
                 return arrays[cname]
 
             if norm:
@@ -420,10 +496,11 @@ def decode_colocated(spark: SparkSession, out_dir: str,
                 mask = zonemap.arrow_mask(dec, norm)
                 if not (pc.sum(mask).as_py() or 0):
                     continue  # zero matches: bulk columns never decode
-                out = pa.table({c: dec(c) for c in cols}).filter(mask)
+                out = pa.table({c: dec(c) for c in dec_cols}).filter(mask)
             else:
-                out = pa.table({c: dec(c) for c in cols})
+                out = pa.table({c: dec(c) for c in dec_cols})
             for batch in out.to_batches():
                 yield batch
 
-    return blocks.mapInArrow(decode_partition, out_schema)
+    df = blocks.mapInArrow(decode_partition, out_schema)
+    return df.select(*cols) if anchor else df

@@ -269,6 +269,16 @@ def encode_table(
             return cur
 
         m = manifest.commit(out_dir, create_or_config)
+    if m["schema"] != schema:
+        # a df missing a snapshot column would write blocks the decoder
+        # null-fills (schema evolution's read contract) — silent data
+        # loss. Evolution is explicit: manifest.evolve_schema first,
+        # then encode the remaining waves with the new column present.
+        raise ValueError(
+            f"input schema {sorted(schema)} != snapshot schema "
+            f"{sorted(m['schema'])}; add columns via manifest.evolve_schema, "
+            "then encode with the evolved schema"
+        )
     hot = m["hot_keys"]
 
     m = migrate_legacy_layout(out_dir, m)
