@@ -72,6 +72,50 @@ def snapshot_summary(spark: SparkSession, out_dir: str) -> dict:
     }
 
 
+def table_stats(out_dir: str) -> dict[str, dict]:
+    """Per-column {rows, nulls?, min, max} answered from the MANIFEST
+    alone — zero Spark jobs, zero file reads (the aggregate-pushdown
+    shortcut a 10^12-row count(*)/min/max should take; Iceberg answers
+    these from file stats the same way).
+
+    min/max come from the committed zone bounds: exact for
+    int64/timestamp/double, CONSERVATIVE for strings (bounds are
+    truncated at 32 chars: real min >= reported min, real max <=
+    reported max — reported as `min_bound`/`max_bound` to keep the
+    distinction honest). Columns with no recorded bounds (all-null
+    buckets, legacy snapshots, binary) report bounds as None; `rows`
+    is always exact. Timestamps are reported as epoch-us ints (the
+    space bounds are stored in)."""
+    m = manifest.load(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    schema = manifest.ordered_schema(m)
+    out: dict[str, dict] = {
+        c: {"type": t, "rows": 0, "min_bound": None, "max_bound": None,
+            "bounded_buckets": 0, "buckets": 0}
+        for c, t in schema.items()
+    }
+    for stats in m.get("blocks", {}).values():
+        for s in stats:
+            rec = out.get(s["column"])
+            if rec is None:  # dropped from a projection-limited schema? keep safe
+                continue
+            rec["rows"] += int(s["n_rows"])
+            rec["buckets"] += 1
+            if "zmin" in s:
+                rec["bounded_buckets"] += 1
+                if rec["min_bound"] is None or s["zmin"] < rec["min_bound"]:
+                    rec["min_bound"] = s["zmin"]
+                if rec["max_bound"] is None or s["zmax"] > rec["max_bound"]:
+                    rec["max_bound"] = s["zmax"]
+    # a column with any unbounded non-empty bucket has unknown true
+    # extremes — null the bounds rather than report a partial range
+    for rec in out.values():
+        if rec["bounded_buckets"] < rec["buckets"]:
+            rec["min_bound"] = rec["max_bound"] = None
+    return out
+
+
 def snapshot_history(out_dir: str) -> list[dict]:
     """One row per manifest version (the immutable commit chain):
     version, committed-bucket count, wave count — the snapshot log

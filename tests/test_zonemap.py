@@ -314,6 +314,31 @@ def test_masks_agree_pandas_vs_arrow(events_store):
         assert [bool(x) for x in am] == list(np.asarray(pm)), filters
 
 
+def test_table_stats_zero_job(spark, events_store):
+    """count/min/max answered from the manifest alone: exact rows for
+    every column, exact bounds for numeric/timestamp, conservative
+    (truncation-widened) bounds for strings."""
+    from kmers_spark.metrics import table_stats
+
+    out, df, _m = events_store
+    stats = table_stats(out)
+    n = df.count()
+    pdf = df.toPandas()
+    for col in ("event_id", "ts", "user_id", "event_type", "value", "props"):
+        assert stats[col]["rows"] == n, col
+    assert stats["event_id"]["min_bound"] == int(pdf["event_id"].min())
+    assert stats["event_id"]["max_bound"] == int(pdf["event_id"].max())
+    assert stats["value"]["min_bound"] == pdf["value"].min()
+    assert stats["value"]["max_bound"] == pdf["value"].max()
+    # timestamps: epoch-us bound space
+    assert stats["ts"]["min_bound"] == int(
+        pdf["ts"].min().to_datetime64().astype("datetime64[us]").astype("int64")
+    )
+    # strings: conservative bounds bracket the true extremes
+    assert stats["event_type"]["min_bound"] <= pdf["event_type"].min()
+    assert stats["event_type"]["max_bound"] >= pdf["event_type"].max()
+
+
 def test_decode_preserves_input_column_order(spark, events_store):
     """The manifest JSON sorts dict keys; the ordered `columns` list
     restores the writer's column order on every read path."""
