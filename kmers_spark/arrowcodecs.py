@@ -65,6 +65,8 @@ def encode_column_arrow(arr: pa.Array, codec: str, typ: str) -> tuple[bytes, dic
     codecs.encode_column on the same logical values."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if codec.startswith("seg:"):
+        return _encode_segmented_arrow(arr, codec[4:], typ)
     n = len(arr)
     mask = av.validity_mask(arr)
     vblob = np.packbits(mask, bitorder="little").tobytes() if mask is not None else b""
@@ -99,6 +101,16 @@ def encode_column_arrow(arr: pa.Array, codec: str, typ: str) -> tuple[bytes, dic
         elif codec == "words":
             body, wmeta = _words_encode_arrow(arr)
             meta["words"] = wmeta
+        elif codec == "words_seg":
+            from .kernels import words as words_kernel
+
+            codes, counts, dictionary = _words_tokenize_arrow(arr)
+            body, wmeta = words_kernel.encode_shared(
+                codes, counts, dictionary, codecs_mod.SEG_ROWS
+            )
+            meta["words_seg"] = wmeta
+            # per-segment backstops inside the kernel; no outer pass
+            return vblob + body, meta
         elif codec == "prefix":
             body, pmeta = _prefix_encode_arrow(buf, offs)
             meta["prefix"] = pmeta
@@ -138,10 +150,9 @@ def encode_column_arrow(arr: pa.Array, codec: str, typ: str) -> tuple[bytes, dic
     return _maybe_zlib(vblob + body, meta), meta
 
 
-def _words_encode_arrow(arr: pa.Array) -> tuple[bytes, dict]:
-    """Arrow path of kernels.words: split/flatten/dict-encode in C++."""
-    from .kernels import words as words_kernel  # format docs live there
-
+def _words_tokenize_arrow(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, list]:
+    """Arrow-native twin of kernels.words.tokenize_dict: identical
+    (codes, counts, dictionary) for the same logical values."""
     is_str = pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
     filled = arr.fill_null("" if is_str else b"")
     lst = pc.split_pattern(filled, " ")
@@ -154,7 +165,12 @@ def _words_encode_arrow(arr: pa.Array) -> tuple[bytes, dict]:
         denc = denc.combine_chunks()
     indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     codes, dictionary = _freq_order_dictionary(indices, denc.dictionary)
+    return codes.astype(np.int64), counts, dictionary
 
+
+def _words_encode_arrow(arr: pa.Array) -> tuple[bytes, dict]:
+    """Arrow path of kernels.words: split/flatten/dict-encode in C++."""
+    codes, counts, dictionary = _words_tokenize_arrow(arr)
     n = len(arr)
     width = bitpack.width_for(max(len(dictionary) - 1, 0))
     dict_blob = dictenc.serialize_dictionary(dictionary)
@@ -323,10 +339,82 @@ def _common_prefix_lens_arrays(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
 
 # ------------------------------------------------------------------ decode
 
+def _encode_segmented_arrow(arr: pa.Array, inner: str, typ: str) -> tuple[bytes, dict]:
+    """Arrow twin of codecs.encode_segmented: same SEG_ROWS boundaries,
+    same inner encoders — byte-identical payloads to the pandas path."""
+    n = len(arr)
+    parts: list[bytes] = []
+    inner_metas: list[dict] = []
+    for off in range(0, n, codecs_mod.SEG_ROWS):
+        seg = arr.slice(off, codecs_mod.SEG_ROWS)
+        payload, m = encode_column_arrow(seg, inner, typ)
+        parts.append(payload)
+        inner_metas.append(m)
+    meta = {
+        "codec": f"seg:{inner}", "type": typ, "n": n,
+        "seg_lens": [len(p) for p in parts], "inner": inner_metas,
+    }
+    return b"".join(parts), meta
+
+
+def _concat_arrays(parts: list, typ: str) -> pa.Array:
+    from . import zonemap
+
+    if not parts:
+        return pa.array([], type=zonemap.arrow_type(typ))
+    if len(parts) == 1:
+        return parts[0]
+    return pa.chunked_array(parts).combine_chunks()
+
+
+def decode_segmented_arrow(payload: bytes, meta: dict) -> pa.Array:
+    parts = []
+    off = 0
+    for m, ln in zip(meta["inner"], meta["seg_lens"]):
+        parts.append(decode_column_arrow(payload[off : off + ln], m))
+        off += ln
+    return _concat_arrays(parts, meta["type"])
+
+
+def decode_column_arrow_selected(payload: bytes, meta: dict, sel: np.ndarray) -> pa.Array:
+    """Rows `sel` (bool ndarray, len n) selects, in order — the
+    page-skipping read: segments with no selected row are neither
+    decompressed nor decoded. Non-segmented codecs fall back to
+    decode-all-then-filter (identical result)."""
+    sel = np.asarray(sel, dtype=bool)
+    if meta["codec"] == "words_seg":
+        n = meta["n"]
+        nb = meta.get("null_nbytes", 0)
+        mask = None
+        if nb:
+            mask = np.unpackbits(
+                np.frombuffer(payload, np.uint8, count=nb), count=n,
+                bitorder="little",
+            ).astype(bool)
+        return _words_seg_decode_arrow(
+            payload[nb:], meta["words_seg"], meta["type"], mask, sel
+        )
+    if not meta["codec"].startswith("seg:"):
+        return decode_column_arrow(payload, meta).filter(pa.array(sel))
+    parts = []
+    off_b = 0
+    off_r = 0
+    for m, ln in zip(meta["inner"], meta["seg_lens"]):
+        seg_sel = sel[off_r : off_r + m["n"]]
+        if seg_sel.any():
+            arr = decode_column_arrow(payload[off_b : off_b + ln], m)
+            parts.append(arr.filter(pa.array(seg_sel)))
+        off_b += ln
+        off_r += m["n"]
+    return _concat_arrays(parts, meta["type"])
+
+
 def decode_column_arrow(payload: bytes, meta: dict, spark_type: "pa.DataType | None" = None) -> pa.Array:
     """payload -> Arrow array (the decode hot path: values are assembled
     as buffers, dictionary/token expansion happens in C++)."""
     n, typ, codec = meta["n"], meta["type"], meta["codec"]
+    if codec.startswith("seg:"):
+        return decode_segmented_arrow(payload, meta)
     payload = _maybe_unzlib(payload, meta)
     nb = meta.get("null_nbytes", 0)
     mask = None
@@ -358,6 +446,8 @@ def decode_column_arrow(payload: bytes, meta: dict, spark_type: "pa.DataType | N
             return _bytes_array(atype, n, offs.astype(np.int32), buf, mask)
         if codec == "words":
             return _words_decode_arrow(body, meta["words"], typ, mask)
+        if codec == "words_seg":
+            return _words_seg_decode_arrow(body, meta["words_seg"], typ, mask)
         if codec == "prefix":
             return _prefix_decode_arrow(body, meta["prefix"], typ, mask)
         raise ValueError(f"unknown codec {codec!r}")
@@ -411,6 +501,37 @@ def _with_mask(arr: pa.Array, mask) -> pa.Array:
     if mask is None:
         return arr
     return pc.if_else(pa.array(mask), arr, pa.scalar(None, arr.type))
+
+
+def _words_seg_decode_arrow(body: bytes, wmeta: dict, typ: str, mask,
+                            sel: np.ndarray | None = None) -> pa.Array:
+    """Shared-dict segment decode, Arrow-native per segment; with `sel`,
+    unselected segments are neither decompressed nor decoded and only
+    selected rows are materialized."""
+    from .kernels import words as words_kernel
+
+    atype = pa.string() if typ == "string" else pa.binary()
+    n = wmeta["n"]
+    if n == 0:
+        return pa.array([], type=atype)
+    dictionary = words_kernel.shared_dictionary(body, wmeta)
+    dict_arr = pa.array(dictionary, type=pa.binary())
+    parts = []
+    for r0, codes, counts in words_kernel.iter_segments(body, wmeta, sel):
+        dense = pc.take(dict_arr, pa.array(codes))
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offs.astype(np.int32)), dense)
+        joined = pc.binary_join(lists, b" ")
+        if sel is not None:
+            joined = joined.filter(pa.array(sel[r0 : r0 + len(counts)]))
+        parts.append(joined)
+    out = _concat_arrays(parts, "binary")
+    if typ == "string":
+        out = out.cast(pa.string())
+    if mask is not None and sel is not None:
+        mask = mask[sel]
+    return _with_mask(out, mask)
 
 
 def _words_decode_arrow(body: bytes, wmeta: dict, typ: str, mask) -> pa.Array:

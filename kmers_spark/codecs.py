@@ -76,6 +76,16 @@ def _maybe_unzlib(payload: bytes, meta: dict) -> bytes:
 from .kernels import bitpack, dictenc, floats, foren, fsst, prefix, rle, sortdelta, words
 
 STRING_CODECS = ("plain", "dict", "dict_rle", "fsst", "words", "prefix")
+# scan-optimized storage, OVERRIDE-ONLY (never auto-selected): segments
+# cost compression ratio — zstd loses cross-row template redundancy at
+# segment boundaries (measured on the pages fixture: words_seg 1.44×
+# on html even with the dictionary shared; generic per-segment dicts
+# 1.5-1.7×) — in exchange for 6-7× faster selective decode (a scan
+# touches the dict part + matching segments only). The default path
+# already late-materializes via the kernel mask at zero ratio cost;
+# pick these per column (codec_overrides={"html": "words_seg"}) when a
+# column is read mostly through selective scans.
+SEGMENTED_CODECS = ("words_seg",)  # + any "seg:<inner>" wrapper name
 INT_CODECS = ("plain", "for_bitpack", "dict_rle_int", "rle_int", "sortdelta")
 FLOAT_CODECS = ("plain", "dec_scale", "xor_float")
 TYPE_DEFAULT_CODEC = {
@@ -199,8 +209,77 @@ def _decode_double(body: bytes, meta: dict, n: int) -> np.ndarray:
 
 # ---------------------------------------------------------------- encode/decode
 
+SEG_ROWS = 8192  # rows per independently decodable segment (seg: codecs)
+
+
+def encode_segmented(series: pd.Series, inner: str, typ: str) -> tuple[bytes, dict]:
+    """Wrap any codec into fixed-row segments, each a complete inner
+    block (parquet data-page analogue). The payload is the segments'
+    concatenation; meta records per-segment byte lengths + inner metas,
+    so a selective decode (decode_column_selected) touches only the
+    segments whose rows the scan mask selects. Rows are key-sorted
+    within a block, so host-correlated predicates (lang, source) select
+    CONTIGUOUS row ranges — segment skipping then reads ~selectivity of
+    the payload instead of all of it. Each segment carries its own
+    entropy backstop; no outer compression is applied."""
+    n = len(series)
+    parts: list[bytes] = []
+    inner_metas: list[dict] = []
+    for off in range(0, n, SEG_ROWS):
+        payload, m = encode_column(series.iloc[off : off + SEG_ROWS], inner, typ)
+        parts.append(payload)
+        inner_metas.append(m)
+    meta = {
+        "codec": f"seg:{inner}", "type": typ, "n": n,
+        "seg_lens": [len(p) for p in parts], "inner": inner_metas,
+    }
+    return b"".join(parts), meta
+
+
+def decode_segmented(payload: bytes, meta: dict) -> pd.Series:
+    parts = []
+    off = 0
+    for m, ln in zip(meta["inner"], meta["seg_lens"]):
+        parts.append(decode_column(payload[off : off + ln], m))
+        off += ln
+    if not parts:
+        return pd.Series([], dtype=object)
+    return pd.concat(parts, ignore_index=True)
+
+
+def decode_column_selected(payload: bytes, meta: dict, sel) -> pd.Series:
+    """Rows `sel` (bool array, len n) selects, in order. Segment-skipping
+    for seg: codecs; decode-all-then-filter otherwise."""
+    import numpy as np
+
+    sel = np.asarray(sel, dtype=bool)
+    if meta["codec"] == "words_seg":
+        mask, body = _validity(meta, payload, meta["n"])
+        data = words.decode_shared(body, meta["words_seg"], sel)
+        m2 = mask[sel] if mask is not None else None
+        return _from_bytes_list(data, m2, meta["type"]).reset_index(drop=True)
+    if not meta["codec"].startswith("seg:"):
+        s = decode_column(payload, meta)
+        return s[sel].reset_index(drop=True)
+    parts = []
+    off_b = 0
+    off_r = 0
+    for m, ln in zip(meta["inner"], meta["seg_lens"]):
+        seg_sel = sel[off_r : off_r + m["n"]]
+        if seg_sel.any():
+            s = decode_column(payload[off_b : off_b + ln], m)
+            parts.append(s[seg_sel])
+        off_b += ln
+        off_r += m["n"]
+    if not parts:
+        return pd.Series([], dtype=object)
+    return pd.concat(parts, ignore_index=True)
+
+
 def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]:
     """Encode one column chunk. Deterministic for a given (series, codec)."""
+    if codec.startswith("seg:"):
+        return encode_segmented(series, codec[4:], typ)
     n = len(series)
     mask, vblob = _split_nulls(series)
     meta: dict = {"codec": codec, "type": typ, "n": n, "null_nbytes": len(vblob)}
@@ -236,6 +315,14 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
         elif codec == "words":
             body, wmeta = words.encode(data)
             meta["words"] = wmeta
+        elif codec == "words_seg":
+            # shared-dict segments: per-segment backstops inside the
+            # kernel; no outer compression (it would force whole-block
+            # decompress and defeat segment skipping)
+            codes, counts, dictionary = words.tokenize_dict(data)
+            body, wmeta = words.encode_shared(codes, counts, dictionary, SEG_ROWS)
+            meta["words_seg"] = wmeta
+            return vblob + body, meta
         elif codec == "prefix":
             body, pmeta = prefix.encode(data)
             meta["prefix"] = pmeta
@@ -277,6 +364,8 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
 
 def decode_column(payload: bytes, meta: dict) -> pd.Series:
     n, typ, codec = meta["n"], meta["type"], meta["codec"]
+    if codec.startswith("seg:"):
+        return decode_segmented(payload, meta)
     payload = _maybe_unzlib(payload, meta)
     mask, body = _validity(meta, payload, n)
 
@@ -301,6 +390,8 @@ def decode_column(payload: bytes, meta: dict) -> pd.Series:
             data = fsst.decode(body, meta["fsst"])
         elif codec == "words":
             data = words.decode(body, meta["words"])
+        elif codec == "words_seg":
+            data = words.decode_shared(body, meta["words_seg"])
         elif codec == "prefix":
             data = prefix.decode(body, meta["prefix"])
         else:

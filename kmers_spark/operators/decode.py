@@ -179,12 +179,30 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
                 import pyarrow.compute as pc
 
                 mask = zonemap.arrow_mask(dec, norm_filters)
-                if not (pc.sum(mask).as_py() or 0):
+                nsel = pc.sum(mask).as_py() or 0
+                if not nsel:
                     return pa.table(
                         {c: pa.array([], type=zonemap.arrow_type(schema[c]))
                          for c in cols}
                     )
-                return pa.table({c: dec(c) for c in cols}).filter(mask)
+                # selected decode: seg: codecs skip whole segments with
+                # no selected row (page skipping); columns the mask
+                # already decoded just filter
+                sel = mask.to_numpy(zero_copy_only=False)
+                out: dict[str, pa.Array] = {}
+                for c in cols:
+                    if c in arrays:
+                        out[c] = arrays[c].filter(mask)
+                    elif c in idx:
+                        i = idx[c]
+                        out[c] = arrowcodecs.decode_column_arrow_selected(
+                            payloads[i].as_py(), json.loads(metas[i]), sel
+                        )
+                    else:  # schema-evolved: null-fill the selected rows
+                        out[c] = pa.nulls(
+                            nsel, type=zonemap.arrow_type(schema[c])
+                        )
+                return pa.table(out)
             return pa.table({c: dec(c) for c in cols})
 
         return grouped.applyInArrow(decode_group_arrow, out_schema)
@@ -218,11 +236,25 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
                     series[cname] = pd.Series([None] * n, dtype=object)
             return series[cname]
 
-        mask = None
         if norm_filters:
             mask = zonemap.pandas_mask(dec, norm_filters, schema)
             if not mask.any():
                 return pd.DataFrame(columns=cols)
+            data = {}
+            for c in cols:
+                if c in series:  # decoded for the mask: just filter
+                    s = series[c][mask].reset_index(drop=True)
+                elif c in rows_by_col:  # selected decode (segment skip)
+                    row = rows_by_col[c]
+                    s = codecs.decode_column_selected(
+                        bytes(row["payload"]), json.loads(row["meta"]), mask
+                    )
+                else:  # schema-evolved: null-fill selected rows
+                    s = pd.Series([None] * int(mask.sum()), dtype=object)
+                if schema[c] == "binary":
+                    s = s.map(lambda v: None if v is None else bytes(v))
+                data[c] = s
+            return pd.DataFrame(data, columns=cols)
         n = len(dec(cols[0])) if cols else 0
         data = {}
         for c in cols:
@@ -232,8 +264,7 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
             data[c] = s.reset_index(drop=True)
         if not n:
             return pd.DataFrame(columns=cols)
-        out = pd.DataFrame(data, columns=cols)
-        return out[mask].reset_index(drop=True) if mask is not None else out
+        return pd.DataFrame(data, columns=cols)
 
     return grouped.applyInPandas(decode_group, out_schema)
 
@@ -494,9 +525,22 @@ def decode_colocated(spark: SparkSession, out_dir: str,
                 import pyarrow.compute as pc
 
                 mask = zonemap.arrow_mask(dec, norm)
-                if not (pc.sum(mask).as_py() or 0):
+                nsel = pc.sum(mask).as_py() or 0
+                if not nsel:
                     continue  # zero matches: bulk columns never decode
-                out = pa.table({c: dec(c) for c in dec_cols}).filter(mask)
+                sel = mask.to_numpy(zero_copy_only=False)
+                built: dict = {}
+                for c in dec_cols:
+                    if c in arrays:
+                        built[c] = arrays[c].filter(mask)
+                    elif c in idx:
+                        built[c] = arrowcodecs.decode_column_arrow_selected(
+                            payloads[idx[c]].as_py(),
+                            json.loads(metas[idx[c]]), sel,
+                        )
+                    else:
+                        built[c] = pa.nulls(nsel, type=zonemap.arrow_type(dec_schema[c]))
+                out = pa.table(built)
             else:
                 out = pa.table({c: dec(c) for c in dec_cols})
             for batch in out.to_batches():
