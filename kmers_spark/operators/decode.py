@@ -399,10 +399,26 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
         return spark.createDataFrame([], out_schema)
     from pyspark.sql import functions as F
 
-    kdf = spark.createDataFrame([(k,) for k in keys], f"`{key_col}` string")
-    return decode_table(spark, out_dir, buckets=sorted(buckets)).join(
-        F.broadcast(kdf), key_col, "inner"
-    )
+    # the key predicate also rides INTO the decode kernel (late
+    # materialization): only probe-key rows cross the Arrow boundary,
+    # and segmented bulk columns decompress only matching segments
+    try:
+        decoded = decode_table(
+            spark, out_dir, buckets=sorted(buckets),
+            filters=[(key_col, "in", list(keys))] if keys else None,
+        )
+    except (ValueError, TypeError):
+        # probe literals that don't parse as the key's type (e.g. a
+        # non-numeric probe against an int64 key) can't match anyway;
+        # decode the buckets and let the join return empty
+        decoded = decode_table(spark, out_dir, buckets=sorted(buckets))
+    # join string-vs-string: an implicit probe->BIGINT cast (ANSI) would
+    # CRASH the whole lookup on one malformed probe key
+    kdf = spark.createDataFrame([(k,) for k in keys], "`__probe` string")
+    return decoded.join(
+        F.broadcast(kdf),
+        decoded[key_col].cast("string") == kdf["__probe"], "inner"
+    ).drop("__probe")
 
 
 def decode_colocated(spark: SparkSession, out_dir: str,

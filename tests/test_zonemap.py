@@ -314,6 +314,20 @@ def test_masks_agree_pandas_vs_arrow(events_store):
         assert [bool(x) for x in am] == list(np.asarray(pm)), filters
 
 
+def test_lookup_keys_int64_key_and_malformed_probe(spark, events_store):
+    """Point lookups on an int64-keyed store: numeric probes hit, a
+    malformed probe returns empty instead of crashing the join with an
+    ANSI cast error, and the key predicate pushed into the kernel
+    keeps results exact."""
+    from kmers_spark.operators.decode import lookup_keys
+
+    out, df, _m = events_store
+    got = lookup_keys(spark, out, ["5", "17"]).toPandas()
+    assert sorted(got["event_id"]) == [5, 17]
+    assert lookup_keys(spark, out, ["abc"]).count() == 0
+    assert lookup_keys(spark, out, ["5", "abc"]).count() == 1
+
+
 def test_table_stats_zero_job(spark, events_store):
     """count/min/max answered from the manifest alone: exact rows for
     every column, exact bounds for numeric/timestamp, conservative
