@@ -271,7 +271,8 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
 
 def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
                columns: list[str] | None = None,
-               version: int | None = None) -> DataFrame:
+               version: int | None = None,
+               engine: str = "auto") -> DataFrame:
     """Filtered scan over the compressed store with zone-map pruning.
 
     `filters` is a list of (column, op, value) with op in zonemap.OPS
@@ -297,11 +298,22 @@ def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
     need are decoded even when `columns` projects them out, then
     dropped.
 
+    `engine`: "auto" (default) runs the SHUFFLE-FREE colocated decode —
+    block files hold whole buckets, so the kernels run straight off the
+    scan with no exchange of payload bytes — falling back to the
+    groupBy path only for time-travel reads (`version`), whose wave
+    layout the colocated reader does not resolve. "shuffle" /
+    "colocated" force a path.
+
     Zone pruning is clustering-dependent (hash bucketing scatters
     values): it pays on snapshots whose ingestion clusters the filter
     column — see kmers_spark/zonemap.py."""
     from .. import zonemap
 
+    if engine not in ("auto", "shuffle", "colocated"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "colocated" and version is not None:
+        raise ValueError("time-travel scans require engine='shuffle' (or 'auto')")
     m = manifest.load(out_dir, version=version)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
@@ -321,8 +333,13 @@ def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
     # all committed buckets surviving == unfiltered scan: skip the isin
     # (no pruning value, and a 10^5-literal predicate bloats codegen)
     bsel = None if len(buckets) == len(m.get("committed_buckets", [])) else buckets
-    df = decode_table(spark, out_dir, buckets=bsel, columns=decode_cols,
-                      version=version, filters=filters)
+    use_colocated = engine == "colocated" or (engine == "auto" and version is None)
+    if use_colocated:
+        df = decode_colocated(spark, out_dir, columns=decode_cols,
+                              filters=filters, buckets=bsel)
+    else:
+        df = decode_table(spark, out_dir, buckets=bsel, columns=decode_cols,
+                          version=version, filters=filters)
     # the kernel already applied the predicate (late materialization);
     # the JVM residual re-asserts it over the surviving rows — near-free
     # (codegen over matches only) and keeps the query's semantics
@@ -423,7 +440,8 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
 
 def decode_colocated(spark: SparkSession, out_dir: str,
                      columns: list[str] | None = None,
-                     filters: list[tuple] | None = None) -> DataFrame:
+                     filters: list[tuple] | None = None,
+                     buckets: list[int] | None = None) -> DataFrame:
     """Shuffle-free decode: block files are written bucket-grouped, so a
     mapInArrow pass can reassemble each bucket's columns without moving
     payloads (the groupBy in decode_table re-shuffles ~enc_bytes; this
@@ -482,11 +500,14 @@ def decode_colocated(spark: SparkSession, out_dir: str,
             pass
     s2.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
     s2.conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
-    paths = committed_wave_paths(out_dir, m)
+    # wave-dir pruning for bucket-filtered reads, same as decode_table
+    paths = committed_wave_paths(out_dir, m, buckets=buckets)
     if not paths:  # manifest exists but nothing committed yet
         df = spark.createDataFrame([], out_schema)
         return df.select(*cols) if anchor else df
     blocks = s2.read.parquet(*paths)
+    if buckets is not None:
+        blocks = blocks.filter(blocks.bucket.isin(buckets))
     if columns is not None and len(dec_schema) < len(full):
         # projection below the scan: unwanted payloads never decompress
         blocks = blocks.filter(blocks.column.isin(dec_cols))

@@ -210,6 +210,24 @@ def test_scan_prunes_clustered_buckets(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(want)
 
 
+def test_scan_auto_engine_is_shuffle_free(spark, events_store):
+    """engine='auto' routes through the colocated reader: the physical
+    plan must contain no Exchange (payload bytes never reshuffle), and
+    results must match the shuffle engine exactly."""
+    res = None
+    out, _df, _m = events_store
+    filters = [("event_type", "=", "error")]
+    auto = scan_table(spark, out, filters)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    shuf = scan_table(spark, out, filters, engine="shuffle")
+    a = auto.toPandas().sort_values("event_id").reset_index(drop=True)
+    b = shuf.toPandas().sort_values("event_id").reset_index(drop=True)
+    assert a.equals(b)
+    with pytest.raises(ValueError, match="time-travel"):
+        scan_table(spark, out, filters, version=1, engine="colocated")
+
+
 def test_scan_on_legacy_store_without_bounds(spark, events_store, tmp_path):
     """Bounds are advisory: a manifest whose stats carry no zmin/zmax
     (pre-zone-map snapshot) keeps every bucket and stays correct."""
