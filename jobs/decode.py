@@ -43,9 +43,10 @@ def main() -> None:
     )
     ap.add_argument(
         "--filter", action="append", default=[], metavar="COL:OP:VALUE",
-        help="scan predicate (repeatable, ANDed): op in = < <= > >=; "
-        "value parsed by the column's type (timestamps ISO-8601). "
-        "Zone-map bucket pruning + in-kernel late materialization.",
+        help="scan predicate (repeatable, ANDed): op in = < <= > >= in; "
+        "value parsed by the column's type (timestamps ISO-8601; for "
+        "`in`, a comma-separated list). Zone-map bucket pruning + "
+        "in-kernel late materialization.",
     )
     args = ap.parse_args()
 
@@ -65,21 +66,24 @@ def main() -> None:
             raise SystemExit(f"no manifest in {args.snapshot}")
         schema = m["schema"]
         filters = []
+        def parse_val(raw: str, typ: str):
+            if typ == "int64":
+                return int(raw)
+            if typ == "double":
+                return float(raw)
+            if typ in ("timestamp", "timestamp_ntz"):
+                import datetime
+
+                return datetime.datetime.fromisoformat(raw)
+            return raw
+
         for spec in args.filter:
             col, op, raw = spec.split(":", 2)
             typ = schema.get(col)
             if typ is None:
                 raise SystemExit(f"--filter column {col!r} not in snapshot schema")
-            if typ == "int64":
-                val = int(raw)
-            elif typ == "double":
-                val = float(raw)
-            elif typ in ("timestamp", "timestamp_ntz"):
-                import datetime
-
-                val = datetime.datetime.fromisoformat(raw)
-            else:
-                val = raw
+            val = [parse_val(v, typ) for v in raw.split(",")] if op == "in" \
+                else parse_val(raw, typ)
             filters.append((col, op, val))
     columns = args.columns.split(",") if args.columns else None
     if args.filter and not args.colocated:
