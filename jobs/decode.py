@@ -61,7 +61,9 @@ def main() -> None:
         raise SystemExit("--version requires the shuffle path (not --colocated)")
     filters = None
     if args.filter:
-        m = manifest.load(args.snapshot)
+        # resolve the schema AT the requested version: a filter on a
+        # time-travel read must parse literals against that snapshot
+        m = manifest.load(args.snapshot, version=args.version)
         if m is None:
             raise SystemExit(f"no manifest in {args.snapshot}")
         schema = m["schema"]
@@ -87,7 +89,8 @@ def main() -> None:
             filters.append((col, op, val))
     columns = args.columns.split(",") if args.columns else None
     if args.filter and not args.colocated:
-        decoded = dec.scan_table(spark, args.snapshot, filters, columns=columns)
+        decoded = dec.scan_table(spark, args.snapshot, filters,
+                                 columns=columns, version=args.version)
     elif args.colocated:
         decoded = dec.decode_colocated(
             spark, args.snapshot, columns=columns, filters=filters

@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument("--expire-keep", type=int, default=None, metavar="N",
                     help="retention: tombstone manifest versions older than the newest N")
     args = ap.parse_args()
-    if not any((args.stats, args.history, args.summary, args.expire_keep)):
+    if not any((args.stats, args.history, args.summary,
+                args.expire_keep is not None)):
         args.stats = True  # default mode
 
     from kmers_spark import manifest, metrics
@@ -42,7 +43,9 @@ def main() -> None:
     if args.history:
         out["history"] = metrics.snapshot_history(args.snapshot)
         out["current_version"] = manifest.current_version(args.snapshot)
-    if args.expire_keep:
+    if args.expire_keep is not None:
+        # 0 must surface expire_versions' keep_last>=1 error, not be
+        # silently skipped as falsy
         out["expired_versions"] = manifest.expire_versions(
             args.snapshot, keep_last=args.expire_keep
         )

@@ -114,6 +114,13 @@ def current_version(out_dir: str) -> int:
     return _load_versioned(out_dir)[1]
 
 
+def load_with_version(out_dir: str) -> tuple[dict[str, Any] | None, int]:
+    """(latest manifest, its version) in ONE read — lets a multi-step
+    reader (prune, then decode) pin every step to the same snapshot
+    instead of racing concurrent commits between two load() calls."""
+    return _load_versioned(out_dir)
+
+
 def commit(out_dir: str, mutate: Callable[[dict[str, Any] | None], dict[str, Any]],
            max_retries: int = 1000) -> dict[str, Any]:
     """CAS commit: publish mutate(latest) as the next manifest version.

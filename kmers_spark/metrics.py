@@ -84,23 +84,29 @@ def table_stats(out_dir: str) -> dict[str, dict]:
     reported max — reported as `min_bound`/`max_bound` to keep the
     distinction honest). Columns with no recorded bounds (all-null
     buckets, legacy snapshots, binary) report bounds as None; `rows`
-    is always exact. Timestamps are reported as epoch-us ints (the
+    is always the exact LOGICAL count (schema-evolved columns read as
+    null where no block exists — `physical_rows` counts rows with a
+    stored block). Timestamps are reported as epoch-us ints (the
     space bounds are stored in)."""
     m = manifest.load(out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
     schema = manifest.ordered_schema(m)
     out: dict[str, dict] = {
-        c: {"type": t, "rows": 0, "min_bound": None, "max_bound": None,
-            "bounded_buckets": 0, "buckets": 0}
+        c: {"type": t, "rows": 0, "physical_rows": 0, "min_bound": None,
+            "max_bound": None, "bounded_buckets": 0, "buckets": 0}
         for c, t in schema.items()
     }
+    total_rows = 0
     for stats in m.get("blocks", {}).values():
+        # logical row count of the bucket: any block's n_rows (every
+        # present column spans all of the bucket's rows)
+        total_rows += int(stats[0]["n_rows"]) if stats else 0
         for s in stats:
             rec = out.get(s["column"])
             if rec is None:  # dropped from a projection-limited schema? keep safe
                 continue
-            rec["rows"] += int(s["n_rows"])
+            rec["physical_rows"] += int(s["n_rows"])
             rec["buckets"] += 1
             if "zmin" in s:
                 rec["bounded_buckets"] += 1
@@ -108,6 +114,10 @@ def table_stats(out_dir: str) -> dict[str, dict]:
                     rec["min_bound"] = s["zmin"]
                 if rec["max_bound"] is None or s["zmax"] > rec["max_bound"]:
                     rec["max_bound"] = s["zmax"]
+    for rec in out.values():
+        # logical rows: schema-evolved columns read as null in buckets
+        # that predate them, but every column spans every row
+        rec["rows"] = total_rows
     # a column with any unbounded non-empty bucket has unknown true
     # extremes — null the bounds rather than report a partial range
     for rec in out.values():

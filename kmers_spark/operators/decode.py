@@ -153,10 +153,12 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
             bucket_id = int(table.column("bucket")[0].as_py())
             miss = missing.get(bucket_id, ())
             absent = [c for c in cols if c not in idx and c not in miss]
-            if absent:
+            stray = [c for c in idx if c not in schema]
+            if absent or stray:
                 raise ValueError(
-                    f"bucket {bucket_id} has no block for columns {absent} "
-                    "(split across partitions, or a corrupt wave dir)"
+                    f"bucket {bucket_id} block set is corrupt: "
+                    f"missing columns {absent}, stray columns {stray} "
+                    "(split across partitions, or foreign rows in a wave dir)"
                 )
             arrays: dict[str, pa.Array] = {}
 
@@ -217,10 +219,12 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
         bucket_id = int(pdf["bucket"].iloc[0])
         miss = missing.get(bucket_id, ())
         absent = [c for c in cols if c not in rows_by_col and c not in miss]
-        if absent:
+        stray = [c for c in rows_by_col if c not in schema]
+        if absent or stray:
             raise ValueError(
-                f"bucket {bucket_id} has no block for columns {absent} "
-                "(split across partitions, or a corrupt wave dir)"
+                f"bucket {bucket_id} block set is corrupt: "
+                f"missing columns {absent}, stray columns {stray} "
+                "(split across partitions, or foreign rows in a wave dir)"
             )
         series: dict[str, pd.Series] = {}
 
@@ -314,15 +318,25 @@ def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
         raise ValueError(f"unknown engine {engine!r}")
     if engine == "colocated" and version is not None:
         raise ValueError("time-travel scans require engine='shuffle' (or 'auto')")
-    m = manifest.load(out_dir, version=version)
+    if version is None:
+        # one read pins pruning AND decode to the same snapshot (a
+        # commit landing mid-scan must not mix two versions' wave sets)
+        m, pin = manifest.load_with_version(out_dir)
+    else:
+        m, pin = manifest.load(out_dir, version=version), version
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
     schema = manifest.ordered_schema(m)
     norm = zonemap.normalize_filters(filters, schema)
-    out_cols = [c for c in schema if c in set(columns)] if columns is not None \
-        else list(schema)
-    if columns is not None and not out_cols:
-        raise ValueError("columns projection must not be empty")
+    if columns is not None:
+        unknown = [c for c in columns if c not in schema]
+        if unknown:
+            raise KeyError(f"columns not in snapshot schema: {unknown}")
+        if not columns:
+            raise ValueError("columns projection must not be empty")
+        out_cols = [c for c in schema if c in set(columns)]
+    else:
+        out_cols = list(schema)
     buckets = zonemap.prune_buckets(m, norm)
     if not buckets:
         out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[schema[c]]}" for c in out_cols)
@@ -336,10 +350,12 @@ def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
     use_colocated = engine == "colocated" or (engine == "auto" and version is None)
     if use_colocated:
         df = decode_colocated(spark, out_dir, columns=decode_cols,
-                              filters=filters, buckets=bsel)
+                              filters=filters, buckets=bsel, snapshot=m)
     else:
+        # pin = 0 only for legacy single-file manifests (no version chain
+        # to pin against — pass None and accept the legacy behavior)
         df = decode_table(spark, out_dir, buckets=bsel, columns=decode_cols,
-                          version=version, filters=filters)
+                          version=pin or None, filters=filters)
     # the kernel already applied the predicate (late materialization);
     # the JVM residual re-asserts it over the surviving rows — near-free
     # (codegen over matches only) and keeps the query's semantics
@@ -358,17 +374,28 @@ def _filters_expr(norm: list[tuple], schema: dict[str, str]):
 
     from pyspark.sql import functions as F
 
+    def lit_for(value, typ: str):
+        t = _SPARK_TYPE[typ]
+        if typ in ("timestamp", "timestamp_ntz") and isinstance(value, int):
+            # epoch-us int (to_bound_space's native form): a plain
+            # cast("timestamp") would read it as epoch-SECONDS and the
+            # residual filter would silently drop every matching row
+            return F.timestamp_micros(F.lit(value)).cast(t)
+        if typ in ("timestamp", "timestamp_ntz") and isinstance(value, str):
+            value = __import__("datetime").datetime.fromisoformat(value)
+        return F.lit(value).cast(t)
+
     conds = []
     for col, op, _bv, value in norm:
         c = F.col(col)
-        t = _SPARK_TYPE[schema[col]]
+        typ = schema[col]
         if op == "in":
-            lits = [F.lit(v).cast(t) for v in value]
+            lits = [lit_for(v, typ) for v in value]
             conds.append(functools.reduce(
                 lambda a, b: a | b, (c == lv for lv in lits)
             ) if lits else F.lit(False))
             continue
-        lv = F.lit(value).cast(t)
+        lv = lit_for(value, typ)
         conds.append(
             {"=": c == lv, "<": c < lv, "<=": c <= lv,
              ">": c > lv, ">=": c >= lv}[op]
@@ -395,9 +422,10 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
     key_col = m["key"]
     hot = m.get("hot_keys") or {}
     ranges = m.get("bucket_key_ranges", {})
+    scheme = m.get("bucket_scheme", partitioning.LEGACY_SCHEME)
     buckets = set()
     for k in keys:
-        b = partitioning.bucket_for_key(k, m["num_buckets"], hot)
+        b = partitioning.bucket_for_key(k, m["num_buckets"], hot, scheme=scheme)
         rng = ranges.get(str(b))
         # no recorded range (legacy snapshot / empty bucket stats / non-
         # string key column) keeps the bucket; a range excluding the key
@@ -441,7 +469,8 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
 def decode_colocated(spark: SparkSession, out_dir: str,
                      columns: list[str] | None = None,
                      filters: list[tuple] | None = None,
-                     buckets: list[int] | None = None) -> DataFrame:
+                     buckets: list[int] | None = None,
+                     snapshot: dict | None = None) -> DataFrame:
     """Shuffle-free decode: block files are written bucket-grouped, so a
     mapInArrow pass can reassemble each bucket's columns without moving
     payloads (the groupBy in decode_table re-shuffles ~enc_bytes; this
@@ -452,7 +481,7 @@ def decode_colocated(spark: SparkSession, out_dir: str,
 
     from .. import arrowcodecs
 
-    m = manifest.load(out_dir)
+    m = snapshot if snapshot is not None else manifest.load(out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
     full = manifest.ordered_schema(m)
@@ -534,10 +563,13 @@ def decode_colocated(spark: SparkSession, out_dir: str,
         for b, idx in per_bucket.items():
             miss = missing.get(int(b), ())
             absent = [c for c in dec_cols if c not in idx and c not in miss]
-            if absent:
+            stray = [c for c in idx if c not in full] if columns is None \
+                else [c for c in idx if c not in dec_schema]
+            if absent or stray:
                 raise ValueError(
-                    f"bucket {b} split across partitions or corrupt "
-                    f"(no block for columns {absent})"
+                    f"bucket {b} block set is corrupt: missing columns "
+                    f"{absent}, stray columns {stray} (split across "
+                    "partitions, or foreign rows in a wave dir)"
                 )
             arrays: dict = {}
 

@@ -190,8 +190,10 @@ def encode_blocks_df(bucketed: DataFrame, schema: dict[str, str], key: str,
 
 
 def plan_buckets(df: DataFrame, num_buckets: int, hot_keys: dict[str, int],
-                 key: str = "url") -> DataFrame:
-    return partitioning.with_bucket(df, num_buckets, hot_keys, url_col=key)
+                 key: str = "url",
+                 scheme: str = partitioning.BUCKET_SCHEME) -> DataFrame:
+    return partitioning.with_bucket(df, num_buckets, hot_keys, url_col=key,
+                                    scheme=scheme)
 
 
 def encode_table(
@@ -251,6 +253,12 @@ def encode_table(
                     "committed_buckets": [],
                     "blocks": {},
                     "wave_dirs": [],
+                    # part of the format: how keys map to buckets.
+                    # Pre-scheme snapshots hashed regexp-host only
+                    # (non-url keys all collapsed to the ""-host
+                    # bucket); resume/lookups must reproduce whatever
+                    # scheme wrote the committed blocks.
+                    "bucket_scheme": partitioning.BUCKET_SCHEME,
                     "created_unix": int(time.time()),
                 }
             elif cur["num_buckets"] != num_buckets or cur["schema"] != schema:
@@ -287,7 +295,8 @@ def encode_table(
     pending = [b for b in range(num_buckets) if b not in done]
     if fail_buckets_over is not None:
         pending = [b for b in pending if b < fail_buckets_over]
-    bucketed = plan_buckets(df, num_buckets, hot, key)
+    scheme = m.get("bucket_scheme", partitioning.LEGACY_SCHEME)
+    bucketed = plan_buckets(df, num_buckets, hot, key, scheme=scheme)
 
     if commit_every:
         waves = [pending[i : i + commit_every] for i in range(0, len(pending), commit_every)]

@@ -24,14 +24,27 @@ HOST_PATTERN = r"^[a-z]+://([^/]+)"
 _HOST_RE = re.compile(HOST_PATTERN)
 
 
-def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+BUCKET_SCHEME = "host_or_key"          # written into new manifests
+LEGACY_SCHEME = "host_only"            # pre-scheme snapshots
+
+
+def with_host(df: DataFrame, url_col: str = "url",
+              scheme: str = BUCKET_SCHEME) -> DataFrame:
     """Grouping host for bucketing: the url's host when the key is
     url-shaped, else the key value itself (cast to string). Without the
     fallback a non-url key column (event_id, doc_id) extracts host ""
     for EVERY row and the whole table degenerates into one bucket —
-    zero encode parallelism at any scale."""
+    zero encode parallelism at any scale.
+
+    The scheme is part of the snapshot FORMAT: the manifest records it
+    at table creation and every later operation (resume, lookups) must
+    hash the way the committed blocks were hashed — re-assigning rows
+    of a half-encoded legacy snapshot would duplicate already-committed
+    buckets, and probing with the wrong scheme silently misses keys."""
     key = F.col(url_col).cast("string")
     host = F.regexp_extract(key, HOST_PATTERN, 1)
+    if scheme == LEGACY_SCHEME:
+        return df.withColumn("_host", host)
     return df.withColumn("_host", F.when(host != F.lit(""), host).otherwise(key))
 
 
@@ -61,13 +74,13 @@ def detect_hot_keys(df: DataFrame, num_buckets: int, url_col: str = "url",
 
 
 def with_bucket(df: DataFrame, num_buckets: int, hot_keys: dict[str, int],
-                url_col: str = "url") -> DataFrame:
+                url_col: str = "url", scheme: str = BUCKET_SCHEME) -> DataFrame:
     """Add a `bucket` column: hash(host, salt) % B with per-hot-host salts.
 
     hot_keys is a small dict -> broadcast join (no shuffle of the big side
     beyond the groupBy that follows anyway).
     """
-    d = with_host(df, url_col)
+    d = with_host(df, url_col, scheme)
     if hot_keys:
         spark = df.sparkSession
         hot_df = spark.createDataFrame(
@@ -87,15 +100,21 @@ def with_bucket(df: DataFrame, num_buckets: int, hot_keys: dict[str, int],
     return d.drop("_host", "_n_salts") if hot_keys else d.drop("_host")
 
 
-def bucket_for_key(key: str, num_buckets: int, hot_keys: dict[str, int]) -> int:
+def bucket_for_key(key: str, num_buckets: int, hot_keys: dict[str, int],
+                   scheme: str = BUCKET_SCHEME) -> int:
     """Driver-side mirror of with_bucket for ONE key: same regex host
     extraction, same salt rule, same xxhash64 chaining — golden-tested
     against the Spark expression (test_encode_e2e). Lets point lookups
-    map probe keys to buckets without running a Spark job."""
+    map probe keys to buckets without running a Spark job. `scheme`
+    must be the snapshot's recorded bucket_scheme — probing with the
+    wrong one silently misses keys in pre-scheme snapshots."""
     from .. import sparkhash
 
     m = _HOST_RE.match(key)
-    host = m.group(1) if m else key  # non-url key: the key itself (with_host)
+    if scheme == LEGACY_SCHEME:
+        host = m.group(1) if m else ""  # regexp_extract "" on no match
+    else:
+        host = m.group(1) if m else key  # non-url key: the key itself
     n_salts = hot_keys.get(host)
     salt = sparkhash.pmod(sparkhash.xxhash64(key), n_salts) if n_salts else 0
     return sparkhash.pmod(sparkhash.xxhash64(host, salt), num_buckets)

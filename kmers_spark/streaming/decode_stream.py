@@ -65,7 +65,7 @@ def decode_new_waves(spark: SparkSession, out_dir: str, sink_dir: str,
     m = manifest.load(out_dir)
     if m is None:
         return []
-    schema = m["schema"]
+    schema = manifest.ordered_schema(m)  # writer column order, like batch
     assert_utc_session(spark, schema)
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
     st = _load_state(state_path)

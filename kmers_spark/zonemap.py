@@ -142,13 +142,12 @@ def to_bound_space(value: Any, typ: str) -> Any:
     return value
 
 
-def may_match(rng: tuple[Any, Any] | list | None, op: str, value: Any,
-              truncated: bool = False) -> bool:
+def may_match(rng: tuple[Any, Any] | list | None, op: str, value: Any) -> bool:
     """Can ANY x in [lo, hi] satisfy `x op value`? Missing range = yes.
 
-    `truncated` marks string bounds: lo/hi then over-cover the true
-    range (lo <= true_min, hi >= true_max), which only ever widens the
-    answer — still sound."""
+    Truncated string bounds need no special handling here: they
+    over-cover the true range (lo <= true_min, hi >= true_max), which
+    only ever widens the answer — still sound."""
     if rng is None:
         return True
     lo, hi = rng
@@ -263,7 +262,6 @@ def prune_buckets(m: dict, filters: list[tuple]) -> list[int]:
     (AND semantics), judged purely from manifest zone stats — no Spark
     job, no file reads. Filters must already be normalized."""
     blocks = m.get("blocks", {})
-    schema = m["schema"]
     keep = []
     for b in m.get("committed_buckets", []):
         stats = blocks.get(str(b), [])
@@ -274,8 +272,7 @@ def prune_buckets(m: dict, filters: list[tuple]) -> list[int]:
         }
         ok = True
         for col, op, bv, _orig in filters:
-            if not may_match(ranges.get(col), op, bv,
-                             truncated=schema[col] == "string"):
+            if not may_match(ranges.get(col), op, bv):
                 ok = False
                 break
         if ok:

@@ -91,6 +91,27 @@ def test_scan_filter_on_evolved_column(spark, evolved_store):
     assert len(got)  # matches exist (post-evolve buckets only)
 
 
+def test_table_stats_logical_rows_for_evolved_column(spark, evolved_store):
+    """`rows` is the logical count even for a column only some buckets
+    physically store; physical_rows shows the stored subset."""
+    from kmers_spark.metrics import table_stats
+
+    out, expected, _m = evolved_store
+    stats = table_stats(out)
+    n = expected.count()
+    assert stats["score"]["rows"] == n
+    assert stats["url"]["rows"] == n
+    # physical = rows of buckets that HAVE a score block (stored nulls
+    # count too — physical is about block presence, not values)
+    _out2, _e2, m = evolved_store
+    phys = sum(
+        s["n_rows"] for ss in m["blocks"].values() for s in ss
+        if s["column"] == "score"
+    )
+    assert stats["score"]["physical_rows"] == phys < n
+    assert stats["url"]["physical_rows"] == n
+
+
 def test_resume_with_wrong_schema_fails_loudly(spark, evolved_store, tmp_path):
     """A df missing a snapshot column must not silently write blocks
     the decoder would null-fill."""
@@ -114,5 +135,5 @@ def test_truly_missing_column_still_raises(spark, evolved_store, tmp_path):
         blocks, schema, out_schema,
         missing=manifest.missing_columns(m, list(schema)),
     )
-    with pytest.raises(Exception, match="no block for columns"):
+    with pytest.raises(Exception, match="missing columns"):
         bad.collect()

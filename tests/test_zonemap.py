@@ -346,6 +346,99 @@ def test_lookup_keys_int64_key_and_malformed_probe(spark, events_store):
     assert lookup_keys(spark, out, ["5", "abc"]).count() == 1
 
 
+def test_scan_int_epoch_us_timestamp_literal(spark, events_store):
+    """to_bound_space documents ints as epoch-us; the residual JVM
+    filter must interpret them the same way (a bare cast('timestamp')
+    reads epoch-SECONDS and silently empties the scan)."""
+    out, df, _m = events_store
+    cut = datetime.datetime(2024, 1, 10)
+    cut_us = int(cut.timestamp() * 0 + (cut - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    for engine in ("auto", "shuffle"):
+        got = scan_table(spark, out, [("ts", ">=", cut_us)], engine=engine)
+        want = df.filter(df.ts >= cut).count()
+        assert got.count() == want > 0, engine
+    got_in = scan_table(spark, out, [("user_id", "in", [3, 7])]).count()
+    assert got_in == df.filter(df.user_id.isin(3, 7)).count() > 0
+
+
+def test_scan_rejects_unknown_projection_columns(spark, events_store):
+    out, _df, _m = events_store
+    with pytest.raises(KeyError, match="not in snapshot schema"):
+        scan_table(spark, out, [("value", ">", 1.0)], columns=["evnt_id", "value"])
+
+
+def test_stray_block_rows_raise(spark, events_store):
+    """Null-fill for schema evolution must not mask corruption: block
+    rows for a column the snapshot never had are a hard error."""
+    from pyspark.sql import Row
+
+    from kmers_spark import manifest as mf
+    from kmers_spark.operators.decode import _SPARK_TYPE, decode_blocks_df
+    from kmers_spark.operators.encode import read_blocks
+
+    out, _df, m = events_store
+    blocks = read_blocks(spark, out)
+    fake = spark.createDataFrame(
+        [Row(bucket=int(m["committed_buckets"][0]), column="zzz", codec="plain",
+             n_rows=1, raw_nbytes=1, enc_nbytes=1, payload=bytearray(b"x"),
+             meta="{}")],
+        blocks.schema,
+    )
+    schema = mf.ordered_schema(m)
+    out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
+    bad = decode_blocks_df(blocks.unionByName(fake), schema, out_schema)
+    with pytest.raises(Exception, match="stray columns"):
+        bad.collect()
+
+
+def test_bucket_scheme_recorded_and_legacy_mirrors(spark, events_store):
+    """New manifests record the bucket scheme; the legacy scheme
+    reproduces the pre-scheme behavior (non-url keys hash to the
+    ''-host bucket) so old snapshots keep resolving."""
+    from kmers_spark import sparkhash
+    from kmers_spark.operators import partitioning as pt
+
+    _out, _df, m = events_store
+    assert m["bucket_scheme"] == pt.BUCKET_SCHEME
+    # legacy: every non-url key collapses to the ""-host bucket
+    legacy = {pt.bucket_for_key(str(k), 8, {}, scheme=pt.LEGACY_SCHEME)
+              for k in range(50)}
+    assert legacy == {sparkhash.pmod(sparkhash.xxhash64("", 0), 8)}
+    # url keys: identical under both schemes
+    for u in ("https://a.example.com/x", "http://b.org/p?q=1"):
+        assert pt.bucket_for_key(u, 8, {}) == \
+            pt.bucket_for_key(u, 8, {}, scheme=pt.LEGACY_SCHEME)
+
+
+def test_legacy_snapshot_without_scheme_lookup_roundtrip(spark, tmp_path):
+    """A manifest missing bucket_scheme (pre-scheme snapshot) must be
+    encoded AND probed with the legacy hash: rows land where the old
+    code put them and lookups still find them."""
+    from kmers_spark import manifest as mf
+    from kmers_spark.operators.decode import lookup_keys
+    from kmers_spark.operators.encode import encode_table
+
+    out = str(tmp_path / "legacy")
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # pre-create the manifest exactly as an old build would (no
+    # bucket_scheme); encode_table resumes onto it
+    from kmers_spark import selector
+
+    schema = {f.name: selector.spark_type_name(f.dataType) for f in df.schema.fields}
+    mf.commit(out, lambda cur: {
+        "format_version": 2, "snapshot_id": "legacy", "schema": schema,
+        "columns": list(schema), "key": "event_id", "num_buckets": 8,
+        "seed": 42, "committed_buckets": [], "blocks": {}, "wave_dirs": [],
+        "hot_keys": {}, "codec_overrides": {}, "created_unix": 0,
+    })
+    m = encode_table(df, out, key="event_id", num_buckets=8, detect_skew=False)
+    # legacy hashing: everything in the ""-host bucket
+    nonempty = [b for b, s in m["blocks"].items() if s]
+    assert len(nonempty) == 1
+    got = lookup_keys(spark, out, ["5", "17"]).toPandas()
+    assert sorted(got["event_id"]) == [5, 17]
+
+
 def test_table_stats_zero_job(spark, events_store):
     """count/min/max answered from the manifest alone: exact rows for
     every column, exact bounds for numeric/timestamp, conservative
