@@ -35,7 +35,19 @@ def main() -> None:
         help="checkpoint granularity: write+commit this many buckets per "
         "wave so a killed job loses at most one wave (default: all at once)",
     )
+    ap.add_argument(
+        "--codec", action="append", default=[], metavar="COL=CODEC",
+        help="per-column codec override (repeatable), e.g. html=words_seg "
+        "for scan-optimized segmented storage or text=fsst; unset columns "
+        "keep the stats-driven auto-selection",
+    )
     args = ap.parse_args()
+    overrides = {}
+    for spec in args.codec:
+        col, _, codec = spec.partition("=")
+        if not codec:
+            raise SystemExit(f"--codec expects COL=CODEC, got {spec!r}")
+        overrides[col] = codec
 
     from kmers_spark.session import get_spark
     from kmers_spark.operators import encode as enc
@@ -51,6 +63,7 @@ def main() -> None:
         detect_skew=not args.no_skew_detect,
         resume=not args.fresh,
         commit_every=args.commit_every,
+        codec_overrides=overrides or None,
     )
     totals = {"raw": 0, "enc": 0}
     for blocks in m["blocks"].values():
