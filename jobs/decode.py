@@ -67,26 +67,12 @@ def main() -> None:
         if m is None:
             raise SystemExit(f"no manifest in {args.snapshot}")
         schema = m["schema"]
-        filters = []
-        def parse_val(raw: str, typ: str):
-            if typ == "int64":
-                return int(raw)
-            if typ == "double":
-                return float(raw)
-            if typ in ("timestamp", "timestamp_ntz"):
-                import datetime
+        from kmers_spark import zonemap
 
-                return datetime.datetime.fromisoformat(raw)
-            return raw
-
-        for spec in args.filter:
-            col, op, raw = spec.split(":", 2)
-            typ = schema.get(col)
-            if typ is None:
-                raise SystemExit(f"--filter column {col!r} not in snapshot schema")
-            val = [parse_val(v, typ) for v in raw.split(",")] if op == "in" \
-                else parse_val(raw, typ)
-            filters.append((col, op, val))
+        try:
+            filters = zonemap.parse_cli_filters(args.filter, schema)
+        except KeyError as e:
+            raise SystemExit(str(e))
     columns = args.columns.split(",") if args.columns else None
     if args.filter and not args.colocated:
         decoded = dec.scan_table(spark, args.snapshot, filters,

@@ -30,15 +30,33 @@ def main() -> None:
                     help="keep running; decode waves as they commit")
     ap.add_argument("--timeout", type=float, default=None,
                     help="stop --follow after this many seconds")
+    ap.add_argument(
+        "--filter", action="append", default=[], metavar="COL:OP:VALUE",
+        help="maintain a FILTERED materialized view: each new wave "
+        "decodes through the in-kernel filter, so only matching rows "
+        "ever reach the sink (repeatable, ANDed; `in` takes a "
+        "comma-separated list)",
+    )
     args = ap.parse_args()
 
+    from kmers_spark import manifest, zonemap
     from kmers_spark.session import get_spark
     from kmers_spark.streaming import decode_stream as ds
+
+    filters = None
+    if args.filter:
+        m = manifest.load(args.snapshot)
+        if m is None:
+            raise SystemExit(f"no manifest in {args.snapshot}")
+        try:
+            filters = zonemap.parse_cli_filters(args.filter, m["schema"])
+        except KeyError as e:
+            raise SystemExit(str(e))
 
     spark = get_spark("kmers_spark_stream_decode")
     q = ds.decode_stream(
         spark, args.snapshot, args.sink, args.checkpoint,
-        available_now=not args.follow,
+        available_now=not args.follow, filters=filters,
     )
     if args.follow and args.timeout:
         q.awaitTermination(args.timeout)

@@ -50,7 +50,8 @@ def _save_state(state_path: str, waves: set[str], buckets: set[int]) -> None:
 
 
 def decode_new_waves(spark: SparkSession, out_dir: str, sink_dir: str,
-                     state_path: str) -> list[str]:
+                     state_path: str,
+                     filters: list[tuple] | None = None) -> list[str]:
     """Decode every committed-but-unprocessed wave into
     sink_dir/wave=<id>/ (overwrite => replay-idempotent); returns the
     waves decoded this call. Reads ONLY the manifest's wave list, so
@@ -61,13 +62,23 @@ def decode_new_waves(spark: SparkSession, out_dir: str, sink_dir: str,
     like fresh work by name — but every bucket it holds was already
     delivered, so it's marked processed WITHOUT re-decoding (no
     duplicate rows in the sink). A wave with no manifest bucket list
-    (legacy) falls back to name-only tracking."""
+    (legacy) falls back to name-only tracking.
+
+    `filters` ((col, op, value) triples) turn the sink into an
+    incrementally-maintained FILTERED materialized view: each new wave
+    decodes through the same in-kernel late-materialization path as
+    scan_table, so only matching rows are ever written."""
     m = manifest.load(out_dir)
     if m is None:
         return []
     schema = manifest.ordered_schema(m)  # writer column order, like batch
     assert_utc_session(spark, schema)
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
+    norm = None
+    if filters:
+        from .. import zonemap
+
+        norm = zonemap.normalize_filters(filters, schema)
     st = _load_state(state_path)
     waves, buckets = set(st["waves"]), set(st["buckets"])
     wb = m.get("wave_buckets", {})
@@ -88,7 +99,8 @@ def decode_new_waves(spark: SparkSession, out_dir: str, sink_dir: str,
             blocks = blocks.filter(
                 blocks.bucket.isin(sorted(set(wave_buckets) - buckets))
             )
-        decoded = decode_blocks_df(blocks, schema, out_schema)
+        decoded = decode_blocks_df(blocks, schema, out_schema,
+                                   norm_filters=norm)
         wave_id = wd.rsplit("/", 1)[-1]
         decoded.write.mode("overwrite").parquet(f"{sink_dir}/wave={wave_id}")
         waves.add(wd)
@@ -101,7 +113,8 @@ def decode_new_waves(spark: SparkSession, out_dir: str, sink_dir: str,
 
 def decode_stream(spark: SparkSession, out_dir: str, sink_dir: str,
                   checkpoint: str, rows_per_second: int = 1,
-                  available_now: bool = False):
+                  available_now: bool = False,
+                  filters: list[tuple] | None = None):
     """Start the streaming decode: a rate-source ticker whose
     foreachBatch decodes newly committed waves. `available_now=True`
     processes what exists and stops (catch-up run); otherwise the query
@@ -114,7 +127,8 @@ def decode_stream(spark: SparkSession, out_dir: str, sink_dir: str,
     )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        decode_new_waves(batch_df.sparkSession, out_dir, sink_dir, state_path)
+        decode_new_waves(batch_df.sparkSession, out_dir, sink_dir, state_path,
+                         filters=filters)
 
     return (
         ticker.writeStream.foreachBatch(handle)

@@ -166,6 +166,32 @@ def may_match(rng: tuple[Any, Any] | list | None, op: str, value: Any) -> bool:
     raise ValueError(f"unsupported filter op {op!r} (supported: {OPS})")
 
 
+def parse_cli_filters(specs: list[str], schema: dict[str, str]) -> list[tuple]:
+    """COL:OP:VALUE strings (the jobs' --filter syntax) -> (col, op,
+    value) triples typed by the snapshot schema. `in` takes a
+    comma-separated value list; timestamps parse ISO-8601."""
+    def one(raw: str, typ: str):
+        if typ == "int64":
+            return int(raw)
+        if typ == "double":
+            return float(raw)
+        if typ in ("timestamp", "timestamp_ntz"):
+            import datetime
+
+            return datetime.datetime.fromisoformat(raw)
+        return raw
+
+    out = []
+    for spec in specs:
+        col, op, raw = spec.split(":", 2)
+        typ = schema.get(col)
+        if typ is None:
+            raise KeyError(f"--filter column {col!r} not in snapshot schema")
+        val = [one(v, typ) for v in raw.split(",")] if op == "in" else one(raw, typ)
+        out.append((col, op, val))
+    return out
+
+
 def normalize_filters(filters: list[tuple], schema: dict[str, str]) -> list[tuple]:
     """Validate (col, op, value) triples and map literals into bound
     space; returns [(col, op, bound_value, original_value), ...]."""

@@ -246,3 +246,30 @@ def test_streaming_decode_query_available_now(spark, tmp_path):
     q.awaitTermination(120)
     assert not q.isActive
     assert ds.read_decoded(spark, sink).count() == df.count()
+
+
+def test_streaming_decode_filtered_view(spark, tmp_path):
+    """--filter turns the streaming sink into an incrementally
+    maintained filtered materialized view: each wave ships only
+    matching rows, and the accumulated sink equals a batch scan."""
+    from kmers_spark import pages
+    from kmers_spark.operators import decode as dec, encode as enc
+    from kmers_spark.streaming import decode_stream as ds
+
+    out = str(tmp_path / "snap_fview")
+    sink = str(tmp_path / "fsink")
+    state = str(tmp_path / "fckpt/processed_waves.json")
+    df = pages.pages_df(spark, 1500, seed=23, partitions=4).cache()
+    filters = [("lang", "=", "de")]
+
+    enc.encode_table(df, out, num_buckets=6, detect_skew=False,
+                     fail_buckets_over=3, commit_every=3)
+    assert len(ds.decode_new_waves(spark, out, sink, state, filters=filters)) == 1
+    # remaining buckets commit; the stream ships only their matches
+    enc.encode_table(df, out, num_buckets=6, detect_skew=False, commit_every=3)
+    assert len(ds.decode_new_waves(spark, out, sink, state, filters=filters)) == 1
+
+    got = ds.read_decoded(spark, sink).toPandas().sort_values("url").reset_index(drop=True)
+    want = dec.scan_table(spark, out, filters).toPandas().sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+    assert len(got) == df.filter(df.lang == "de").count() > 0
