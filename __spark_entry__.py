@@ -114,6 +114,20 @@ def _scan_pushdown_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.read.format('kmers'): the store as a Catalyst table —
+    pushFilters prunes buckets via manifest zone maps, the executor
+    decodes with the same late-materialization kernels, and Spark's
+    residual filter keeps semantics exact."""
+    from kmers_spark import datasource
+
+    out = _scan_store(spark, sf_dir)
+    datasource.register(spark)
+    return spark.read.format("kmers").load(out).filter(
+        "event_type = 'purchase' AND value < 50.0"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kmers_spark.functions import ann, dedup, dna, multimodal, olap, textqc
 
@@ -155,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- filtered scans over the compressed store (zone-map pruning) ---
         "scan_filter_pushdown": _scan_pushdown,
         "scan_pushdown_ts_range": _scan_pushdown_ts,
+        "datasource_scan": _ds_scan,
         # --- training-data pipeline ops ---
         "dedup_exact": dedup.exact_dedup,
         "minhash_signatures": dedup.minhash_signatures,
@@ -311,6 +326,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ts, event_type, value FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
             "AND event_type IN ('click', 'view')"
+        ),
+        "datasource_scan": (
+            "SELECT * FROM events WHERE event_type = 'purchase' AND value < 50.0"
         ),
         # training-data ops
         "dedup_exact": (

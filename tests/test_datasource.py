@@ -1,0 +1,115 @@
+"""spark.read.format("kmers"): the store as a Catalyst-visible table.
+
+Pins: schema from the manifest (writer order), full-table identity,
+filter pushdown (results exact — Spark residual re-evaluates), column
+projection, time travel via option("version"), and zone-map partition
+pruning (the reader plans fewer input partitions when bounds exclude
+the predicate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmers_spark import datasource, manifest, pages
+from kmers_spark.operators.encode import encode_table
+
+
+@pytest.fixture(scope="module")
+def ds_store(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ds") / "snap")
+    df = pages.pages_df(spark, 2500, seed=61, partitions=4).cache()
+    encode_table(df, out, num_buckets=8, detect_skew=False, commit_every=4)
+    datasource.register(spark)
+    return out, df
+
+
+def test_schema_and_full_identity(spark, ds_store):
+    out, df = ds_store
+    t = spark.read.format("kmers").load(out)
+    assert t.columns == df.columns
+    got = t.toPandas().sort_values("url").reset_index(drop=True)
+    want = df.toPandas().sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_filter_and_projection(spark, ds_store):
+    out, df = ds_store
+    t = spark.read.format("kmers").load(out)
+    got = (
+        t.filter("lang = 'de' AND warc_ts >= '2024-01-01'")
+        .select("url", "warc_ts")
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    want = (
+        df.filter((df.lang == "de") & (df.warc_ts >= "2024-01-01"))
+        .select("url", "warc_ts")
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert len(got)
+
+
+def test_sql_aggregate(spark, ds_store):
+    out, df = ds_store
+    spark.read.format("kmers").load(out).createOrReplaceTempView("kmers_snap")
+    got = spark.sql(
+        "SELECT lang, count(*) AS c FROM kmers_snap GROUP BY lang ORDER BY lang"
+    ).collect()
+    want = df.groupBy("lang").count().orderBy("lang").collect()
+    assert [(r["lang"], r["c"]) for r in got] == [(r["lang"], r["count"]) for r in want]
+
+
+def test_version_time_travel(spark, ds_store):
+    out, df = ds_store
+    hist_rows = spark.read.format("kmers").option("version", "2").load(out).count()
+    latest = spark.read.format("kmers").load(out).count()
+    assert 0 < hist_rows < latest == df.count()  # v2 = first wave only
+
+
+def test_zone_pruning_reduces_partitions(spark, tmp_path):
+    """A predicate the manifest bounds exclude for most buckets plans
+    fewer input partitions — pruning INSIDE Spark's planner."""
+    from pyspark.sql.datasource import EqualTo
+
+    from kmers_spark.datasource import KmersReader
+    from kmers_spark.operators import partitioning
+
+    n_b = 8
+    rows = []
+    for i in range(400):
+        key = f"k{i:05d}"
+        b = partitioning.bucket_for_key(key, n_b, {})
+        rows.append((key, b * 1000 + (i % 100)))
+    df = spark.createDataFrame(rows, "url string, shard long")
+    out = str(tmp_path / "clustered")
+    m = encode_table(df, out, key="url", num_buckets=n_b, detect_skew=False)
+
+    class _Opts(dict):
+        pass
+
+    class _Schema:
+        fields = [type("F", (), {"name": "url"}), type("F", (), {"name": "shard"})]
+
+    reader = KmersReader({"path": out}, _Schema, m)
+    assert len(reader.partitions()) == n_b
+    list(reader.pushFilters([EqualTo(("shard",), 3025)]))
+    assert len(reader.partitions()) == 1
+
+    datasource.register(spark)
+    t = spark.read.format("kmers").load(out)
+    got = sorted(r["url"] for r in t.filter("shard = 3025").collect())
+    want = sorted(r for r, s in rows if s == 3025)
+    assert got == want
+
+
+def test_segmented_store_reads_identically(spark, tmp_path):
+    out = str(tmp_path / "segds")
+    df = pages.pages_df(spark, 1500, seed=71, partitions=4).cache()
+    encode_table(df, out, num_buckets=4, detect_skew=False,
+                 codec_overrides={"html": "words_seg", "text": "words_seg"})
+    datasource.register(spark)
+    t = spark.read.format("kmers").load(out)
+    got = t.filter("lang = 'en'").toPandas().sort_values("url").reset_index(drop=True)
+    want = df.filter(df.lang == "en").toPandas().sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
