@@ -218,6 +218,195 @@ class KmersReader(DataSourceReader):
         yield from table.to_batches()
 
 
+def _writer(options, schema, overwrite: bool) -> "KmersWriter":
+    from . import selector
+
+    path = options.get("path")
+    if not path:
+        raise ValueError("kmers sink needs a snapshot path: .save('/snap')")
+    names = [f.name for f in schema.fields]
+    if "bucket" not in names:
+        raise ValueError(
+            "kmers sink requires a `bucket` int column (assign with "
+            "kmers_spark.operators.partitioning.with_bucket, then "
+            "repartition('bucket') so a bucket never spans partitions)"
+        )
+    table_schema = {
+        f.name: selector.spark_type_name(f.dataType)
+        for f in schema.fields
+        if f.name != "bucket"
+    }
+    key = options.get("key", "url")
+    if key not in table_schema:
+        raise ValueError(f"key column {key!r} not in the written columns")
+    overrides = {
+        k[len("codec."):]: v for k, v in options.items() if k.startswith("codec.")
+    }
+    import uuid
+
+    return KmersWriter(
+        path=path,
+        key=key,
+        num_buckets=int(options.get("numbuckets", options.get("numBuckets", 0)) or 0),
+        table_schema=table_schema,
+        overwrite=overwrite,
+        codec_overrides=overrides or None,
+        wave_name=f"w_{uuid.uuid4().hex[:12]}",
+        snapshot_id=options.get("snapshot_id", "snap-ds"),
+    )
+
+
+try:  # writer API: Spark 4.0+
+    from dataclasses import dataclass, field
+
+    from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+
+    @dataclass
+    class _WaveCommit(WriterCommitMessage):
+        stats: dict = field(default_factory=dict)       # bucket -> [block stats]
+        key_ranges: dict = field(default_factory=dict)  # bucket -> [lo, hi]
+
+    class KmersWriter(DataSourceArrowWriter):
+        """df.write.format("kmers"): each task encodes whole buckets of
+        its partition into ONE block file under a staging wave dir;
+        the driver's commit() registers the wave in the manifest with
+        the same CAS protocol encode_table uses — a failed job leaves
+        only an unregistered orphan dir for the sweep. The colocated
+        whole-bucket-per-file contract is validated at commit: a bucket
+        appearing in two tasks' messages aborts the job."""
+
+        def __init__(self, path, key, num_buckets, table_schema, overwrite,
+                     codec_overrides, wave_name, snapshot_id):
+            self.path = path
+            self.key = key
+            self.num_buckets = num_buckets
+            self.table_schema = table_schema
+            self.overwrite = overwrite
+            self.codec_overrides = codec_overrides
+            self.wave_name = wave_name
+            self.snapshot_id = snapshot_id
+
+        def _wave_dir(self) -> str:
+            return f"{self.path}/blocks/{self.wave_name}"
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            from .operators.encode import make_encode_fn_arrow
+
+            fn = make_encode_fn_arrow(self.table_schema, self.key,
+                                      self.codec_overrides)
+            tables = [pa.Table.from_batches([b]) for b in iterator]
+            msg = _WaveCommit()
+            if not tables:
+                return msg
+            table = pa.concat_tables(tables).combine_chunks()
+            if table.num_rows == 0:
+                return msg
+            outs = []
+            for b in pc.unique(table.column("bucket")).to_pylist():
+                sub = table.filter(pc.equal(table.column("bucket"), b))
+                blocks = fn(sub)
+                outs.append(blocks)
+                stats = []
+                for i in range(blocks.num_rows):
+                    meta = json.loads(blocks.column("meta")[i].as_py())
+                    s = {
+                        "column": blocks.column("column")[i].as_py(),
+                        "codec": blocks.column("codec")[i].as_py(),
+                        "n_rows": blocks.column("n_rows")[i].as_py(),
+                        "raw_nbytes": blocks.column("raw_nbytes")[i].as_py(),
+                        "enc_nbytes": blocks.column("enc_nbytes")[i].as_py(),
+                    }
+                    if "zmin" in meta:
+                        s["zmin"], s["zmax"] = meta["zmin"], meta["zmax"]
+                    if "key_min" in meta:
+                        msg.key_ranges[int(b)] = [meta["key_min"], meta["key_max"]]
+                    stats.append(s)
+                msg.stats[int(b)] = stats
+            os.makedirs(self._wave_dir(), exist_ok=True)
+            pq.write_table(
+                pa.concat_tables(outs),
+                f"{self._wave_dir()}/part-{uuid.uuid4().hex[:12]}.parquet",
+                compression="none",
+            )
+            return msg
+
+        def commit(self, messages) -> None:
+            import time
+
+            from . import manifest
+            from .operators import partitioning
+
+            stats: dict[int, list] = {}
+            key_ranges: dict[int, list] = {}
+            for msg in messages:
+                if msg is None:
+                    continue
+                for b, s in msg.stats.items():
+                    if int(b) in stats:
+                        raise ValueError(
+                            f"bucket {b} spans multiple write tasks — "
+                            "repartition('bucket') before writing so each "
+                            "bucket lands whole in one partition"
+                        )
+                    stats[int(b)] = s
+                key_ranges.update({int(b): r for b, r in msg.key_ranges.items()})
+            n_b = self.num_buckets or (max(stats) + 1 if stats else 1)
+
+            def create_or_check(cur):
+                if cur is None:
+                    return {
+                        "format_version": 2,
+                        "snapshot_id": self.snapshot_id,
+                        "schema": self.table_schema,
+                        "columns": list(self.table_schema),
+                        "key": self.key,
+                        "num_buckets": n_b,
+                        "seed": 42,
+                        "committed_buckets": [],
+                        "blocks": {},
+                        "wave_dirs": [],
+                        "hot_keys": {},
+                        "bucket_scheme": partitioning.BUCKET_SCHEME,
+                        "codec_overrides": self.codec_overrides or {},
+                        "created_unix": int(time.time()),
+                    }
+                if self.overwrite and cur.get("committed_buckets"):
+                    raise ValueError(
+                        "mode('overwrite') on a committed kmers snapshot is "
+                        "not supported (buckets are immutable); write to a "
+                        "fresh dir or append pending buckets"
+                    )
+                if cur["schema"] != self.table_schema:
+                    raise ValueError("written schema differs from the snapshot's")
+                return cur
+
+            manifest.commit(self.path, create_or_check)
+            manifest.commit_buckets(
+                self.path, stats, wave_dir=f"blocks/{self.wave_name}",
+                key_ranges=key_ranges or None,
+            )
+
+        def abort(self, messages) -> None:
+            import shutil
+
+            shutil.rmtree(self._wave_dir(), ignore_errors=True)
+
+    def _ds_writer(self, schema, overwrite):
+        return _writer(self.options, schema, overwrite)
+
+    KmersDataSource.writer = _ds_writer
+except ImportError:  # pragma: no cover — older Spark without the writer API
+    pass
+
+
 def register(spark) -> None:
     """spark.dataSource.register for this source (idempotent), enabling
     Python-datasource filter pushdown (off by default in Spark 4.1 —

@@ -113,3 +113,71 @@ def test_segmented_store_reads_identically(spark, tmp_path):
     got = t.filter("lang = 'en'").toPandas().sort_values("url").reset_index(drop=True)
     want = df.filter(df.lang == "en").toPandas().sort_values("url").reset_index(drop=True)
     assert got.equals(want)
+
+
+# ---------------------------------------------------------------- writer
+
+def test_writer_roundtrip_and_manifest(spark, tmp_path):
+    """df.write.format('kmers'): block files + CAS manifest commit,
+    bit-identical decode, readable back through the DS reader, point
+    lookups work (key ranges + bucket scheme recorded)."""
+    from kmers_spark.operators import decode as dec, partitioning
+
+    out = str(tmp_path / "wsnap")
+    df = pages.pages_df(spark, 1200, seed=91, partitions=4).cache()
+    bucketed = partitioning.with_bucket(df, 6, {}).repartition("bucket")
+    (
+        bucketed.write.format("kmers")
+        .option("key", "url").option("numBuckets", "6")
+        .mode("append").save(out)
+    )
+    m = manifest.load(out)
+    assert sorted(m["committed_buckets"]) == list(range(6))
+    assert m["bucket_scheme"] == "host_or_key"
+    assert m["columns"] == df.columns
+
+    back = dec.decode_table(spark, out)
+    a = back.toPandas().sort_values("url").reset_index(drop=True)
+    b = df.toPandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+
+    u = df.select("url").limit(1).collect()[0]["url"]
+    assert dec.lookup_keys(spark, out, [u]).count() == 1
+
+    t = spark.read.format("kmers").load(out)
+    assert t.filter("lang = 'en'").count() == df.filter(df.lang == "en").count()
+
+
+def test_writer_rejects_bucket_spanning_partitions(spark, tmp_path):
+    """Without repartition('bucket') a bucket spans tasks — the commit
+    must abort instead of registering duplicate block sets."""
+    from kmers_spark.operators import partitioning
+
+    out = str(tmp_path / "wsnap_bad")
+    df = pages.pages_df(spark, 1200, seed=92, partitions=4)
+    bucketed = partitioning.with_bucket(df, 4, {})  # NOT repartitioned
+    with pytest.raises(Exception, match="spans multiple write tasks"):
+        (
+            bucketed.write.format("kmers").option("key", "url")
+            .mode("append").save(out)
+        )
+    # the aborted wave never became visible
+    m = manifest.load(out)
+    assert m is None or not m.get("committed_buckets")
+
+
+def test_writer_requires_bucket_column(spark, tmp_path):
+    df = pages.pages_df(spark, 100, seed=93, partitions=2)
+    with pytest.raises(Exception, match="bucket"):
+        df.write.format("kmers").mode("append").save(str(tmp_path / "nob"))
+
+
+def test_writer_overwrite_committed_rejected(spark, tmp_path):
+    from kmers_spark.operators import partitioning
+
+    out = str(tmp_path / "wsnap_ow")
+    df = pages.pages_df(spark, 600, seed=94, partitions=2)
+    bucketed = partitioning.with_bucket(df, 4, {}).repartition("bucket")
+    bucketed.write.format("kmers").option("key", "url").mode("append").save(out)
+    with pytest.raises(Exception, match="overwrite"):
+        bucketed.write.format("kmers").option("key", "url").mode("overwrite").save(out)
