@@ -218,6 +218,84 @@ class KmersReader(DataSourceReader):
         yield from table.to_batches()
 
 
+from pyspark.sql.datasource import DataSourceStreamReader
+
+
+class KmersStreamReader(DataSourceStreamReader):
+    """spark.readStream.format("kmers"): the store as a native
+    Structured Streaming source. The offset is the SET of committed
+    buckets — monotone (buckets commit once, never uncommit) and
+    compaction-safe (a compacted rewrite registers new wave dirs but
+    no new buckets, so nothing re-emits; the ticker-based
+    decode_stream needs explicit bucket bookkeeping for the same
+    guarantee — here Spark's own offset log carries it). Each
+    micro-batch plans one partition per newly committed bucket,
+    reading that bucket's wave files with the batch kernels; Spark's
+    checkpoint + offset commit give end-to-end exactly-once to
+    transactional sinks."""
+
+    def __init__(self, options, schema):
+        from . import manifest
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kmers stream needs a snapshot path: .load('/snap')")
+        m = manifest.load(self.path)
+        self.full_schema = manifest.ordered_schema(m) if m else {}
+        self.projected = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"buckets": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        from . import manifest
+
+        m = manifest.load(self.path)
+        done = sorted(m.get("committed_buckets", [])) if m else []
+        return {"buckets": done}
+
+    def partitions(self, start: dict, end: dict):
+        from . import manifest
+        from .operators.encode import committed_wave_paths
+
+        new = sorted(set(end.get("buckets", [])) - set(start.get("buckets", [])))
+        if not new:
+            # Spark requires >= 1 partition per batch; emit an empty marker
+            return [InputPartition((None, []))]
+        m = manifest.load(self.path)
+        if not self.full_schema and m:
+            self.full_schema = manifest.ordered_schema(m)
+        return [
+            InputPartition((int(b), committed_wave_paths(self.path, m, buckets=[b])))
+            for b in new
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: the offset log is Spark's
+
+    def stop(self) -> None:
+        pass
+
+    def read(self, partition: InputPartition):
+        bucket, paths = partition.value
+        if bucket is None:
+            return iter(())
+        reader = KmersReader.__new__(KmersReader)
+        reader.path = self.path
+        reader.full_schema = self.full_schema
+        reader.projected = self.projected
+        reader.triples = []
+        reader.m = {}
+        return reader.read(InputPartition((bucket, paths)))
+
+
+def _stream_reader(self, schema):
+    return KmersStreamReader(self.options, schema)
+
+
+KmersDataSource.streamReader = _stream_reader
+
+
 def _writer(options, schema, overwrite: bool) -> "KmersWriter":
     from . import selector
 

@@ -181,3 +181,47 @@ def test_writer_overwrite_committed_rejected(spark, tmp_path):
     bucketed.write.format("kmers").option("key", "url").mode("append").save(out)
     with pytest.raises(Exception, match="overwrite"):
         bucketed.write.format("kmers").option("key", "url").mode("overwrite").save(out)
+
+
+# ------------------------------------------------------------- streaming
+
+def test_stream_reader_incremental_exactly_once(spark, tmp_path):
+    """spark.readStream.format('kmers'): bucket-set offsets make the
+    stream incremental (new buckets only), replay-stable, and
+    compaction-safe — Spark's own offset log carries exactly-once."""
+    from kmers_spark.operators import encode as enc
+
+    out = str(tmp_path / "str_snap")
+    sink = str(tmp_path / "str_sink")
+    ckpt = str(tmp_path / "str_ckpt")
+    datasource.register(spark)
+    df = pages.pages_df(spark, 1200, seed=37, partitions=4).cache()
+    enc.encode_table(df, out, num_buckets=6, detect_skew=False,
+                     fail_buckets_over=3, commit_every=3)
+
+    def run_once():
+        q = (
+            spark.readStream.format("kmers").load(out)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    from kmers_spark.operators import decode as dec
+
+    assert spark.read.parquet(sink).count() == dec.decode_table(spark, out).count()
+    enc.encode_table(df, out, num_buckets=6, detect_skew=False, commit_every=3)
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 1200
+    assert got.select("url").distinct().count() == 1200  # no duplicates
+    a = got.toPandas().sort_values("url").reset_index(drop=True)
+    b = df.toPandas().sort_values("url").reset_index(drop=True)
+    assert a[list(b.columns)].equals(b)
+    run_once()  # idle batch: nothing new
+    enc.compact_waves(spark, out)
+    run_once()  # compaction registers new dirs but no new buckets
+    assert spark.read.parquet(sink).count() == 1200
