@@ -71,7 +71,7 @@ def main() -> None:
 
         try:
             filters = zonemap.parse_cli_filters(args.filter, schema)
-        except KeyError as e:
+        except ValueError as e:
             raise SystemExit(str(e))
     columns = args.columns.split(",") if args.columns else None
     if args.filter and not args.colocated:

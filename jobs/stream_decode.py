@@ -46,12 +46,17 @@ def main() -> None:
     filters = None
     if args.filter:
         m = manifest.load(args.snapshot)
-        if m is None:
+        if m is not None:
+            try:  # parse eagerly for early feedback when possible
+                filters = zonemap.parse_cli_filters(args.filter, m["schema"])
+            except ValueError as e:
+                raise SystemExit(str(e))
+        elif args.follow:
+            # follow-from-empty: the encode hasn't committed its first
+            # manifest yet — defer parsing to the per-batch handler
+            filters = list(args.filter)
+        else:
             raise SystemExit(f"no manifest in {args.snapshot}")
-        try:
-            filters = zonemap.parse_cli_filters(args.filter, m["schema"])
-        except KeyError as e:
-            raise SystemExit(str(e))
 
     spark = get_spark("kmers_spark_stream_decode")
     q = ds.decode_stream(

@@ -54,14 +54,37 @@ _OPS = {
     In: "in",
 }
 
-_SPARK_TYPE = {
-    "string": "string",
-    "binary": "binary",
-    "int64": "long",
-    "timestamp": "timestamp",
-    "timestamp_ntz": "timestamp_ntz",
-    "double": "double",
-}
+from .manifest import SPARK_DDL_TYPES as _SPARK_TYPE
+
+
+def plan_bucket_partitions(path: str, m: dict, buckets, cols: list[str]):
+    """One InputPartition per bucket: (bucket, wave paths, allowed-
+    missing columns). The wave map is inverted ONCE (O(buckets +
+    wave_dirs), not O(buckets × wave_dirs) — at 10^5 buckets and 10^3
+    waves the difference is the whole planning budget); the per-bucket
+    missing set rides in the partition so executors enforce the same
+    corruption-vs-evolution distinction as decode_blocks_df without
+    re-reading the manifest."""
+    from . import manifest as mf
+
+    wb = m.get("wave_buckets", {})
+    wave_dirs = m.get("wave_dirs")
+    if wave_dirs is None:
+        by_bucket = {int(b): [f"{path}/blocks"] for b in buckets}
+    else:
+        legacy = [d for d in wave_dirs if d not in wb]  # no bucket list: all keep
+        by_bucket = {int(b): [f"{path}/{d}" for d in legacy] for b in buckets}
+        want = {int(b) for b in buckets}
+        for d in wave_dirs:
+            for b in wb.get(d, ()):
+                if int(b) in want:
+                    by_bucket[int(b)].append(f"{path}/{d}")
+    missing = mf.missing_columns(m, cols)
+    return [
+        InputPartition((b, paths, sorted(missing.get(b, ()))))
+        for b, paths in sorted(by_bucket.items())
+        if paths
+    ]
 
 
 class KmersDataSource(DataSource):
@@ -119,7 +142,13 @@ class KmersReader(DataSourceReader):
                 and self.full_schema.get(attr[0]) in zonemap.PRUNABLE
             ):
                 value = list(f.value) if op == "in" else f.value
-                self.triples.append((attr[0], op, value))
+                # NULL literals never match in our kernels but would
+                # crash normalization — leave them entirely to Spark
+                has_null = (
+                    any(v is None for v in value) if op == "in" else value is None
+                )
+                if not has_null:
+                    self.triples.append((attr[0], op, value))
             # EVERY filter goes back to Spark: ours are used for pruning
             # and kernel-side late materialization, Spark re-evaluates
             # exactly (block-granular bounds, truncated string bounds)
@@ -134,7 +163,6 @@ class KmersReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         from . import zonemap
-        from .operators.encode import committed_wave_paths
 
         norm = self._norm()
         buckets = (
@@ -142,12 +170,8 @@ class KmersReader(DataSourceReader):
             if norm
             else list(self.m.get("committed_buckets", []))
         )
-        parts = []
-        for b in buckets:
-            paths = committed_wave_paths(self.path, self.m, buckets=[b])
-            if paths:
-                parts.append(InputPartition((int(b), paths)))
-        return parts
+        return plan_bucket_partitions(self.path, self.m, buckets,
+                                      list(self.full_schema))
 
     def read(self, partition: InputPartition) -> Iterator:
         import json
@@ -157,7 +181,16 @@ class KmersReader(DataSourceReader):
 
         from . import arrowcodecs, zonemap
 
-        bucket, paths = partition.value
+        bucket, paths, miss = partition.value
+        miss = set(miss)
+        # column pruning reaches the block-row fetch: only projected +
+        # filter columns' payloads are read (plus the key column as a
+        # row-count anchor when everything needed is evolution-missing
+        # in this bucket — the key always has a block)
+        needed = set(self.projected) | {c for c, _op, _v in self.triples}
+        key = self.m.get("key") if isinstance(self.m, dict) else None
+        if key and not (needed - miss):
+            needed.add(key)
         # each wave path is a DIRECTORY of part files; a list of dirs
         # needs a union of per-dir datasets
         dataset = (
@@ -166,7 +199,8 @@ class KmersReader(DataSourceReader):
             else pads.dataset([pads.dataset(p, format="parquet") for p in paths])
         )
         tbl = dataset.to_table(
-            filter=pads.field("bucket") == bucket,
+            filter=(pads.field("bucket") == bucket)
+            & pads.field("column").isin(sorted(needed)),
             columns=["column", "meta", "payload"],
         )
         if tbl.num_rows == 0:
@@ -174,7 +208,23 @@ class KmersReader(DataSourceReader):
         col_names = tbl.column("column").to_pylist()
         metas = tbl.column("meta").to_pylist()
         payloads = tbl.column("payload")
+        if len(set(col_names)) != len(col_names):
+            raise ValueError(
+                f"duplicate block rows for bucket {bucket}: "
+                f"{sorted(col_names)} (corrupt wave dir)"
+            )
         idx = {c: i for i, c in enumerate(col_names)}
+        # same integrity contract as decode_blocks_df: evolution
+        # null-fills ONLY manifest-recorded gaps; anything else is
+        # corruption, not silently-wrong data
+        absent = [c for c in needed
+                  if c in self.full_schema and c not in idx and c not in miss]
+        stray = [c for c in idx if c not in self.full_schema]
+        if absent or stray:
+            raise ValueError(
+                f"bucket {bucket} block set is corrupt: missing columns "
+                f"{absent}, stray columns {stray}"
+            )
         arrays: dict[str, pa.Array] = {}
         n_rows = json.loads(metas[next(iter(idx.values()))])["n"]
 
@@ -256,19 +306,16 @@ class KmersStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         from . import manifest
-        from .operators.encode import committed_wave_paths
 
         new = sorted(set(end.get("buckets", [])) - set(start.get("buckets", [])))
         if not new:
             # Spark requires >= 1 partition per batch; emit an empty marker
-            return [InputPartition((None, []))]
+            return [InputPartition((None, [], []))]
         m = manifest.load(self.path)
         if not self.full_schema and m:
             self.full_schema = manifest.ordered_schema(m)
-        return [
-            InputPartition((int(b), committed_wave_paths(self.path, m, buckets=[b])))
-            for b in new
-        ]
+        self._m = m  # pickled to executors with the reader
+        return plan_bucket_partitions(self.path, m, new, list(self.full_schema))
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: the offset log is Spark's
@@ -277,7 +324,7 @@ class KmersStreamReader(DataSourceStreamReader):
         pass
 
     def read(self, partition: InputPartition):
-        bucket, paths = partition.value
+        bucket = partition.value[0]
         if bucket is None:
             return iter(())
         reader = KmersReader.__new__(KmersReader)
@@ -285,8 +332,8 @@ class KmersStreamReader(DataSourceStreamReader):
         reader.full_schema = self.full_schema
         reader.projected = self.projected
         reader.triples = []
-        reader.m = {}
-        return reader.read(InputPartition((bucket, paths)))
+        reader.m = getattr(self, "_m", None) or {}
+        return reader.read(partition)
 
 
 def _stream_reader(self, schema):
@@ -343,6 +390,7 @@ try:  # writer API: Spark 4.0+
     class _WaveCommit(WriterCommitMessage):
         stats: dict = field(default_factory=dict)       # bucket -> [block stats]
         key_ranges: dict = field(default_factory=dict)  # bucket -> [lo, hi]
+        staged_file: str | None = None                  # hidden part file name
 
     class KmersWriter(DataSourceArrowWriter):
         """df.write.format("kmers"): each task encodes whole buckets of
@@ -409,14 +457,22 @@ try:  # writer API: Spark 4.0+
                     stats.append(s)
                 msg.stats[int(b)] = stats
             os.makedirs(self._wave_dir(), exist_ok=True)
+            # task-attempt isolation: write a HIDDEN file (readers skip
+            # dot-files) and let the driver's commit rename ONLY the
+            # files of successful attempts — a retried/speculative
+            # attempt's stale or partial file never becomes visible
+            # (the parquet-committer _temporary discipline, hand-rolled)
+            staged = f".staged-{uuid.uuid4().hex[:12]}.parquet"
             pq.write_table(
                 pa.concat_tables(outs),
-                f"{self._wave_dir()}/part-{uuid.uuid4().hex[:12]}.parquet",
+                f"{self._wave_dir()}/{staged}",
                 compression="none",
             )
+            msg.staged_file = staged
             return msg
 
         def commit(self, messages) -> None:
+            import os
             import time
 
             from . import manifest
@@ -424,9 +480,12 @@ try:  # writer API: Spark 4.0+
 
             stats: dict[int, list] = {}
             key_ranges: dict[int, list] = {}
+            staged: list[str] = []
             for msg in messages:
                 if msg is None:
                     continue
+                if msg.staged_file:
+                    staged.append(msg.staged_file)
                 for b, s in msg.stats.items():
                     if int(b) in stats:
                         raise ValueError(
@@ -436,7 +495,42 @@ try:  # writer API: Spark 4.0+
                         )
                     stats[int(b)] = s
                 key_ranges.update({int(b): r for b, r in msg.key_ranges.items()})
-            n_b = self.num_buckets or (max(stats) + 1 if stats else 1)
+            if not stats:
+                # every task saw zero rows: registering the (never
+                # created) wave dir would make ALL later decodes fail on
+                # a missing path — a no-op write commits nothing
+                self.abort(messages)
+                return
+
+            m = manifest.load(self.path)
+            if m is not None:
+                if self.num_buckets and m["num_buckets"] != self.num_buckets:
+                    raise ValueError(
+                        f"numBuckets={self.num_buckets} != snapshot's "
+                        f"{m['num_buckets']}"
+                    )
+                if self.key != m["key"]:
+                    raise ValueError(
+                        f"key {self.key!r} != snapshot's {m['key']!r}"
+                    )
+                n_b = m["num_buckets"]
+            else:
+                # a fresh table cannot infer the bucket space from the
+                # data (the highest buckets may legitimately be empty,
+                # and lookups would then hash against the wrong modulus)
+                if not self.num_buckets:
+                    raise ValueError(
+                        "creating a kmers snapshot requires "
+                        ".option('numBuckets', N) matching the "
+                        "with_bucket() call that bucketed the data"
+                    )
+                n_b = self.num_buckets
+            bad = sorted(b for b in stats if not 0 <= b < n_b)
+            if bad:
+                raise ValueError(
+                    f"bucket ids {bad} outside [0, {n_b}) — the data was "
+                    "bucketed with a different modulus than the snapshot's"
+                )
 
             def create_or_check(cur):
                 if cur is None:
@@ -467,6 +561,19 @@ try:  # writer API: Spark 4.0+
                 return cur
 
             manifest.commit(self.path, create_or_check)
+            # publish ONLY successful attempts' files: hidden staged
+            # names -> visible part names; anything still hidden after
+            # (retried/speculative attempts) is deleted, so readers of
+            # the registered wave see exactly the committed block rows
+            wd = self._wave_dir()
+            for name in staged:
+                os.replace(
+                    os.path.join(wd, name),
+                    os.path.join(wd, name.replace(".staged-", "part-", 1)),
+                )
+            for name in os.listdir(wd):
+                if name.startswith(".staged-"):
+                    os.unlink(os.path.join(wd, name))
             manifest.commit_buckets(
                 self.path, stats, wave_dir=f"blocks/{self.wave_name}",
                 key_ranges=key_ranges or None,

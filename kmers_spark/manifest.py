@@ -262,6 +262,16 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
 
 ALLOWED_TYPES = ("string", "binary", "int64", "timestamp", "timestamp_ntz", "double")
 
+# logical type -> Spark DDL type, the ONE copy every read surface uses
+SPARK_DDL_TYPES = {
+    "string": "string",
+    "binary": "binary",
+    "int64": "long",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
+    "double": "double",
+}
+
 
 def evolve_schema(out_dir: str, add: dict[str, str]) -> dict[str, Any]:
     """Iceberg-style add-column schema evolution, as a CAS commit.

@@ -17,14 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .. import codecs, manifest
 from .encode import assert_utc_session, committed_wave_paths
 
-_SPARK_TYPE = {
-    "string": "string",
-    "binary": "binary",
-    "int64": "long",
-    "timestamp": "timestamp",
-    "timestamp_ntz": "timestamp_ntz",
-    "double": "double",
-}
+_SPARK_TYPE = manifest.SPARK_DDL_TYPES  # canonical copy lives in manifest
 
 
 def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = None,

@@ -17,14 +17,8 @@ from pyspark.sql import DataFrame, functions as F
 from .. import codecs, selector
 from .encode import BLOCK_SCHEMA, make_encode_fn
 
-_SPARK_TYPE = {
-    "string": "string",
-    "binary": "binary",
-    "int64": "long",
-    "timestamp": "timestamp",
-    "timestamp_ntz": "timestamp_ntz",
-    "double": "double",
-}
+from .. import manifest as _mf
+_SPARK_TYPE = _mf.SPARK_DDL_TYPES
 
 
 def roundtrip(df: DataFrame, key: str, *, num_buckets: int = 8,

@@ -78,6 +78,10 @@ def decode_new_waves(spark: SparkSession, out_dir: str, sink_dir: str,
     if filters:
         from .. import zonemap
 
+        if all(isinstance(f, str) for f in filters):
+            # raw COL:OP:VALUE specs (a --follow job started before the
+            # first manifest commit defers parsing until one exists)
+            filters = zonemap.parse_cli_filters(filters, schema)
         norm = zonemap.normalize_filters(filters, schema)
     st = _load_state(state_path)
     waves, buckets = set(st["waves"]), set(st["buckets"])

@@ -186,7 +186,9 @@ def parse_cli_filters(specs: list[str], schema: dict[str, str]) -> list[tuple]:
         col, op, raw = spec.split(":", 2)
         typ = schema.get(col)
         if typ is None:
-            raise KeyError(f"--filter column {col!r} not in snapshot schema")
+            # ValueError, not KeyError: str(KeyError(msg)) repr-quotes
+            # the message, which the CLIs print verbatim
+            raise ValueError(f"--filter column {col!r} not in snapshot schema")
         val = [one(v, typ) for v in raw.split(",")] if op == "in" else one(raw, typ)
         out.append((col, op, val))
     return out

@@ -178,9 +178,11 @@ def test_writer_overwrite_committed_rejected(spark, tmp_path):
     out = str(tmp_path / "wsnap_ow")
     df = pages.pages_df(spark, 600, seed=94, partitions=2)
     bucketed = partitioning.with_bucket(df, 4, {}).repartition("bucket")
-    bucketed.write.format("kmers").option("key", "url").mode("append").save(out)
+    (bucketed.write.format("kmers").option("key", "url")
+     .option("numBuckets", "4").mode("append").save(out))
     with pytest.raises(Exception, match="overwrite"):
-        bucketed.write.format("kmers").option("key", "url").mode("overwrite").save(out)
+        (bucketed.write.format("kmers").option("key", "url")
+         .mode("overwrite").save(out))
 
 
 # ------------------------------------------------------------- streaming
@@ -225,3 +227,73 @@ def test_stream_reader_incremental_exactly_once(spark, tmp_path):
     enc.compact_waves(spark, out)
     run_once()  # compaction registers new dirs but no new buckets
     assert spark.read.parquet(sink).count() == 1200
+
+
+def test_writer_empty_append_is_noop(spark, tmp_path):
+    """A write where every task saw zero rows must not register a
+    nonexistent wave dir (that would fail ALL later decodes)."""
+    from kmers_spark.operators import decode as dec, partitioning
+
+    out = str(tmp_path / "wsnap_empty")
+    df = pages.pages_df(spark, 400, seed=95, partitions=2)
+    bucketed = partitioning.with_bucket(df, 4, {}).repartition("bucket")
+    bucketed.write.format("kmers").option("key", "url").option(
+        "numBuckets", "4"
+    ).mode("append").save(out)
+    waves_before = manifest.load(out)["wave_dirs"]
+    empty = bucketed.filter("1 = 0")
+    empty.write.format("kmers").option("key", "url").mode("append").save(out)
+    m = manifest.load(out)
+    assert m["wave_dirs"] == waves_before
+    assert dec.decode_table(spark, out).count() == 400  # still readable
+
+
+def test_writer_fresh_table_requires_num_buckets(spark, tmp_path):
+    """Inferring the bucket space from data is wrong whenever the
+    highest buckets are empty — creation must be explicit."""
+    from kmers_spark.operators import partitioning
+
+    df = pages.pages_df(spark, 200, seed=96, partitions=2)
+    bucketed = partitioning.with_bucket(df, 4, {}).repartition("bucket")
+    with pytest.raises(Exception, match="numBuckets"):
+        bucketed.write.format("kmers").option("key", "url").mode(
+            "append"
+        ).save(str(tmp_path / "wsnap_nb"))
+
+
+def test_writer_append_validates_bucket_space(spark, tmp_path):
+    from kmers_spark.operators import partitioning
+
+    out = str(tmp_path / "wsnap_bs")
+    df = pages.pages_df(spark, 400, seed=97, partitions=2)
+    partitioning.with_bucket(df, 4, {}).repartition("bucket").write.format(
+        "kmers"
+    ).option("key", "url").option("numBuckets", "4").mode("append").save(out)
+    # re-bucketed with a different modulus: out-of-range ids must fail
+    wide = partitioning.with_bucket(df, 12, {}).repartition("bucket")
+    with pytest.raises(Exception, match="outside|numBuckets"):
+        wide.write.format("kmers").option("key", "url").mode("append").save(out)
+    # and a mismatched key column is rejected too
+    with pytest.raises(Exception, match="key"):
+        partitioning.with_bucket(df, 4, {}).repartition("bucket").write.format(
+            "kmers"
+        ).option("key", "text").mode("append").save(out)
+
+
+def test_writer_publishes_only_committed_attempts(spark, tmp_path):
+    """Staged (hidden) files become visible part files at commit; a
+    leftover stale attempt file is removed, and readers see exactly
+    the committed block rows."""
+    import os
+
+    from kmers_spark.operators import decode as dec, partitioning
+
+    out = str(tmp_path / "wsnap_pub")
+    df = pages.pages_df(spark, 400, seed=98, partitions=2)
+    partitioning.with_bucket(df, 4, {}).repartition("bucket").write.format(
+        "kmers"
+    ).option("key", "url").option("numBuckets", "4").mode("append").save(out)
+    wave_rel = manifest.load(out)["wave_dirs"][0]
+    names = os.listdir(os.path.join(out, wave_rel))
+    assert names and all(n.startswith("part-") for n in names)
+    assert dec.decode_table(spark, out).count() == 400
