@@ -37,9 +37,14 @@ def main() -> None:
         "block payloads are shuffled and decompressed",
     )
     ap.add_argument(
+        "--engine", choices=("auto", "shuffle", "colocated"), default="auto",
+        help="auto (default) = shuffle-free colocated decode, falling "
+        "back to the groupBy path only for --version time travel; "
+        "shuffle/colocated force a path",
+    )
+    ap.add_argument(
         "--colocated", action="store_true",
-        help="shuffle-free decode: whole block files per scan partition "
-        "(requires the encode write layout, which encode_table produces)",
+        help="alias for --engine colocated",
     )
     ap.add_argument(
         "--filter", action="append", default=[], metavar="COL:OP:VALUE",
@@ -57,8 +62,12 @@ def main() -> None:
     from kmers_spark.session import get_spark
 
     spark = get_spark("kmers_spark_decode")
-    if args.colocated and args.version is not None:
+    engine = "colocated" if args.colocated else args.engine
+    if engine == "colocated" and args.version is not None:
         raise SystemExit("--version requires the shuffle path (not --colocated)")
+    use_colocated = engine == "colocated" or (
+        engine == "auto" and args.version is None
+    )
     filters = None
     if args.filter:
         # resolve the schema AT the requested version: a filter on a
@@ -74,12 +83,15 @@ def main() -> None:
         except ValueError as e:
             raise SystemExit(str(e))
     columns = args.columns.split(",") if args.columns else None
-    if args.filter and not args.colocated:
+    if args.filter:
+        # scan_table layers zone-map pruning; engine='auto' is already
+        # the shuffle-free path (or time-travels via shuffle)
         decoded = dec.scan_table(spark, args.snapshot, filters,
-                                 columns=columns, version=args.version)
-    elif args.colocated:
+                                 columns=columns, version=args.version,
+                                 engine=engine)
+    elif use_colocated:
         decoded = dec.decode_colocated(
-            spark, args.snapshot, columns=columns, filters=filters
+            spark, args.snapshot, columns=columns
         )
     else:
         decoded = dec.decode_table(

@@ -441,7 +441,9 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
     # materialization): only probe-key rows cross the Arrow boundary,
     # and segmented bulk columns decompress only matching segments
     try:
-        decoded = decode_table(
+        # shuffle-free: the surviving buckets' wave files decode in
+        # place (no exchange of payload bytes for a point lookup)
+        decoded = decode_colocated(
             spark, out_dir, buckets=sorted(buckets),
             filters=[(key_col, "in", list(keys))] if keys else None,
         )
@@ -449,7 +451,7 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
         # probe literals that don't parse as the key's type (e.g. a
         # non-numeric probe against an int64 key) can't match anyway;
         # decode the buckets and let the join return empty
-        decoded = decode_table(spark, out_dir, buckets=sorted(buckets))
+        decoded = decode_colocated(spark, out_dir, buckets=sorted(buckets))
     # join string-vs-string: an implicit probe->BIGINT cast (ANSI) would
     # CRASH the whole lookup on one malformed probe key
     kdf = spark.createDataFrame([(k,) for k in keys], "`__probe` string")
