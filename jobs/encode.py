@@ -66,7 +66,9 @@ def main() -> None:
         codec_overrides=overrides or None,
     )
     totals = {"raw": 0, "enc": 0}
-    for blocks in m["blocks"].values():
+    from kmers_spark import manifest
+
+    for blocks in manifest.block_stats(args.output, m).values():
         for b in blocks:
             totals["raw"] += b["raw_nbytes"]
             totals["enc"] += b["enc_nbytes"]

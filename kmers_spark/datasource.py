@@ -79,7 +79,7 @@ def plan_bucket_partitions(path: str, m: dict, buckets, cols: list[str]):
             for b in wb.get(d, ()):
                 if int(b) in want:
                     by_bucket[int(b)].append(f"{path}/{d}")
-    missing = mf.missing_columns(m, cols)
+    missing = mf.missing_columns(m, cols, blocks=mf.block_stats(path, m))
     return [
         InputPartition((b, paths, sorted(missing.get(b, ()))))
         for b, paths in sorted(by_bucket.items())
@@ -164,9 +164,13 @@ class KmersReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         from . import zonemap
 
+        from . import manifest as mf
+
         norm = self._norm()
         buckets = (
-            zonemap.prune_buckets(self.m, norm)
+            zonemap.prune_buckets(
+                self.m, norm, blocks=mf.block_stats(self.path, self.m)
+            )
             if norm
             else list(self.m.get("committed_buckets", []))
         )

@@ -210,9 +210,26 @@ def init(out_dir: str, *, snapshot_id: str, schema: dict[str, str], num_buckets:
     return commit(out_dir, mutate)
 
 
+# underscore prefix: Spark's parquet reader and pyarrow.dataset both
+# skip '_'/'.'-prefixed files, so the stats file can live inside the
+# wave dir it describes without breaking data scans
+BLOCK_STATS_NAME = "_block_stats.json"
+# per-wave (bucket, column) stat entries above which the wave's block
+# stats SPILL into a stats file inside the wave dir instead of the root
+# manifest. The root manifest is rewritten (and kept as an immutable
+# version) on EVERY commit — inlining stats for a 10^5-bucket snapshot
+# would make each commit copy O(buckets × columns) metadata (Iceberg
+# splits stats into manifest files for exactly this reason). The spill
+# file shares the wave's visibility: written before the CAS commit,
+# unreadable until the manifest registers the wave, swept with an
+# orphaned wave dir.
+STATS_SPILL_ENTRIES = 50_000
+
+
 def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
                    wave_dir: str | None = None,
-                   key_ranges: dict[int, list] | None = None) -> dict[str, Any]:
+                   key_ranges: dict[int, list] | None = None,
+                   spill_threshold: int | None = None) -> dict[str, Any]:
     """Record per-bucket block stats, mark the buckets committed, and
     (Iceberg manifest-list style) register the wave's data directory —
     readers only ever see directories this list names, so a job killed
@@ -222,7 +239,20 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
     fresh manifest and retries; a semantic conflict raises.
 
     `key_ranges` optionally records each bucket's [min_key, max_key]
-    (file-stats-style pruning metadata for point lookups)."""
+    (file-stats-style pruning metadata for point lookups). Large waves'
+    block stats spill to `<wave_dir>/block_stats.json` (see
+    STATS_SPILL_ENTRIES); readers merge via block_stats()."""
+    thr = STATS_SPILL_ENTRIES if spill_threshold is None else spill_threshold
+    n_entries = sum(len(v) for v in bucket_stats.values())
+    spill = wave_dir is not None and n_entries > thr
+    if spill:
+        path = os.path.join(out_dir, wave_dir, BLOCK_STATS_NAME)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({str(b): v for b, v in bucket_stats.items()}, f,
+                      sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
 
     def mutate(m: dict[str, Any] | None) -> dict[str, Any]:
         if m is None:
@@ -239,9 +269,16 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
                 "(concurrent encode on the same snapshot?); this wave was "
                 "not registered and will be swept"
             )
-        for b, blocks in bucket_stats.items():
-            m["blocks"][str(b)] = blocks
-            done.add(int(b))
+        if spill:
+            m.setdefault("stats_files", []).append(
+                f"{wave_dir}/{BLOCK_STATS_NAME}"
+            )
+            for b in bucket_stats:
+                done.add(int(b))
+        else:
+            for b, blocks in bucket_stats.items():
+                m["blocks"][str(b)] = blocks
+                done.add(int(b))
         m["committed_buckets"] = sorted(done)
         if key_ranges:
             kr = m.setdefault("bucket_key_ranges", {})
@@ -306,14 +343,37 @@ def evolve_schema(out_dir: str, add: dict[str, str]) -> dict[str, Any]:
     return commit(out_dir, mutate)
 
 
-def missing_columns(m: dict[str, Any], cols: list[str]) -> dict[int, set]:
+def block_stats(out_dir: str, m: dict[str, Any]) -> dict[str, list]:
+    """Merged per-(bucket)->[per-column block stats]: root-inline
+    entries plus any spilled per-wave stats files. Buckets commit once,
+    so the sources never overlap. This is the ONE accessor pruning,
+    evolution null-fill sets, and observability read stats through —
+    they must not touch m['blocks'] directly or spilled waves vanish
+    from their view."""
+    out = dict(m.get("blocks", {}))
+    for rel in m.get("stats_files", []):
+        try:
+            with open(os.path.join(out_dir, rel)) as f:
+                out.update(json.load(f))
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"manifest references missing stats file {rel} in {out_dir} "
+                "(wave dir reclaimed under a live reader?)"
+            )
+    return out
+
+
+def missing_columns(m: dict[str, Any], cols: list[str],
+                    blocks: dict[str, list] | None = None) -> dict[int, set]:
     """{bucket: columns of `cols` that bucket has NO block for} — the
     per-bucket null-fill set schema evolution creates. Derived from the
-    manifest's per-bucket block stats; empty dict when no evolution
-    ever happened (the common case — decode's strict bucket-integrity
-    checks then apply unweakened)."""
+    per-bucket block stats (pass block_stats(out_dir, m) when the
+    snapshot may have spilled stats files); empty dict when no
+    evolution ever happened (the common case — decode's strict
+    bucket-integrity checks then apply unweakened)."""
     out: dict[int, set] = {}
-    blocks = m.get("blocks", {})
+    if blocks is None:
+        blocks = m.get("blocks", {})
     for b in m.get("committed_buckets", []):
         have = {s["column"] for s in blocks.get(str(b), [])}
         if not have:

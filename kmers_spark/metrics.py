@@ -98,7 +98,7 @@ def table_stats(out_dir: str) -> dict[str, dict]:
         for c, t in schema.items()
     }
     total_rows = 0
-    for stats in m.get("blocks", {}).values():
+    for stats in manifest.block_stats(out_dir, m).values():
         # logical row count of the bucket: any block's n_rows (every
         # present column spans all of the bucket's rows)
         total_rows += int(stats[0]["n_rows"]) if stats else 0

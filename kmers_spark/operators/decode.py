@@ -64,7 +64,9 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
     # schema evolution: buckets committed before an evolve_schema call
     # have no block for the added columns — decode null-fills them from
     # the manifest's per-bucket column sets (Iceberg read-as-null)
-    missing = manifest.missing_columns(m, cols)
+    missing = manifest.missing_columns(
+        m, cols, blocks=manifest.block_stats(out_dir, m)
+    )
     dec_schema = dict(schema)
     anchor = None
     if missing and columns is not None:
@@ -330,7 +332,9 @@ def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
         out_cols = [c for c in schema if c in set(columns)]
     else:
         out_cols = list(schema)
-    buckets = zonemap.prune_buckets(m, norm)
+    buckets = zonemap.prune_buckets(
+        m, norm, blocks=manifest.block_stats(out_dir, m)
+    )
     if not buckets:
         out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[schema[c]]}" for c in out_cols)
         return spark.createDataFrame([], out_schema)
@@ -491,7 +495,9 @@ def decode_colocated(spark: SparkSession, out_dir: str,
         schema = full
     assert_utc_session(spark, schema)
     cols = list(schema.keys())
-    missing = manifest.missing_columns(m, cols)
+    missing = manifest.missing_columns(
+        m, cols, blocks=manifest.block_stats(out_dir, m)
+    )
     dec_schema = dict(schema)
     anchor = None
     if missing and columns is not None:

@@ -553,6 +553,28 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
     old_set = set(old)
     new_rel = _wave_rel(new_dir, out_dir)
 
+    # spilled block-stats files live INSIDE wave dirs; retiring the old
+    # dirs would take their stats with them — consolidate every retired
+    # spill into one stats file in the new dir (written before the CAS
+    # swap, so it shares the new wave's visibility)
+    def _owner(rel: str) -> str:
+        return rel.rsplit("/", 1)[0]
+
+    retired_spills = [
+        rel for rel in m.get("stats_files", []) if _owner(rel) in old_set
+    ]
+    new_stats_rel = None
+    if retired_spills:
+        merged_stats: dict = {}
+        for rel in retired_spills:
+            with open(os.path.join(out_dir, rel)) as f:
+                merged_stats.update(json.load(f))
+        new_stats_rel = f"{new_rel}/{manifest.BLOCK_STATS_NAME}"
+        with open(os.path.join(out_dir, new_stats_rel), "w") as f:
+            json.dump(merged_stats, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+
     def swap(m: dict | None) -> dict:
         if m is None:
             raise FileNotFoundError(f"no manifest in {out_dir}")
@@ -566,6 +588,14 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
             merged = sorted(m["committed_buckets"])
         m["wave_buckets"] = {k: v for k, v in wb.items() if k not in old_set}
         m["wave_buckets"][new_rel] = merged
+        if "stats_files" in m:
+            m["stats_files"] = [
+                rel for rel in m["stats_files"] if _owner(rel) not in old_set
+            ]
+            if new_stats_rel:
+                m["stats_files"].append(new_stats_rel)
+            if not m["stats_files"]:
+                del m["stats_files"]
         return m
 
     m = manifest.commit(out_dir, swap)

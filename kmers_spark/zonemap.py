@@ -285,11 +285,16 @@ def pandas_mask(get_col, norm: list[tuple], schema: dict[str, str]):
     return mask
 
 
-def prune_buckets(m: dict, filters: list[tuple]) -> list[int]:
+def prune_buckets(m: dict, filters: list[tuple],
+                  blocks: dict | None = None) -> list[int]:
     """Committed buckets that MAY hold rows matching every filter
     (AND semantics), judged purely from manifest zone stats — no Spark
-    job, no file reads. Filters must already be normalized."""
-    blocks = m.get("blocks", {})
+    job, no payload reads (pass manifest.block_stats(out_dir, m) as
+    `blocks` when the snapshot may have spilled stats files; a bucket
+    with no visible stats is conservatively kept). Filters must
+    already be normalized."""
+    if blocks is None:
+        blocks = m.get("blocks", {})
     keep = []
     for b in m.get("committed_buckets", []):
         stats = blocks.get(str(b), [])

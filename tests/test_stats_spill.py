@@ -1,0 +1,122 @@
+"""Manifest block-stats spilling (Iceberg manifest-file analogue).
+
+The root manifest is copied on every CAS commit, so per-bucket block
+stats for big snapshots spill into `_block_stats.json` INSIDE each
+wave dir (same visibility discipline as the data: unregistered until
+the manifest commit, swept with an orphan). Every stats consumer —
+zone pruning, evolution null-fill, table_stats, the DataSource planner
+— must read through manifest.block_stats and behave identically on a
+spilled store."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmers_spark import manifest, pages, zonemap
+from kmers_spark.operators.decode import decode_table, lookup_keys, scan_table
+from kmers_spark.operators.encode import compact_waves, encode_table
+
+
+@pytest.fixture(scope="module")
+def spilled_store(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("spill") / "snap")
+    df = pages.pages_df(spark, 2000, seed=77, partitions=4).cache()
+    old = manifest.STATS_SPILL_ENTRIES
+    manifest.STATS_SPILL_ENTRIES = 0  # force spilling at test scale
+    try:
+        encode_table(df, out, num_buckets=8, detect_skew=False, commit_every=4)
+    finally:
+        manifest.STATS_SPILL_ENTRIES = old
+    return out, df
+
+
+def test_root_manifest_stays_small(spilled_store):
+    out, _df = spilled_store
+    m = manifest.load(out)
+    assert m["blocks"] == {}  # nothing inline
+    assert len(m["stats_files"]) == 2  # one per wave
+    for rel in m["stats_files"]:
+        assert os.path.exists(os.path.join(out, rel))
+        assert rel.rsplit("/", 1)[-1].startswith("_")  # parquet readers skip it
+    merged = manifest.block_stats(out, m)
+    assert sorted(map(int, merged)) == m["committed_buckets"]
+    # the spilled stats carry the zone bounds
+    assert all("zmin" in s for ss in merged.values() for s in ss
+               if s["column"] == "warc_ts")
+
+
+def test_decode_and_scan_on_spilled_store(spark, spilled_store):
+    out, df = spilled_store
+    back = decode_table(spark, out).toPandas().sort_values("url").reset_index(drop=True)
+    want = df.toPandas().sort_values("url").reset_index(drop=True)
+    assert back.equals(want)
+
+    got = scan_table(spark, out, [("lang", "=", "de")]).count()
+    assert got == df.filter(df.lang == "de").count() > 0
+    # zone pruning still sees the (spilled) bounds: impossible predicate
+    # prunes everything driver-side
+    norm = zonemap.normalize_filters([("warc_ts", ">", 2**62)], manifest.load(out)["schema"])
+    assert zonemap.prune_buckets(
+        manifest.load(out), norm, blocks=manifest.block_stats(out, manifest.load(out))
+    ) == []
+
+
+def test_lookup_and_datasource_on_spilled_store(spark, spilled_store):
+    from kmers_spark import datasource
+
+    out, df = spilled_store
+    u = df.select("url").limit(1).collect()[0]["url"]
+    assert lookup_keys(spark, out, [u]).count() == 1
+
+    datasource.register(spark)
+    t = spark.read.format("kmers").load(out)
+    assert t.count() == 2000
+    assert t.filter("lang = 'en'").count() == df.filter(df.lang == "en").count()
+
+
+def test_table_stats_reads_spilled(spilled_store):
+    from kmers_spark.metrics import table_stats
+
+    out, _df = spilled_store
+    stats = table_stats(out)
+    assert stats["url"]["rows"] == 2000
+    assert stats["warc_ts"]["min_bound"] is not None
+
+
+def test_compaction_consolidates_spilled_stats(spark, spilled_store, tmp_path):
+    out, df = spilled_store
+    m = compact_waves(spark, out)
+    assert len(m["wave_dirs"]) == 1
+    assert m["stats_files"] == [f"{m['wave_dirs'][0]}/{manifest.BLOCK_STATS_NAME}"]
+    merged = manifest.block_stats(out, m)
+    assert sorted(map(int, merged)) == m["committed_buckets"]
+    back = decode_table(spark, out)
+    assert back.count() == 2000
+    # scans still prune and match after consolidation
+    got = scan_table(spark, out, [("lang", "=", "de")]).count()
+    assert got == df.filter(df.lang == "de").count()
+
+
+def test_evolution_null_fill_reads_spilled_stats(spark, tmp_path):
+    """missing_columns must see spilled stats, else evolved columns on
+    old buckets would be treated as corruption."""
+    out = str(tmp_path / "spill_evo")
+    df = pages.pages_df(spark, 800, seed=78, partitions=2).cache()
+    old = manifest.STATS_SPILL_ENTRIES
+    manifest.STATS_SPILL_ENTRIES = 0
+    try:
+        encode_table(df, out, num_buckets=4, detect_skew=False,
+                     fail_buckets_over=2)
+        manifest.evolve_schema(out, {"score": "double"})
+        df2 = df.withColumn("score", F.length("text").cast("double"))
+        encode_table(df2, out, num_buckets=4, detect_skew=False)
+    finally:
+        manifest.STATS_SPILL_ENTRIES = old
+    got = decode_table(spark, out)
+    assert got.count() == 800
+    assert got.filter(F.col("score").isNull()).count() > 0
+    assert got.filter(F.col("score").isNotNull()).count() > 0
