@@ -57,7 +57,8 @@ _OPS = {
 from .manifest import SPARK_DDL_TYPES as _SPARK_TYPE
 
 
-def plan_bucket_partitions(path: str, m: dict, buckets, cols: list[str]):
+def plan_bucket_partitions(path: str, m: dict, buckets, cols: list[str],
+                           blocks: dict | None = None):
     """One InputPartition per bucket: (bucket, wave paths, allowed-
     missing columns). The wave map is inverted ONCE (O(buckets +
     wave_dirs), not O(buckets × wave_dirs) — at 10^5 buckets and 10^3
@@ -79,7 +80,11 @@ def plan_bucket_partitions(path: str, m: dict, buckets, cols: list[str]):
             for b in wb.get(d, ()):
                 if int(b) in want:
                     by_bucket[int(b)].append(f"{path}/{d}")
-    missing = mf.missing_columns(m, cols, blocks=mf.block_stats(path, m))
+    if blocks is None and m.get("evolved"):
+        blocks = mf.block_stats(path, m)
+    missing = (
+        mf.missing_columns(m, cols, blocks=blocks) if m.get("evolved") else {}
+    )
     return [
         InputPartition((b, paths, sorted(missing.get(b, ()))))
         for b, paths in sorted(by_bucket.items())
@@ -167,15 +172,16 @@ class KmersReader(DataSourceReader):
         from . import manifest as mf
 
         norm = self._norm()
+        blocks = None
+        if norm or self.m.get("evolved"):
+            blocks = mf.block_stats(self.path, self.m)  # parsed ONCE per plan
         buckets = (
-            zonemap.prune_buckets(
-                self.m, norm, blocks=mf.block_stats(self.path, self.m)
-            )
+            zonemap.prune_buckets(self.m, norm, blocks=blocks)
             if norm
             else list(self.m.get("committed_buckets", []))
         )
         return plan_bucket_partitions(self.path, self.m, buckets,
-                                      list(self.full_schema))
+                                      list(self.full_schema), blocks=blocks)
 
     def read(self, partition: InputPartition) -> Iterator:
         import json

@@ -240,17 +240,33 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
 
     `key_ranges` optionally records each bucket's [min_key, max_key]
     (file-stats-style pruning metadata for point lookups). Large waves'
-    block stats spill to `<wave_dir>/block_stats.json` (see
-    STATS_SPILL_ENTRIES); readers merge via block_stats()."""
+    block stats spill to `<wave_dir>/_block_stats.json`
+    (BLOCK_STATS_NAME; see STATS_SPILL_ENTRIES); readers merge via
+    block_stats(). The trigger is CUMULATIVE: fine-grained
+    commit_every checkpointing whose individual waves stay small must
+    not re-accumulate O(buckets x columns) in the root — once the
+    root's inline stats plus this wave cross the threshold, the spill
+    file also absorbs the inline stats it saw, and the commit moves
+    them out of the root."""
     thr = STATS_SPILL_ENTRIES if spill_threshold is None else spill_threshold
     n_entries = sum(len(v) for v in bucket_stats.values())
-    spill = wave_dir is not None and n_entries > thr
+    migrated: dict[str, list] = {}
+    if wave_dir is not None:
+        cur = load(out_dir) or {}
+        inline = cur.get("blocks", {})
+        inline_entries = sum(len(v) for v in inline.values()) + len(inline)
+        if n_entries + len(bucket_stats) + inline_entries > thr:
+            migrated = dict(inline)  # absorb the root's inline stats too
+    spill = bool(migrated) or (
+        wave_dir is not None and n_entries + len(bucket_stats) > thr
+    )
     if spill:
+        payload = dict(migrated)
+        payload.update({str(b): v for b, v in bucket_stats.items()})
         path = os.path.join(out_dir, wave_dir, BLOCK_STATS_NAME)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
-            json.dump({str(b): v for b, v in bucket_stats.items()}, f,
-                      sort_keys=True)
+            json.dump(payload, f, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
 
@@ -273,6 +289,13 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
             m.setdefault("stats_files", []).append(
                 f"{wave_dir}/{BLOCK_STATS_NAME}"
             )
+            # inline stats the spill file absorbed leave the root; any
+            # inline entries a CONCURRENT commit added after our load
+            # are not in the file and must stay
+            if migrated:
+                m["blocks"] = {
+                    k: v for k, v in m["blocks"].items() if k not in migrated
+                }
             for b in bucket_stats:
                 done.add(int(b))
         else:
@@ -338,6 +361,11 @@ def evolve_schema(out_dir: str, add: dict[str, str]) -> dict[str, Any]:
             m["schema"][c] = t
             order = order + [c]
         m["columns"] = order
+        # cheap marker: readers compute per-bucket null-fill sets (a
+        # full block-stats read, possibly spilled files) ONLY when an
+        # evolution ever happened — never-evolved snapshots skip the
+        # metadata read on every decode/lookup/plan
+        m["evolved"] = True
         return m
 
     return commit(out_dir, mutate)

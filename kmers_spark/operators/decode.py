@@ -64,8 +64,12 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
     # schema evolution: buckets committed before an evolve_schema call
     # have no block for the added columns — decode null-fills them from
     # the manifest's per-bucket column sets (Iceberg read-as-null)
-    missing = manifest.missing_columns(
-        m, cols, blocks=manifest.block_stats(out_dir, m)
+    missing = (
+        manifest.missing_columns(
+            m, cols, blocks=manifest.block_stats(out_dir, m)
+        )
+        if m.get("evolved")  # never-evolved: skip the stats read entirely
+        else {}
     )
     dec_schema = dict(schema)
     anchor = None
@@ -495,8 +499,12 @@ def decode_colocated(spark: SparkSession, out_dir: str,
         schema = full
     assert_utc_session(spark, schema)
     cols = list(schema.keys())
-    missing = manifest.missing_columns(
-        m, cols, blocks=manifest.block_stats(out_dir, m)
+    missing = (
+        manifest.missing_columns(
+            m, cols, blocks=manifest.block_stats(out_dir, m)
+        )
+        if m.get("evolved")  # never-evolved: skip the stats read entirely
+        else {}
     )
     dec_schema = dict(schema)
     anchor = None

@@ -39,6 +39,31 @@ def test_root_manifest_stays_small(spilled_store):
     m = manifest.load(out)
     assert m["blocks"] == {}  # nothing inline
     assert len(m["stats_files"]) == 2  # one per wave
+
+
+def test_cumulative_inline_stats_migrate_on_spill(spark, tmp_path):
+    """Fine-grained commit_every whose individual waves stay under the
+    threshold must still stop the root manifest from accumulating
+    O(buckets x columns): once the CUMULATIVE inline stats cross it,
+    the next wave's spill file absorbs them and the root empties."""
+    out = str(tmp_path / "cumulative")
+    df = pages.pages_df(spark, 1200, seed=79, partitions=4).cache()
+    old = manifest.STATS_SPILL_ENTRIES
+    # waves of 2 buckets x 5 cols = ~12 entries each stay inline until
+    # the root's inline stats push the cumulative count over 30
+    manifest.STATS_SPILL_ENTRIES = 30
+    try:
+        encode_table(df, out, num_buckets=6, detect_skew=False, commit_every=2)
+    finally:
+        manifest.STATS_SPILL_ENTRIES = old
+    m = manifest.load(out)
+    inline_entries = sum(len(v) for v in m["blocks"].values()) + len(m["blocks"])
+    assert m.get("stats_files"), "cumulative growth never triggered a spill"
+    assert inline_entries <= 30  # the root stayed bounded
+    merged = manifest.block_stats(out, m)
+    assert sorted(map(int, merged)) == m["committed_buckets"]  # nothing lost
+    back = decode_table(spark, out)
+    assert back.count() == 1200
     for rel in m["stats_files"]:
         assert os.path.exists(os.path.join(out, rel))
         assert rel.rsplit("/", 1)[-1].startswith("_")  # parquet readers skip it
@@ -87,8 +112,17 @@ def test_table_stats_reads_spilled(spilled_store):
     assert stats["warc_ts"]["min_bound"] is not None
 
 
-def test_compaction_consolidates_spilled_stats(spark, spilled_store, tmp_path):
-    out, df = spilled_store
+def test_compaction_consolidates_spilled_stats(spark, tmp_path):
+    # own store: compaction mutates it, and the module fixture's other
+    # tests assert the two-wave layout (order independence)
+    out = str(tmp_path / "spill_compact")
+    df = pages.pages_df(spark, 2000, seed=77, partitions=4).cache()
+    old = manifest.STATS_SPILL_ENTRIES
+    manifest.STATS_SPILL_ENTRIES = 0
+    try:
+        encode_table(df, out, num_buckets=8, detect_skew=False, commit_every=4)
+    finally:
+        manifest.STATS_SPILL_ENTRIES = old
     m = compact_waves(spark, out)
     assert len(m["wave_dirs"]) == 1
     assert m["stats_files"] == [f"{m['wave_dirs'][0]}/{manifest.BLOCK_STATS_NAME}"]
