@@ -89,6 +89,28 @@ def _scan_store(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _scan_pushdown_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered scan over a SCAN-OPTIMIZED store: props/event_type are
+    stored segmented (words_seg shared-dict / generic seg: wrapper), so
+    the kernel decodes only segments containing matches. Same result
+    contract as any scan — the oracle is plain SQL."""
+    import hashlib
+
+    from kmers_spark.operators.decode import scan_table
+    from kmers_spark.operators.encode import encode_table
+
+    out = ("/tmp/kmers_scan_store_seg_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    encode_table(
+        df, out, key="event_id", num_buckets=8, detect_skew=False,
+        codec_overrides={"props": "words_seg", "event_type": "seg:dict_rle"},
+    )
+    return scan_table(
+        spark, out, [("event_type", "=", "view"), ("value", "<", 100.0)]
+    )
+
+
 def _scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scan_table with zone-map pruning: buckets whose recorded bounds
     exclude the predicate are dropped driver-side before any payload
@@ -169,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- filtered scans over the compressed store (zone-map pruning) ---
         "scan_filter_pushdown": _scan_pushdown,
         "scan_pushdown_ts_range": _scan_pushdown_ts,
+        "scan_pushdown_segmented": _scan_pushdown_segmented,
         "datasource_scan": _ds_scan,
         # --- training-data pipeline ops ---
         "dedup_exact": dedup.exact_dedup,
@@ -329,6 +352,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "datasource_scan": (
             "SELECT * FROM events WHERE event_type = 'purchase' AND value < 50.0"
+        ),
+        "scan_pushdown_segmented": (
+            "SELECT * FROM events WHERE event_type = 'view' AND value < 100.0"
         ),
         # training-data ops
         "dedup_exact": (
