@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--snapshot", required=True)
     ap.add_argument("--stats", action="store_true",
                     help="per-column rows + zone-map min/max, manifest-only")
+    ap.add_argument("--blocks", action="store_true",
+                    help="per-column codec mix + compression ratio, manifest-only")
     ap.add_argument("--history", action="store_true",
                     help="manifest version chain (time-travel snapshot log)")
     ap.add_argument("--summary", action="store_true",
@@ -31,7 +33,7 @@ def main() -> None:
     ap.add_argument("--expire-keep", type=int, default=None, metavar="N",
                     help="retention: tombstone manifest versions older than the newest N")
     args = ap.parse_args()
-    if not any((args.stats, args.history, args.summary,
+    if not any((args.stats, args.blocks, args.history, args.summary,
                 args.expire_keep is not None)):
         args.stats = True  # default mode
 
@@ -40,6 +42,8 @@ def main() -> None:
     out: dict = {}
     if args.stats:
         out["columns"] = metrics.table_stats(args.snapshot)
+    if args.blocks:
+        out["blocks"] = metrics.codec_summary(args.snapshot)
     if args.history:
         out["history"] = metrics.snapshot_history(args.snapshot)
         out["current_version"] = manifest.current_version(args.snapshot)

@@ -137,7 +137,36 @@ class KmersReader(DataSourceReader):
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         from . import zonemap
 
+        try:
+            from pyspark.sql.datasource import StringStartsWith
+        except ImportError:  # pragma: no cover
+            StringStartsWith = ()
+
         for f in filters:
+            # col LIKE 'prefix%' (a crawl-query staple: url prefixes)
+            # translates to the range [prefix, prefix-with-last-char-
+            # incremented) — zone bounds prune it and the kernel range-
+            # filters it; Spark still applies the exact LIKE on top
+            if StringStartsWith and isinstance(f, StringStartsWith):
+                attr = f.attribute
+                if (
+                    len(attr) == 1
+                    and self.full_schema.get(attr[0]) == "string"
+                    and isinstance(f.value, str)
+                    and f.value
+                ):
+                    # upper bound: prefix with its last incrementable
+                    # char bumped (truncate_max's increment at exactly
+                    # the prefix width) — every string starting with
+                    # the prefix sorts below it
+                    upper = zonemap.truncate_max(
+                        f.value + "\x00", width=len(f.value)
+                    )
+                    self.triples.append((attr[0], ">=", f.value))
+                    if upper is not None:
+                        self.triples.append((attr[0], "<", upper))
+                yield f
+                continue
             op = _OPS.get(type(f))
             attr = getattr(f, "attribute", None)
             if (

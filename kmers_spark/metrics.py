@@ -126,6 +126,30 @@ def table_stats(out_dir: str) -> dict[str, dict]:
     return out
 
 
+def codec_summary(out_dir: str) -> dict[str, dict]:
+    """Per-column codec mix + sizes from the MANIFEST alone (no Spark,
+    no payload reads — the metadata twin of column_metrics): for each
+    column, total raw/encoded bytes, ratio, and the codecs the
+    auto-selector chose across buckets."""
+    m = manifest.load(out_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    out: dict[str, dict] = {}
+    for stats in manifest.block_stats(out_dir, m).values():
+        for s in stats:
+            rec = out.setdefault(
+                s["column"],
+                {"raw_nbytes": 0, "enc_nbytes": 0, "codecs": set()},
+            )
+            rec["raw_nbytes"] += int(s["raw_nbytes"])
+            rec["enc_nbytes"] += int(s["enc_nbytes"])
+            rec["codecs"].add(s["codec"])
+    for rec in out.values():
+        rec["ratio"] = round(rec["enc_nbytes"] / max(rec["raw_nbytes"], 1), 4)
+        rec["codecs"] = sorted(rec["codecs"])
+    return out
+
+
 def snapshot_history(out_dir: str) -> list[dict]:
     """One row per manifest version (the immutable commit chain):
     version, committed-bucket count, wave count — the snapshot log

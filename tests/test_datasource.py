@@ -297,3 +297,27 @@ def test_writer_publishes_only_committed_attempts(spark, tmp_path):
     names = os.listdir(os.path.join(out, wave_rel))
     assert names and all(n.startswith("part-") for n in names)
     assert dec.decode_table(spark, out).count() == 400
+
+
+def test_like_prefix_pushdown(spark, ds_store):
+    """col LIKE 'prefix%' becomes a [prefix, prefix+1) range in the
+    reader (zone pruning + kernel range filter); Spark's residual LIKE
+    keeps exactness. Results must match the plain DataFrame filter."""
+    out, df = ds_store
+    t = spark.read.format("kmers").load(out)
+    for pat in ("https://host1%", "https://host42.example.com/%"):
+        got = sorted(r["url"] for r in t.filter(f"url LIKE '{pat}'").collect())
+        want = sorted(r["url"] for r in df.filter(df.url.like(pat)).collect())
+        assert got == want, pat
+    # triples recorded as a sound range (unit check on the translation)
+    from pyspark.sql.datasource import StringStartsWith
+
+    from kmers_spark.datasource import KmersReader
+
+    class _S:
+        fields = [type("F", (), {"name": "url"})]
+
+    r = KmersReader({"path": out}, _S, manifest.load(out))
+    list(r.pushFilters([StringStartsWith(("url",), "https://hostz")]))
+    assert ("url", ">=", "https://hostz") in r.triples
+    assert ("url", "<", "https://host{") in r.triples  # 'z'+1 == '{'
