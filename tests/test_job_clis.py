@@ -1,0 +1,119 @@
+"""The spark-submit job entry points, driven as real subprocesses.
+
+The CLIs are the operator surface; several past review findings lived
+only here (--filter ignoring --version, ANSI-cast crashes, quoted
+error messages), caught by manual runs — this pins them in CI. One
+shared snapshot per module keeps the suite to a few Spark boots."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_job(*args: str) -> tuple[int, str]:
+    p = subprocess.run(
+        [sys.executable, *args], cwd=REPO, capture_output=True, text=True,
+        timeout=420,
+    )
+    return p.returncode, p.stdout.strip().splitlines()[-1] if p.stdout.strip() else p.stderr[-400:]
+
+
+@pytest.fixture(scope="module")
+def cli_snapshot(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    src = str(base / "pages_parquet")
+    snap = str(base / "snap")
+    from kmers_spark import pages
+
+    pages.pages_df(spark, 1500, seed=131, partitions=3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    code, out = run_job(
+        "jobs/encode.py", "--input", src, "--output", snap,
+        "--num-buckets", "6", "--no-skew-detect", "--commit-every", "3",
+        "--codec", "text=words_seg",
+    )
+    assert code == 0, out
+    summary = json.loads(out)
+    assert summary["committed_buckets"] == 6
+    return src, snap, str(base)
+
+
+def test_decode_verify_bit_identity(cli_snapshot):
+    src, snap, base = cli_snapshot
+    code, out = run_job(
+        "jobs/decode.py", "--snapshot", snap,
+        "--output", f"{base}/dec", "--verify", src,
+    )
+    assert code == 0, out
+    r = json.loads(out)
+    assert r == {"rows": 1500, "mismatched_rows": 0}
+
+
+def test_decode_filter_respects_version_and_engine(cli_snapshot):
+    src, snap, base = cli_snapshot
+    code, latest = run_job(
+        "jobs/decode.py", "--snapshot", snap, "--output", f"{base}/f1",
+        "--filter", "lang:=:en",
+    )
+    assert code == 0, latest
+    # version 2 = first wave only: strictly fewer rows than latest
+    code, old = run_job(
+        "jobs/decode.py", "--snapshot", snap, "--output", f"{base}/f2",
+        "--filter", "lang:=:en", "--version", "2",
+    )
+    assert code == 0, old
+    assert 0 < json.loads(old)["rows"] < json.loads(latest)["rows"]
+    # forced engines agree
+    code, shuf = run_job(
+        "jobs/decode.py", "--snapshot", snap, "--output", f"{base}/f3",
+        "--filter", "lang:=:en", "--engine", "shuffle",
+    )
+    assert code == 0 and json.loads(shuf)["rows"] == json.loads(latest)["rows"]
+
+
+def test_decode_filter_error_is_clean(cli_snapshot):
+    _src, snap, base = cli_snapshot
+    code, out = run_job(
+        "jobs/decode.py", "--snapshot", snap, "--output", f"{base}/f4",
+        "--filter", "nope:=:x",
+    )
+    assert code != 0
+    assert "nope" in out and not out.strip().startswith('"')  # unquoted message
+
+
+def test_stats_modes(cli_snapshot):
+    _src, snap, _base = cli_snapshot
+    code, out = run_job("jobs/stats.py", "--snapshot", snap,
+                        "--stats", "--blocks", "--history")
+    assert code == 0, out
+    d = json.loads(out)
+    assert d["columns"]["url"]["rows"] == 1500
+    assert d["blocks"]["text"]["codecs"] == ["words_seg"]
+    assert d["current_version"] >= 3  # config + 2 waves
+
+
+def test_stream_decode_catchup_then_incremental(cli_snapshot, spark):
+    src, snap, base = cli_snapshot
+    sink, ckpt = f"{base}/ssink", f"{base}/sckpt"
+    code, out = run_job(
+        "jobs/stream_decode.py", "--snapshot", snap,
+        "--sink", sink, "--checkpoint", ckpt, "--filter", "lang:=:en",
+    )
+    assert code == 0, out
+    total = json.loads(out)["decoded_rows_total"]
+    batch = spark.read.parquet(src)
+    assert total == batch.filter(batch.lang == "en").count() > 0
+    # second catch-up run: nothing new
+    code, out = run_job(
+        "jobs/stream_decode.py", "--snapshot", snap,
+        "--sink", sink, "--checkpoint", ckpt, "--filter", "lang:=:en",
+    )
+    assert code == 0 and json.loads(out)["decoded_rows_total"] == total
