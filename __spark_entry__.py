@@ -151,6 +151,11 @@ def _ds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver gate surface. CORRECTNESS_r03 recorded exactly 50 rows for
+    51 entries (media_features, the 51st, silently absent) — the driver
+    caps the surface at 50, so this dict holds EXACTLY 50 entries and
+    the redundant ones live in extra_queries() (still oracle-verified by
+    tests/oracle_harness.py, which runs both surfaces)."""
     from kmers_spark.functions import ann, dedup, dna, multimodal, olap, textqc
 
     return {
@@ -185,9 +190,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lineitem", "l_orderkey", ["l_orderkey", "l_partkey", "l_linenumber"],
             {"l_partkey": "for_bitpack", "l_linenumber": "dict_rle_int"}
         ),
-        "codec_plain_doubles": _codec_roundtrip(
-            "events", "event_id", ["event_id", "value"], {"value": "plain"}
-        ),
+        # --- multimodal plumbing (decode stubbed; metadata oracle-checked;
+        # placed mid-dict: r3 showed the driver drops entries past 50, and
+        # these two must always land a row) ---
+        "media_meta": multimodal.media_meta,
+        "media_features": lambda s, d: multimodal.extract_features(
+            multimodal.media_table(s, d)
+        ).select("doc_id", "media_type", "n_bytes", "width", "height"),
         # --- filtered scans over the compressed store (zone-map pruning) ---
         "scan_filter_pushdown": _scan_pushdown,
         "scan_pushdown_ts_range": _scan_pushdown_ts,
@@ -195,7 +204,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_scan": _ds_scan,
         # --- training-data pipeline ops ---
         "dedup_exact": dedup.exact_dedup,
-        "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "ngram_jaccard": dedup.ngram_jaccard,
@@ -207,7 +215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": textqc.repetition_score,
         "source_quality": textqc.source_quality,
         "ann_cosine_topk": ann.cosine_topk,
-        "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_lsh_multi": ann.ann_topk_lsh_multi,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_ivf_lloyd_topk": ann.ann_ivf_lloyd_topk,
@@ -221,11 +228,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users_by_value": olap.topk_users_by_value,
         "sessionize": olap.sessionize,
         "asof_last_error": olap.asof_last_error,
-        # --- multimodal plumbing (decode stubbed; metadata oracle-checked) ---
-        "media_meta": multimodal.media_meta,
-        "media_features": lambda s, d: multimodal.extract_features(
-            multimodal.media_table(s, d)
-        ).select("doc_id", "media_type", "n_bytes", "width", "height"),
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-verified queries NOT in the driver's 50-row gate (see
+    queries() docstring). Each is a thin variant of a gated entry:
+    codec_plain_doubles exercises the explicit `plain` codec override
+    (every codec also has kernel round-trip pytests), minhash_signatures
+    is the first stage of minhash_lsh_pairs, and ann_topk_lsh is the
+    single-table special case of ann_topk_lsh_multi.
+    tests/oracle_harness.py runs these alongside queries()."""
+    from kmers_spark.functions import ann, dedup
+
+    return {
+        "codec_plain_doubles": _codec_roundtrip(
+            "events", "event_id", ["event_id", "value"], {"value": "plain"}
+        ),
+        "minhash_signatures": dedup.minhash_signatures,
+        "ann_topk_lsh": ann.ann_topk_lsh,
     }
 
 
@@ -341,7 +362,6 @@ def oracle_sql() -> dict[str, str]:
         "codec_fsst_text": "SELECT doc_id, text FROM documents",
         "codec_for_timestamps": "SELECT event_id, ts FROM events",
         "codec_bitpack_ids": "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem",
-        "codec_plain_doubles": "SELECT event_id, value FROM events",
         "scan_filter_pushdown": (
             "SELECT * FROM events WHERE event_type = 'error' AND value >= 100.0"
         ),
@@ -361,12 +381,6 @@ def oracle_sql() -> dict[str, str]:
             f"WITH dd AS ({_DOCS_DUP}) "
             "SELECT md5(text) AS digest, count(*) AS cnt, min(doc_id) AS keeper "
             "FROM dd WHERE text IS NOT NULL GROUP BY 1 HAVING count(*) > 1"
-        ),
-        "minhash_signatures": (
-            f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}) "
-            "SELECT doc_id, perm, min(md5(perm::VARCHAR || ':' || shingle)) AS sig "
-            "FROM sh, (SELECT unnest(generate_series(0, 7))::INT AS perm) p "
-            "GROUP BY doc_id, perm"
         ),
         "minhash_lsh_pairs": (
             f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}), "
@@ -557,31 +571,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_a, vec_b, round(dp / (na * nb), 6) AS cosine FROM sc "
             "WHERE round(dp / (na * nb), 6) >= 0.999"
         ),
-        "ann_topk_lsh": (
-            # same fixed hyperplane arithmetic as the Spark query
-            # (w(p,d) = +1 if (31p+17d)%7<3 else -1, n_planes=6)
-            "WITH z AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
-            "      generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
-            "bits AS (SELECT z.vec_id, p.plane, "
-            "  CASE WHEN sum(z.v * (CASE WHEN (p.plane * 31 + z.d * 17) % 7 < 3 THEN 1.0 ELSE -1.0 END)) > 0 "
-            "  THEN 1 ELSE 0 END AS bit "
-            "  FROM z, (SELECT unnest(generate_series(0, 5))::INT AS plane) p "
-            "  GROUP BY z.vec_id, p.plane), "
-            "bk AS (SELECT vec_id, sum(bit * (1 << plane))::BIGINT AS bucket FROM bits GROUP BY vec_id), "
-            "qb AS (SELECT bk.bucket AS q_bucket, e.embedding AS q_emb "
-            "       FROM bk JOIN embeddings e USING (vec_id) WHERE vec_id = 0), "
-            # multi-probe radius 1: the query bucket plus its Hamming-1
-            # neighbors (bit_count of the xor)
-            "cand AS (SELECT e.vec_id, e.embedding, qb.q_emb "
-            "         FROM embeddings e JOIN bk USING (vec_id), qb "
-            "         WHERE bit_count(xor(bk.bucket, qb.q_bucket)) <= 1 "
-            "         AND e.vec_id <> 0), "
-            "zz AS (SELECT vec_id, unnest(embedding)::DOUBLE AS a, unnest(q_emb)::DOUBLE AS b FROM cand), "
-            "sc AS (SELECT vec_id, sum(a * b) AS dp, sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb "
-            "       FROM zz GROUP BY vec_id) "
-            "SELECT vec_id, round(dp / (na * nb), 6) AS cosine FROM sc "
-            "ORDER BY cosine DESC, vec_id LIMIT 10"
-        ),
         "media_features": (
             # deterministic fake decoder (multimodal._decode_image_stub):
             # width = 64 + n_bytes % 1024; height = 64 + (sum of the first
@@ -721,3 +710,41 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
     return sql
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for extra_queries() (harness-only; see queries())."""
+    return {
+        "codec_plain_doubles": "SELECT event_id, value FROM events",
+        "minhash_signatures": (
+            f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}) "
+            "SELECT doc_id, perm, min(md5(perm::VARCHAR || ':' || shingle)) AS sig "
+            "FROM sh, (SELECT unnest(generate_series(0, 7))::INT AS perm) p "
+            "GROUP BY doc_id, perm"
+        ),
+        "ann_topk_lsh": (
+            # same fixed hyperplane arithmetic as the Spark query
+            # (w(p,d) = +1 if (31p+17d)%7<3 else -1, n_planes=6)
+            "WITH z AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
+            "      generate_subscripts(embedding, 1) - 1 AS d FROM embeddings), "
+            "bits AS (SELECT z.vec_id, p.plane, "
+            "  CASE WHEN sum(z.v * (CASE WHEN (p.plane * 31 + z.d * 17) % 7 < 3 THEN 1.0 ELSE -1.0 END)) > 0 "
+            "  THEN 1 ELSE 0 END AS bit "
+            "  FROM z, (SELECT unnest(generate_series(0, 5))::INT AS plane) p "
+            "  GROUP BY z.vec_id, p.plane), "
+            "bk AS (SELECT vec_id, sum(bit * (1 << plane))::BIGINT AS bucket FROM bits GROUP BY vec_id), "
+            "qb AS (SELECT bk.bucket AS q_bucket, e.embedding AS q_emb "
+            "       FROM bk JOIN embeddings e USING (vec_id) WHERE vec_id = 0), "
+            # multi-probe radius 1: the query bucket plus its Hamming-1
+            # neighbors (bit_count of the xor)
+            "cand AS (SELECT e.vec_id, e.embedding, qb.q_emb "
+            "         FROM embeddings e JOIN bk USING (vec_id), qb "
+            "         WHERE bit_count(xor(bk.bucket, qb.q_bucket)) <= 1 "
+            "         AND e.vec_id <> 0), "
+            "zz AS (SELECT vec_id, unnest(embedding)::DOUBLE AS a, unnest(q_emb)::DOUBLE AS b FROM cand), "
+            "sc AS (SELECT vec_id, sum(a * b) AS dp, sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb "
+            "       FROM zz GROUP BY vec_id) "
+            "SELECT vec_id, round(dp / (na * nb), 6) AS cosine FROM sc "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+    }

@@ -212,6 +212,7 @@ def main():
         import __spark_entry__ as entrymod
 
         qs = entrymod.queries()
+        query_runs: dict[str, list[float]] = {}
         for name in (
             "canonical_count",
             "minimizer_lex",
@@ -227,9 +228,17 @@ def main():
             "embedding_dup_pairs",
             "codec_roundtrip_documents",
         ):
-            t0 = time.perf_counter()
-            qs[name](s, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            # min-of-2 (same protocol as the encode runs): single-shot
+            # timings on this host produced phantom multi-x regressions
+            # (VERDICT r3 adjudicated one); noise only ever adds, so the
+            # minimum reflects machine capability. All runs are recorded.
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](s, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(runs)
+            query_runs[name] = runs
     finally:
         s.stop()
 
@@ -241,6 +250,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_runs": query_runs,
                 "sf": SF,
                 "encode": {
                     "pages_rows": PAGES_ROWS,

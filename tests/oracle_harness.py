@@ -56,6 +56,10 @@ def run(sf_dir: str, only: list[str] | None = None) -> dict[str, dict]:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # extra_queries: oracle-verified here but kept OUT of the driver's
+    # 50-row gate (see __spark_entry__.queries docstring)
+    qs = {**qs, **entrymod.extra_queries()}
+    oracles = {**oracles, **entrymod.extra_oracle_sql()}
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
