@@ -136,6 +136,30 @@ def _scan_pushdown_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scan_clustered_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan over a cluster_by= store: buckets hold contiguous ts
+    ranges (equal-frequency boundaries sampled at creation), so the
+    zone maps are disjoint and the manifest prunes ~all buckets
+    driver-side — the layout that makes time-range scans pay at 100 TB
+    (hash bucketing scatters values; zonemap.py). Result contract is
+    unchanged, so the oracle is plain SQL."""
+    import datetime
+    import hashlib
+
+    from kmers_spark.operators.decode import scan_table
+    from kmers_spark.operators.encode import encode_table
+
+    out = ("/tmp/kmers_scan_store_rng_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    encode_table(df, out, key="event_id", num_buckets=16, cluster_by="ts")
+    return scan_table(
+        spark, out,
+        [("ts", ">=", datetime.datetime(2024, 1, 12)),
+         ("ts", "<", datetime.datetime(2024, 1, 14))],
+    )
+
+
 def _ds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.read.format('kmers'): the store as a Catalyst table —
     pushFilters prunes buckets via manifest zone maps, the executor
@@ -201,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_filter_pushdown": _scan_pushdown,
         "scan_pushdown_ts_range": _scan_pushdown_ts,
         "scan_pushdown_segmented": _scan_pushdown_segmented,
+        "scan_clustered_range": _scan_clustered_range,
         "datasource_scan": _ds_scan,
         # --- training-data pipeline ops ---
         "dedup_exact": dedup.exact_dedup,
@@ -375,6 +400,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scan_pushdown_segmented": (
             "SELECT * FROM events WHERE event_type = 'view' AND value < 100.0"
+        ),
+        "scan_clustered_range": (
+            "SELECT * FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-12 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-14 00:00:00'"
         ),
         # training-data ops
         "dedup_exact": (

@@ -36,6 +36,12 @@ def main() -> None:
         "wave so a killed job loses at most one wave (default: all at once)",
     )
     ap.add_argument(
+        "--cluster-by", default=None, metavar="COL",
+        help="range-bucket by this column instead of the salted host hash "
+        "(equal-frequency boundaries sampled at creation; makes zone-map "
+        "pruning effective for range scans on COL)",
+    )
+    ap.add_argument(
         "--codec", action="append", default=[], metavar="COL=CODEC",
         help="per-column codec override (repeatable), e.g. html=words_seg "
         "for scan-optimized segmented storage or text=fsst; unset columns "
@@ -64,6 +70,7 @@ def main() -> None:
         resume=not args.fresh,
         commit_every=args.commit_every,
         codec_overrides=overrides or None,
+        cluster_by=args.cluster_by,
     )
     totals = {"raw": 0, "enc": 0}
     from kmers_spark import manifest

@@ -424,20 +424,38 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
     hot = m.get("hot_keys") or {}
     ranges = m.get("bucket_key_ranges", {})
     scheme = m.get("bucket_scheme", partitioning.LEGACY_SCHEME)
+
+    def candidates(k: str) -> list[int]:
+        """Buckets that could hold key k under the snapshot's scheme."""
+        if scheme != partitioning.RANGE_SCHEME:
+            return [partitioning.bucket_for_key(k, m["num_buckets"], hot,
+                                                scheme=scheme)]
+        if m.get("cluster_by") == key_col and m["schema"][key_col] == "string":
+            # range-bucketed ON the key: exact bucket via the same
+            # searchsorted rule encode used (driver-side bisect)
+            return [partitioning.range_bucket_for_value(
+                k, m["range_boundaries"], "string"
+            )]
+        # range-bucketed on a DIFFERENT column: the key hash says nothing
+        # about placement — every committed bucket is a candidate, and the
+        # per-bucket key ranges below do the pruning (blocks are key-
+        # sorted, so the recorded [key_min, key_max] stays exact)
+        return list(m.get("committed_buckets", []))
+
     buckets = set()
     for k in keys:
-        b = partitioning.bucket_for_key(k, m["num_buckets"], hot, scheme=scheme)
-        rng = ranges.get(str(b))
-        # no recorded range (legacy snapshot / empty bucket stats / non-
-        # string key column) keeps the bucket; a range excluding the key
-        # proves it's absent. Both ends must be strings to compare.
-        if (
-            rng is None
-            or not isinstance(rng[0], str)
-            or not isinstance(rng[1], str)
-            or rng[0] <= k <= rng[1]
-        ):
-            buckets.add(b)
+        for b in candidates(k):
+            rng = ranges.get(str(b))
+            # no recorded range (legacy snapshot / empty bucket stats /
+            # non-string key column) keeps the bucket; a range excluding
+            # the key proves it's absent. Both ends must be strings.
+            if (
+                rng is None
+                or not isinstance(rng[0], str)
+                or not isinstance(rng[1], str)
+                or rng[0] <= k <= rng[1]
+            ):
+                buckets.add(b)
     out_schema = ", ".join(
         f"`{c}` {_SPARK_TYPE[t]}" for c, t in manifest.ordered_schema(m).items()
     )

@@ -208,8 +208,24 @@ def encode_table(
     resume: bool = True,
     fail_buckets_over: int | None = None,
     commit_every: int | None = None,
+    cluster_by: str | None = None,
 ) -> dict:
     """Run the encode job; returns the updated manifest dict.
+
+    `cluster_by=<col>` switches bucketing from the salted host hash to
+    RANGE bucketing on that column: equal-frequency boundaries are
+    sampled once at table creation (one bounded job), recorded in the
+    manifest (bucket_scheme="range"), and rows are assigned by a
+    vectorized searchsorted — so each bucket holds one contiguous value
+    range and the per-block zone maps the commit already records become
+    DISJOINT. That converts the 4-layer scan stack from "prunes only
+    out-of-range predicates" (hash bucketing scatters values —
+    zonemap.py) to "prunes ~all buckets" for range filters on the
+    cluster column: the dominant warc_ts-range scan of a 100 TB crawl
+    reads ~selectivity×buckets instead of all of them. Equal-frequency
+    cuts are the skew control (no salting needed); the sample is the
+    only extra cost. Resume reuses the recorded boundaries, so
+    re-assignment is exact.
 
     `commit_every` splits the pending buckets into waves of that size,
     each written AND manifest-committed before the next starts: a job
@@ -227,14 +243,25 @@ def encode_table(
     schema = {f.name: selector.spark_type_name(f.dataType) for f in df.schema.fields}
     assert_utc_session(spark, schema)
 
+    if cluster_by is not None and cluster_by not in schema:
+        raise KeyError(f"cluster_by column {cluster_by!r} not in input schema")
+
     m = manifest.load(out_dir)
     if m is None or not resume:
         # hot-host detection from a sample: hot keys are, by definition,
-        # the ones a 5% sample cannot miss
+        # the ones a 5% sample cannot miss. Range bucketing needs no
+        # salting: equal-frequency boundaries bound skew by construction.
         hot = (
             partitioning.detect_hot_keys(df, num_buckets, key, sample_fraction=0.05)
-            if detect_skew
+            if detect_skew and cluster_by is None
             else {}
+        )
+        boundaries = (
+            partitioning.range_boundaries(
+                df, cluster_by, schema[cluster_by], num_buckets
+            )
+            if cluster_by is not None
+            else None
         )
 
         def create_or_config(cur: dict | None) -> dict:
@@ -258,9 +285,15 @@ def encode_table(
                     # (non-url keys all collapsed to the ""-host
                     # bucket); resume/lookups must reproduce whatever
                     # scheme wrote the committed blocks.
-                    "bucket_scheme": partitioning.BUCKET_SCHEME,
+                    "bucket_scheme": (
+                        partitioning.RANGE_SCHEME if cluster_by is not None
+                        else partitioning.BUCKET_SCHEME
+                    ),
                     "created_unix": int(time.time()),
                 }
+                if cluster_by is not None:
+                    cur["cluster_by"] = cluster_by
+                    cur["range_boundaries"] = boundaries
             elif cur["num_buckets"] != num_buckets or cur["schema"] != schema:
                 raise ValueError("existing manifest is incompatible with this job config")
             elif not resume:
@@ -296,7 +329,22 @@ def encode_table(
     if fail_buckets_over is not None:
         pending = [b for b in pending if b < fail_buckets_over]
     scheme = m.get("bucket_scheme", partitioning.LEGACY_SCHEME)
-    bucketed = plan_buckets(df, num_buckets, hot, key, scheme=scheme)
+    if cluster_by is not None and (
+        scheme != partitioning.RANGE_SCHEME or m.get("cluster_by") != cluster_by
+    ):
+        raise ValueError(
+            f"cluster_by={cluster_by!r} but snapshot {out_dir} was created "
+            f"with scheme={scheme!r} cluster_by={m.get('cluster_by')!r}; "
+            "bucketing is part of the snapshot format"
+        )
+    if scheme == partitioning.RANGE_SCHEME:
+        # boundaries come from the MANIFEST (not this call's sample):
+        # resume must re-assign rows exactly as the committed waves did
+        bucketed = partitioning.with_bucket_range(
+            df, m["cluster_by"], schema[m["cluster_by"]], m["range_boundaries"]
+        )
+    else:
+        bucketed = plan_buckets(df, num_buckets, hot, key, scheme=scheme)
 
     if commit_every:
         waves = [pending[i : i + commit_every] for i in range(0, len(pending), commit_every)]

@@ -26,6 +26,17 @@ _HOST_RE = re.compile(HOST_PATTERN)
 
 BUCKET_SCHEME = "host_or_key"          # written into new manifests
 LEGACY_SCHEME = "host_only"            # pre-scheme snapshots
+RANGE_SCHEME = "range"                 # cluster_by= snapshots
+
+# driver-side sample size for range boundaries; the collect is bounded
+# at this many scalars regardless of table size (TakeOrdered, not a
+# full sort)
+RANGE_SAMPLE_N = 100_000
+# string boundaries are truncated to this many chars before they land
+# in the manifest (bucketing only needs a CONSISTENT comparison value,
+# not the exact one — the same truncated list is used by the encode
+# expression and every driver-side mirror)
+RANGE_STR_BOUND = 64
 
 
 def with_host(df: DataFrame, url_col: str = "url",
@@ -98,6 +109,101 @@ def with_bucket(df: DataFrame, num_buckets: int, hot_keys: dict[str, int],
         F.pmod(F.xxhash64(F.col("_host"), salt.cast("long")), F.lit(num_buckets)).cast("int"),
     )
     return d.drop("_host", "_n_salts") if hot_keys else d.drop("_host")
+
+
+def range_boundaries(df: DataFrame, col: str, typ: str, num_buckets: int,
+                     sample_n: int = RANGE_SAMPLE_N, seed: int = 42) -> list:
+    """num_buckets-1 equal-frequency cut points for `col`, in BOUND space
+    (epoch-us ints for timestamps, floats, ints, truncated strings —
+    the JSON-safe space zonemap stores bounds in, so the manifest can
+    carry them).
+
+    One bounded job: rows get a rand(seed) rank and TakeOrdered pulls
+    the lowest `sample_n` to the driver (no full sort, no full shuffle —
+    the same plan shape as df.orderBy(rand).limit). Quantiles of the
+    sample become the boundaries. Equal-frequency cuts ARE the skew
+    control for this scheme: a value holding p% of rows occupies ~p% of
+    buckets' worth of boundary slots, so no per-host salting is needed.
+    Heavy hitters beyond one bucket's width still collapse into one
+    bucket (ties can't be split by a range rule); that residual skew is
+    bounded by the hitter's own frequency and is the documented cost of
+    clustering (a hash scheme scatters the scan instead).
+    """
+    from .. import zonemap
+
+    if typ not in zonemap.PRUNABLE:
+        raise ValueError(
+            f"cluster_by column {col!r} has type {typ!r}; range bucketing "
+            f"needs an orderable type {zonemap.PRUNABLE}"
+        )
+    if num_buckets < 2:
+        return []
+    sample = (
+        df.select(F.col(col).alias("_v"))
+        .where(F.col(col).isNotNull())
+        .withColumn("_r", F.rand(seed))
+        .orderBy("_r")
+        .limit(sample_n)
+        .select("_v")
+        .collect()
+    )
+    vals = sorted(zonemap.to_bound_space(r["_v"], typ) for r in sample)
+    if typ == "string":
+        vals = [v[:RANGE_STR_BOUND] for v in vals]
+    if not vals:
+        return []
+    # quantile cut points; duplicates collapse (ties make empty buckets,
+    # which commit fine), boundaries stay sorted by construction
+    n = len(vals)
+    return [vals[min(n - 1, (i * n) // num_buckets)] for i in range(1, num_buckets)]
+
+
+def _bound_lit(value, typ: str):
+    """Bound-space value -> Spark literal in the column's native type
+    (same construction as decode._filters_expr: epoch-us ints become
+    timestamp_micros, which is exact for both ts and ntz under the
+    UTC-pinned session every encode job runs in)."""
+    ddl = {"timestamp": "timestamp", "timestamp_ntz": "timestamp_ntz"}.get(typ)
+    if ddl is not None:
+        return F.timestamp_micros(F.lit(int(value))).cast(ddl)
+    return F.lit(value)
+
+
+def with_bucket_range(df: DataFrame, col: str, typ: str,
+                      boundaries: list) -> DataFrame:
+    """Add a `bucket` column: count of boundaries <= value (a vectorized
+    searchsorted over an array literal — stays in whole-stage codegen,
+    no UDF, no shuffle). NULL cluster values land in bucket 0 (the
+    comparison is NULL for every boundary, so the filter keeps none).
+
+    Linear in num_buckets per row; fine through ~10^3 boundaries. A
+    10^5-bucket layout should nest: range-bucket to ~10^3 coarse ranges
+    here, then hash within each (composite scheme) — the manifest's
+    scheme field leaves room for that variant."""
+    if not boundaries:
+        return df.withColumn("bucket", F.lit(0).cast("int"))
+    v = F.col(col) if typ != "string" else F.substring(F.col(col), 1, RANGE_STR_BOUND)
+    arr = F.array(*[_bound_lit(b, typ) for b in boundaries])
+    return df.withColumn(
+        "bucket", F.size(F.filter(arr, lambda b: b <= v)).cast("int")
+    )
+
+
+def range_bucket_for_value(value, boundaries: list, typ: str) -> int:
+    """Driver-side mirror of with_bucket_range for ONE value: same
+    count-of-boundaries<=v rule via bisect on the sorted boundary list
+    (boundaries are in bound space; the value is mapped through the
+    same zonemap.to_bound_space)."""
+    import bisect
+
+    from .. import zonemap
+
+    if value is None:
+        return 0
+    bv = zonemap.to_bound_space(value, typ)
+    if typ == "string":
+        bv = bv[:RANGE_STR_BOUND]
+    return bisect.bisect_right(boundaries, bv)
 
 
 def bucket_for_key(key: str, num_buckets: int, hot_keys: dict[str, int],
