@@ -12,12 +12,14 @@ the manifest is an immutable chain of versions `manifest-v{N}.json`.
 A commit loads the latest version, applies its mutation (which may
 VALIDATE and raise — e.g. a bucket committed twice), writes the result
 to a temp file, and publishes it as version N+1 with an atomic
-create-if-absent (`os.link`, which fails EEXIST if another committer
-won the race — the local-filesystem analogue of S3's conditional PUT /
-If-None-Match). A lost race reloads the new latest, re-validates, and
-retries: concurrent committers serialize without any lock file, and
-the protocol carries over to an object store by swapping `os.link`
-for a conditional put. `version-hint.text` is a best-effort pointer
+create-if-absent through the INJECTABLE publish backend: the default
+`LocalLinkBackend` uses `os.link` (fails EEXIST if another committer
+won the race), and `ConditionalPutBackend` implements the object-store
+shape (whole-object upload-if-absent — S3 If-None-Match:*); both pass
+the same contract suite (tests/test_publish_backend.py). A lost race
+reloads the new latest, re-validates, and retries: concurrent
+committers serialize without any lock file.
+`version-hint.text` is a best-effort pointer
 (Iceberg parity / debuggability); readers always resolve the latest
 version by listing, which is crash-safe.
 """
@@ -35,6 +37,76 @@ LEGACY_NAME = "manifest.json"
 VERSION_PREFIX = "manifest-v"
 
 
+# ---------------------------------------------------------------- publish
+# The CAS primitive is injectable: commit() needs exactly one atomic
+# "create this name if absent" operation, and everything else is plain
+# reads/lists. Local filesystems get os.link; an object store gets a
+# conditional PUT (S3 If-None-Match:*, GCS if-generation-match=0, Azure
+# If-None-Match:*). The contract test suite (tests/test_publish_backend)
+# runs the same race/retention scenarios against every backend.
+
+class LocalLinkBackend:
+    """Default: POSIX hard-link create-if-absent (atomic on one host /
+    shared POSIX filesystem)."""
+
+    name = "local_link"
+
+    def publish(self, tmp_path: str, version_path: str) -> bool:
+        """Atomically bind version_path to tmp_path's content iff the
+        name is absent. True = won the CAS; False = lost (name taken)."""
+        try:
+            os.link(tmp_path, version_path)
+        except FileExistsError:
+            return False
+        return True
+
+    def overwrite(self, tmp_path: str, path: str) -> None:
+        """Unconditional atomic replace (retention tombstones — the
+        object-store analogue is a plain PUT to an existing key)."""
+        os.replace(tmp_path, path)
+
+
+class ConditionalPutBackend:
+    """Mock object-store backend: emulates a whole-object conditional
+    PUT (upload-if-absent) — the content is COPIED to the target name
+    under O_CREAT|O_EXCL instead of hard-linked, which is exactly the
+    operation shape S3/GCS/Azure offer (no links, no renames across
+    keys). Mock-only caveat: a real store's PUT is atomic w.r.t.
+    readers, while this emulation has a microscopic partial-read window
+    between create and write — _read_json treats truncated JSON as
+    not-yet-visible and retries, which covers it."""
+
+    name = "conditional_put"
+
+    def publish(self, tmp_path: str, version_path: str) -> bool:
+        try:
+            fd = os.open(version_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            with open(tmp_path, "rb") as src:
+                f.write(src.read())
+            f.flush()
+            os.fsync(f.fileno())
+        return True
+
+    def overwrite(self, tmp_path: str, path: str) -> None:
+        # a plain PUT replaces the object wholesale; emulating with
+        # replace keeps the reader-atomicity the real store gives
+        os.replace(tmp_path, path)
+
+
+_backend = LocalLinkBackend()
+
+
+def set_publish_backend(backend) -> object:
+    """Inject the CAS publish backend (returns the previous one).
+    Anything with publish(tmp, path) -> bool and overwrite(tmp, path)."""
+    global _backend
+    prev, _backend = _backend, backend
+    return prev
+
+
 def _vpath(out_dir: str, v: int) -> str:
     return os.path.join(out_dir, f"{VERSION_PREFIX}{v}.json")
 
@@ -44,6 +116,11 @@ def _read_json(path: str) -> dict[str, Any] | None:
         with open(path) as f:
             return json.load(f)
     except FileNotFoundError:
+        return None
+    except json.JSONDecodeError:
+        # a half-written object (ConditionalPutBackend's mock window, or
+        # a crashed legacy-file writer) is "not visible yet" — callers
+        # retry against the listing rather than crashing mid-commit
         return None
 
 
@@ -143,12 +220,10 @@ def commit(out_dir: str, mutate: Callable[[dict[str, Any] | None], dict[str, Any
             json.dump(new, f, indent=1, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
-        try:
-            os.link(tmp, _vpath(out_dir, v + 1))  # atomic create-if-absent
-        except FileExistsError:
-            os.unlink(tmp)
-            continue  # lost the race: reload, re-validate, retry
+        won = _backend.publish(tmp, _vpath(out_dir, v + 1))  # atomic create-if-absent
         os.unlink(tmp)
+        if not won:
+            continue  # lost the race: reload, re-validate, retry
         _after_publish(out_dir, v + 1)
         return new
     raise RuntimeError(f"manifest commit lost the CAS {max_retries} times")
@@ -440,7 +515,7 @@ def expire_versions(out_dir: str, keep_last: int = 10) -> list[int]:
             json.dump({"expired": True, "expired_unix": int(time.time())}, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, _vpath(out_dir, v))  # atomic: the name never vanishes
+        _backend.overwrite(tmp, _vpath(out_dir, v))  # atomic: the name never vanishes
         expired.append(v)
     return expired
 
