@@ -58,16 +58,27 @@ from .manifest import SPARK_DDL_TYPES as _SPARK_TYPE
 
 
 def plan_bucket_partitions(path: str, m: dict, buckets, cols: list[str],
-                           blocks: dict | None = None):
-    """One InputPartition per bucket: (bucket, wave paths, allowed-
-    missing columns). The wave map is inverted ONCE (O(buckets +
+                           blocks: dict | None = None,
+                           buckets_per_task: int = 1):
+    """InputPartitions of (bucket list, wave paths, {bucket: allowed-
+    missing columns}). The wave map is inverted ONCE (O(buckets +
     wave_dirs), not O(buckets × wave_dirs) — at 10^5 buckets and 10^3
     waves the difference is the whole planning budget); the per-bucket
-    missing set rides in the partition so executors enforce the same
+    missing sets ride in the partition so executors enforce the same
     corruption-vs-evolution distinction as decode_blocks_df without
-    re-reading the manifest."""
+    re-reading the manifest.
+
+    `buckets_per_task` > 1 coalesces adjacent buckets into one task
+    (ceil(buckets/N) partitions): a 10^5-bucket store need not spawn
+    10^5 Python workers — each task still reads with per-bucket
+    parquet predicates (one isin over its chunk) and decodes bucket by
+    bucket, so memory stays bounded at one bucket's blocks plus the
+    fetched chunk. Buckets are chunked in sorted order, which keeps a
+    range-bucketed (cluster_by) store's tasks range-contiguous."""
     from . import manifest as mf
 
+    if buckets_per_task < 1:
+        raise ValueError("buckets_per_task must be >= 1")
     wb = m.get("wave_buckets", {})
     wave_dirs = m.get("wave_dirs")
     if wave_dirs is None:
@@ -85,11 +96,16 @@ def plan_bucket_partitions(path: str, m: dict, buckets, cols: list[str],
     missing = (
         mf.missing_columns(m, cols, blocks=blocks) if m.get("evolved") else {}
     )
-    return [
-        InputPartition((b, paths, sorted(missing.get(b, ()))))
-        for b, paths in sorted(by_bucket.items())
-        if paths
-    ]
+    live = [(b, paths) for b, paths in sorted(by_bucket.items()) if paths]
+    parts = []
+    for i in range(0, len(live), buckets_per_task):
+        chunk = live[i : i + buckets_per_task]
+        bs = [b for b, _p in chunk]
+        paths = sorted({p for _b, ps in chunk for p in ps})
+        parts.append(InputPartition((
+            bs, paths, {b: sorted(missing.get(b, ())) for b in bs}
+        )))
+    return parts
 
 
 class KmersDataSource(DataSource):
@@ -133,6 +149,12 @@ class KmersReader(DataSourceReader):
         self.full_schema = manifest.ordered_schema(m)
         self.projected = [f.name for f in schema.fields]
         self.triples: list[tuple] = []  # (col, op, value) we act on
+        # option("bucketsPerTask", N): coalesce N buckets per task so a
+        # 10^5-bucket store plans ceil/N partitions (options arrive
+        # lower-cased through the Python DS API)
+        raw = (options.get("bucketspertask")
+               or options.get("buckets_per_task") or "1")
+        self.buckets_per_task = max(1, int(raw))
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         from . import zonemap
@@ -210,7 +232,8 @@ class KmersReader(DataSourceReader):
             else list(self.m.get("committed_buckets", []))
         )
         return plan_bucket_partitions(self.path, self.m, buckets,
-                                      list(self.full_schema), blocks=blocks)
+                                      list(self.full_schema), blocks=blocks,
+                                      buckets_per_task=self.buckets_per_task)
 
     def read(self, partition: InputPartition) -> Iterator:
         import json
@@ -220,15 +243,15 @@ class KmersReader(DataSourceReader):
 
         from . import arrowcodecs, zonemap
 
-        bucket, paths, miss = partition.value
-        miss = set(miss)
+        bucket_list, paths, miss_map = partition.value
+        miss_map = {int(b): set(v) for b, v in miss_map.items()}
         # column pruning reaches the block-row fetch: only projected +
         # filter columns' payloads are read (plus the key column as a
         # row-count anchor when everything needed is evolution-missing
-        # in this bucket — the key always has a block)
+        # in some bucket — the key always has a block)
         needed = set(self.projected) | {c for c, _op, _v in self.triples}
         key = self.m.get("key") if isinstance(self.m, dict) else None
-        if key and not (needed - miss):
+        if key and any(not (needed - miss) for miss in miss_map.values()):
             needed.add(key)
         # each wave path is a DIRECTORY of part files; a list of dirs
         # needs a union of per-dir datasets
@@ -238,73 +261,84 @@ class KmersReader(DataSourceReader):
             else pads.dataset([pads.dataset(p, format="parquet") for p in paths])
         )
         tbl = dataset.to_table(
-            filter=(pads.field("bucket") == bucket)
+            filter=pads.field("bucket").isin(list(bucket_list))
             & pads.field("column").isin(sorted(needed)),
-            columns=["column", "meta", "payload"],
+            columns=["bucket", "column", "meta", "payload"],
         )
         if tbl.num_rows == 0:
             return
-        col_names = tbl.column("column").to_pylist()
-        metas = tbl.column("meta").to_pylist()
+        row_buckets = tbl.column("bucket").to_pylist()
+        all_cols = tbl.column("column").to_pylist()
+        all_metas = tbl.column("meta").to_pylist()
         payloads = tbl.column("payload")
-        if len(set(col_names)) != len(col_names):
-            raise ValueError(
-                f"duplicate block rows for bucket {bucket}: "
-                f"{sorted(col_names)} (corrupt wave dir)"
-            )
-        idx = {c: i for i, c in enumerate(col_names)}
-        # same integrity contract as decode_blocks_df: evolution
-        # null-fills ONLY manifest-recorded gaps; anything else is
-        # corruption, not silently-wrong data
-        absent = [c for c in needed
-                  if c in self.full_schema and c not in idx and c not in miss]
-        stray = [c for c in idx if c not in self.full_schema]
-        if absent or stray:
-            raise ValueError(
-                f"bucket {bucket} block set is corrupt: missing columns "
-                f"{absent}, stray columns {stray}"
-            )
-        arrays: dict[str, pa.Array] = {}
-        n_rows = json.loads(metas[next(iter(idx.values()))])["n"]
-
-        def dec(cname: str) -> pa.Array:
-            if cname not in arrays:
-                if cname in idx:
-                    i = idx[cname]
-                    arrays[cname] = arrowcodecs.decode_column_arrow(
-                        payloads[i].as_py(), json.loads(metas[i])
-                    )
-                else:  # schema-evolved column: null-fill
-                    arrays[cname] = pa.nulls(
-                        n_rows, type=zonemap.arrow_type(self.full_schema[cname])
-                    )
-            return arrays[cname]
-
+        per_bucket: dict[int, dict[str, int]] = {}
+        for i, b in enumerate(row_buckets):
+            idx = per_bucket.setdefault(int(b), {})
+            if all_cols[i] in idx:
+                raise ValueError(
+                    f"duplicate block rows for bucket {b}: column "
+                    f"{all_cols[i]!r} appears twice (corrupt wave dir)"
+                )
+            idx[all_cols[i]] = i
         norm = self._norm()
-        if norm:
-            import pyarrow.compute as pc
+        # decode bucket by bucket: the coalesced task's working set stays
+        # one bucket's decoded columns at a time
+        for bucket in sorted(per_bucket):
+            idx = per_bucket[bucket]
+            miss = miss_map.get(bucket, set())
+            # same integrity contract as decode_blocks_df: evolution
+            # null-fills ONLY manifest-recorded gaps; anything else is
+            # corruption, not silently-wrong data
+            absent = [c for c in needed
+                      if c in self.full_schema and c not in idx and c not in miss]
+            stray = [c for c in idx if c not in self.full_schema]
+            if absent or stray:
+                raise ValueError(
+                    f"bucket {bucket} block set is corrupt: missing columns "
+                    f"{absent}, stray columns {stray}"
+                )
+            arrays: dict[str, pa.Array] = {}
+            n_rows = json.loads(all_metas[next(iter(idx.values()))])["n"]
 
-            mask = zonemap.arrow_mask(dec, norm)
-            nsel = pc.sum(mask).as_py() or 0
-            if not nsel:
-                return
-            sel = mask.to_numpy(zero_copy_only=False)
-            out = {}
-            for c in self.projected:
-                if c in arrays:
-                    out[c] = arrays[c].filter(mask)
-                elif c in idx:
-                    out[c] = arrowcodecs.decode_column_arrow_selected(
-                        payloads[idx[c]].as_py(), json.loads(metas[idx[c]]), sel
-                    )
-                else:
-                    out[c] = pa.nulls(
-                        nsel, type=zonemap.arrow_type(self.full_schema[c])
-                    )
-            table = pa.table(out)
-        else:
-            table = pa.table({c: dec(c) for c in self.projected})
-        yield from table.to_batches()
+            def dec(cname: str, _idx=idx, _arrays=None, _n=n_rows):
+                arrs = arrays if _arrays is None else _arrays
+                if cname not in arrs:
+                    if cname in _idx:
+                        i = _idx[cname]
+                        arrs[cname] = arrowcodecs.decode_column_arrow(
+                            payloads[i].as_py(), json.loads(all_metas[i])
+                        )
+                    else:  # schema-evolved column: null-fill
+                        arrs[cname] = pa.nulls(
+                            _n, type=zonemap.arrow_type(self.full_schema[cname])
+                        )
+                return arrs[cname]
+
+            if norm:
+                import pyarrow.compute as pc
+
+                mask = zonemap.arrow_mask(dec, norm)
+                nsel = pc.sum(mask).as_py() or 0
+                if not nsel:
+                    continue
+                sel = mask.to_numpy(zero_copy_only=False)
+                out = {}
+                for c in self.projected:
+                    if c in arrays:
+                        out[c] = arrays[c].filter(mask)
+                    elif c in idx:
+                        out[c] = arrowcodecs.decode_column_arrow_selected(
+                            payloads[idx[c]].as_py(),
+                            json.loads(all_metas[idx[c]]), sel
+                        )
+                    else:
+                        out[c] = pa.nulls(
+                            nsel, type=zonemap.arrow_type(self.full_schema[c])
+                        )
+                table = pa.table(out)
+            else:
+                table = pa.table({c: dec(c) for c in self.projected})
+            yield from table.to_batches()
 
 
 from pyspark.sql.datasource import DataSourceStreamReader

@@ -321,3 +321,37 @@ def test_like_prefix_pushdown(spark, ds_store):
     list(r.pushFilters([StringStartsWith(("url",), "https://hostz")]))
     assert ("url", ">=", "https://hostz") in r.triples
     assert ("url", "<", "https://host{") in r.triples  # 'z'+1 == '{'
+
+
+def test_buckets_per_task_coalescing(spark, ds_store):
+    """option('bucketsPerTask', N): ceil(buckets/N) input partitions,
+    identical results (VERDICT r3 #5 — a 10^5-bucket store must not
+    spawn 10^5 Python tasks)."""
+    import math
+
+    from kmers_spark.datasource import KmersReader, plan_bucket_partitions
+
+    out, df = ds_store
+    m = manifest.load(out)
+    committed = list(m.get("committed_buckets", []))
+    for n in (1, 3, 8, 100):
+        parts = plan_bucket_partitions(out, m, committed, list(df.columns),
+                                       buckets_per_task=n)
+        assert len(parts) == math.ceil(len(committed) / n)
+        covered = sorted(b for p in parts for b in p.value[0])
+        assert covered == sorted(committed)  # every bucket exactly once
+
+    t = spark.read.format("kmers").option("bucketsPerTask", "3").load(out)
+    got = t.toPandas().sort_values("url").reset_index(drop=True)
+    want = df.toPandas().sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+    # filters still exact through a coalesced read
+    sel = (
+        spark.read.format("kmers").option("bucketsPerTask", "4").load(out)
+        .filter("lang = 'pl'").toPandas().sort_values("url").reset_index(drop=True)
+    )
+    want_sel = (
+        df.filter(F.col("lang") == "pl").toPandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    assert sel.equals(want_sel)
