@@ -446,15 +446,34 @@ def evolve_schema(out_dir: str, add: dict[str, str]) -> dict[str, Any]:
     return commit(out_dir, mutate)
 
 
-def block_stats(out_dir: str, m: dict[str, Any]) -> dict[str, list]:
+def block_stats(out_dir: str, m: dict[str, Any],
+                buckets: list | set | None = None) -> dict[str, list]:
     """Merged per-(bucket)->[per-column block stats]: root-inline
     entries plus any spilled per-wave stats files. Buckets commit once,
     so the sources never overlap. This is the ONE accessor pruning,
     evolution null-fill sets, and observability read stats through —
     they must not touch m['blocks'] directly or spilled waves vanish
-    from their view."""
+    from their view.
+
+    `buckets` restricts the read to spill files of waves holding at
+    least one of them (via wave_buckets — the same file-level pruning
+    the data reads use): a point lookup against an evolved, spilled
+    10^5-bucket snapshot opens ~1 stats file instead of all of them.
+    Only sound when the CALLER also restricts itself to those buckets
+    (other buckets' stats are absent from the result, not empty)."""
     out = dict(m.get("blocks", {}))
-    for rel in m.get("stats_files", []):
+    rels = m.get("stats_files", [])
+    if buckets is not None:
+        want = {int(b) for b in buckets}
+        wb = m.get("wave_buckets", {})
+
+        def keep(rel: str) -> bool:
+            wave = rel.rsplit("/", 1)[0]
+            # a wave without a recorded bucket list must stay in
+            return wave not in wb or bool(want.intersection(wb[wave]))
+
+        rels = [rel for rel in rels if keep(rel)]
+    for rel in rels:
         try:
             with open(os.path.join(out_dir, rel)) as f:
                 out.update(json.load(f))

@@ -66,7 +66,10 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
     # the manifest's per-bucket column sets (Iceberg read-as-null)
     missing = (
         manifest.missing_columns(
-            m, cols, blocks=manifest.block_stats(out_dir, m)
+            # bucket-restricted reads also restrict the spilled stats
+            # files opened (wave-level pruning; a point lookup on an
+            # evolved 10^5-bucket snapshot opens ~1 file, not all)
+            m, cols, blocks=manifest.block_stats(out_dir, m, buckets=buckets)
         )
         if m.get("evolved")  # never-evolved: skip the stats read entirely
         else {}
@@ -519,7 +522,10 @@ def decode_colocated(spark: SparkSession, out_dir: str,
     cols = list(schema.keys())
     missing = (
         manifest.missing_columns(
-            m, cols, blocks=manifest.block_stats(out_dir, m)
+            # bucket-restricted reads also restrict the spilled stats
+            # files opened (wave-level pruning; a point lookup on an
+            # evolved 10^5-bucket snapshot opens ~1 file, not all)
+            m, cols, blocks=manifest.block_stats(out_dir, m, buckets=buckets)
         )
         if m.get("evolved")  # never-evolved: skip the stats read entirely
         else {}

@@ -154,3 +154,45 @@ def test_evolution_null_fill_reads_spilled_stats(spark, tmp_path):
     assert got.count() == 800
     assert got.filter(F.col("score").isNull()).count() > 0
     assert got.filter(F.col("score").isNotNull()).count() > 0
+
+
+def test_lookup_opens_only_surviving_waves_spill_files(spark, tmp_path,
+                                                       monkeypatch):
+    """VERDICT r3 #6: on an evolved+spilled store, a bucket-restricted
+    read must open only the spill files of waves holding its buckets —
+    not every wave's (counted via an instrumented open)."""
+    import builtins
+
+    out = str(tmp_path / "spill_prune")
+    df = pages.pages_df(spark, 1200, seed=79, partitions=4).cache()
+    old = manifest.STATS_SPILL_ENTRIES
+    manifest.STATS_SPILL_ENTRIES = 0
+    try:
+        encode_table(df, out, num_buckets=8, detect_skew=False, commit_every=2)
+    finally:
+        manifest.STATS_SPILL_ENTRIES = old
+    manifest.evolve_schema(out, {"score": "double"})
+    m = manifest.load(out)
+    n_spills = len(m.get("stats_files", []))
+    assert n_spills == 4  # 8 buckets / commit_every=2
+
+    url = df.select("url").first()["url"]
+    opened: list[str] = []
+    real_open = builtins.open
+
+    def counting_open(path, *a, **kw):
+        if isinstance(path, str) and path.endswith(manifest.BLOCK_STATS_NAME):
+            opened.append(path)
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+    got = lookup_keys(spark, out, [url])
+    monkeypatch.undo()
+    assert 1 <= len(opened) < n_spills, opened
+    # and the lookup is still correct (score null-fills on the old rows)
+    row = got.collect()
+    assert len(row) == 1 and row[0]["url"] == url
+
+    # unrestricted decode still merges ALL spill files
+    blocks_all = manifest.block_stats(out, manifest.load(out))
+    assert len(blocks_all) == 8
