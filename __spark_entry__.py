@@ -240,6 +240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": textqc.repetition_score,
         "source_quality": textqc.source_quality,
         "ann_cosine_topk": ann.cosine_topk,
+        # same scoring, embeddings read from the COMPRESSED store
+        # (array<float> vec_plain codec) — identical oracle to prove the
+        # store serves the similarity workload end-to-end
+        "ann_store_cosine_topk": ann.store_cosine_topk,
         "ann_topk_lsh_multi": ann.ann_topk_lsh_multi,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "ann_ivf_lloyd_topk": ann.ann_ivf_lloyd_topk,
@@ -727,6 +731,17 @@ def oracle_sql() -> dict[str, str]:
             "s2 AS (SELECT vec_id, sum(x * y) AS dp, sqrt(sum(x * x)) AS na, "
             "       sqrt(sum(y * y)) AS nb FROM zz GROUP BY vec_id) "
             "SELECT vec_id, round(dp / (na * nb), 6) AS cosine FROM s2 "
+            "ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        # identical result contract to ann_cosine_topk: the store decode
+        # is bit-identical, so the same SQL is the oracle
+        "ann_store_cosine_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+            "z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b "
+            "      FROM embeddings e, q WHERE e.vec_id <> 0), "
+            "s AS (SELECT vec_id, sum(a * b) AS dp, sqrt(sum(a * a)) AS na, sqrt(sum(b * b)) AS nb "
+            "      FROM z GROUP BY vec_id) "
+            "SELECT vec_id, round(dp / (na * nb), 6) AS cosine FROM s "
             "ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
         "ann_cosine_topk": (

@@ -144,6 +144,20 @@ def encode_column_arrow(arr: pa.Array, codec: str, typ: str) -> tuple[bytes, dic
         if mask is not None:
             v[~mask] = 0.0
         body, codec = codecs_mod._encode_double(v, codec, meta)
+
+    elif typ == "float_array":
+        if codec != "vec_plain":
+            raise ValueError(f"codec {codec!r} not valid for type {typ!r}")
+        # element counts with nulls as 0, then one flat float32 buffer —
+        # byte-identical to the pandas path (flatten drops null slots)
+        lens = pc.fill_null(pc.list_value_length(arr), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        codecs_mod._check_block_bytes(int(lens.sum()) * 4)
+        offs = np.zeros(n + 1, dtype="<u4")
+        offs[1:] = np.cumsum(lens, dtype=np.uint64)
+        flat = arr.flatten().cast(pa.float32()) \
+            .to_numpy(zero_copy_only=False).astype("<f4")
+        body = offs.tobytes() + flat.tobytes()
     else:
         raise ValueError(f"unknown type {typ!r}")
 
@@ -248,6 +262,8 @@ def column_stats_arrow(arr: pa.Array, typ: str, sample_max: int = 8192) -> dict:
     s = arr.slice(0, min(len(arr), sample_max))
     n = len(s)
     stats: dict = {"n": n, "n_null": s.null_count, "n_total": len(arr)}
+    if typ == "float_array":
+        return stats  # vectors: no distinct/run stats, codec is vec_plain
     if n == 0 or s.null_count == n:
         stats.update(distinct=0, mean_run=0.0)
         return stats
@@ -478,6 +494,24 @@ def decode_column_arrow(payload: bytes, meta: dict, spark_type: "pa.DataType | N
     if typ == "double":
         v = codecs_mod._decode_double(body, meta, n)
         return _with_mask(pa.array(v, type=pa.float64()), mask)
+
+    if typ == "float_array":
+        offs = np.frombuffer(body, dtype="<u4", count=n + 1).astype("<i4")
+        flat = np.frombuffer(body[4 * (n + 1):], dtype="<f4",
+                             count=int(offs[-1]))
+        values = pa.Array.from_buffers(
+            pa.float32(), len(flat), [None, pa.py_buffer(flat.tobytes())]
+        )
+        null_buf = None
+        nc = 0
+        if mask is not None:
+            null_buf = pa.py_buffer(np.packbits(mask, bitorder="little").tobytes())
+            nc = int((~mask).sum())
+        return pa.Array.from_buffers(
+            pa.list_(pa.float32()), n,
+            [null_buf, pa.py_buffer(np.ascontiguousarray(offs).tobytes())],
+            null_count=nc, children=[values],
+        )
     raise ValueError(f"unknown type {typ!r}")
 
 

@@ -88,6 +88,12 @@ STRING_CODECS = ("plain", "dict", "dict_rle", "fsst", "words", "prefix")
 SEGMENTED_CODECS = ("words_seg",)  # + any "seg:<inner>" wrapper name
 INT_CODECS = ("plain", "for_bitpack", "dict_rle_int", "rle_int", "sortdelta")
 FLOAT_CODECS = ("plain", "dec_scale", "xor_float")
+# float32 vectors (embeddings): u32 element offsets + raw little-endian
+# float32 values. Dense embeddings are near-incompressible, so the only
+# codec is the offset/values layout; the generic entropy backstop
+# (_maybe_zlib) still fires when a table IS compressible (zero-padded
+# or quantized vectors).
+VEC_CODECS = ("vec_plain",)
 TYPE_DEFAULT_CODEC = {
     "string": "fsst",
     "binary": "fsst",
@@ -95,6 +101,7 @@ TYPE_DEFAULT_CODEC = {
     "timestamp": "for_bitpack",
     "timestamp_ntz": "for_bitpack",
     "double": "plain",
+    "float_array": "vec_plain",
 }
 
 
@@ -356,6 +363,24 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
         v = series.to_numpy(dtype=np.float64).copy()
         v[~mask] = 0.0
         body, codec = _encode_double(v, codec, meta)
+
+    elif typ == "float_array":
+        if codec != "vec_plain":
+            raise ValueError(f"codec {codec!r} not valid for type {typ!r}")
+        vals = series.to_numpy(dtype=object)
+        lens = np.array(
+            [len(vals[i]) if mask[i] else 0 for i in range(n)], dtype=np.int64
+        )
+        _check_block_bytes(int(lens.sum()) * 4)
+        offs = np.zeros(n + 1, dtype="<u4")
+        offs[1:] = np.cumsum(lens, dtype=np.uint64)
+        flat = (
+            np.concatenate([np.asarray(vals[i], dtype="<f4")
+                            for i in range(n) if mask[i] and lens[i]])
+            if int(lens.sum())
+            else np.zeros(0, dtype="<f4")
+        )
+        body = offs.tobytes() + flat.astype("<f4").tobytes()
     else:
         raise ValueError(f"unknown type {typ!r}")
 
@@ -423,5 +448,16 @@ def decode_column(payload: bytes, meta: dict) -> pd.Series:
         out = pd.Series(v, dtype="Float64")
         out[~mask] = pd.NA
         return out
+
+    if typ == "float_array":
+        offs = np.frombuffer(body, dtype="<u4", count=n + 1).astype(np.int64)
+        flat = np.frombuffer(body[4 * (n + 1):], dtype="<f4",
+                             count=int(offs[-1]))
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            out[i] = flat[offs[i]:offs[i + 1]].copy()
+        if mask is not None:
+            out[~mask] = None
+        return pd.Series(out, dtype=object)
 
     raise ValueError(f"unknown type {typ!r}")

@@ -44,7 +44,12 @@ def cosine_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10
     embarrassingly parallel, no shuffle until the final top-k (which is
     a TakeOrdered, not a full sort).
     """
-    e = _emb(spark, sf_dir)
+    return cosine_topk_df(_emb(spark, sf_dir), query_id, k)
+
+
+def cosine_topk_df(e: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
+    """cosine_topk over ANY (vec_id, embedding) DataFrame — raw parquet
+    or the compressed store (store_cosine_topk)."""
     q = e.filter(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("q_emb")
     )
@@ -61,6 +66,28 @@ def cosine_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def store_cosine_topk(spark: SparkSession, sf_dir: str, query_id: int = 0,
+                      k: int = 10) -> DataFrame:
+    """cosine top-k reading the embeddings from the COMPRESSED store
+    (VERDICT r3 #9): embeddings.parquet is encoded once (array<float>
+    column via the vec_plain codec, resume-idempotent like the scan
+    stores), decoded shuffle-free with column projection pushed below
+    the scan (label payloads never decompress), and scored by the same
+    plan as cosine_topk — proving the codec store serves the similarity
+    workload end-to-end with the identical oracle hash."""
+    import hashlib
+
+    from ..operators.decode import decode_colocated
+    from ..operators.encode import encode_table
+
+    out = ("/tmp/kmers_emb_store_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    encode_table(df, out, key="vec_id", num_buckets=8, detect_skew=False)
+    e = decode_colocated(spark, out, columns=["vec_id", "embedding"])
+    return cosine_topk_df(e, query_id, k)
 
 
 def _signed_dot(emb, plane):

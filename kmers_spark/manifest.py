@@ -395,7 +395,8 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
     return commit(out_dir, mutate)
 
 
-ALLOWED_TYPES = ("string", "binary", "int64", "timestamp", "timestamp_ntz", "double")
+ALLOWED_TYPES = ("string", "binary", "int64", "timestamp", "timestamp_ntz",
+                 "double", "float_array")
 
 # logical type -> Spark DDL type, the ONE copy every read surface uses
 SPARK_DDL_TYPES = {
@@ -405,6 +406,7 @@ SPARK_DDL_TYPES = {
     "timestamp": "timestamp",
     "timestamp_ntz": "timestamp_ntz",
     "double": "double",
+    "float_array": "array<float>",  # embedding columns (vec_plain codec)
 }
 
 

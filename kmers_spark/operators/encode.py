@@ -51,6 +51,8 @@ def _raw_nbytes(series: pd.Series, typ: str) -> int:
         return 8 * len(series)
     if typ == "string":
         return int(series.dropna().map(lambda v: len(v.encode("utf-8"))).sum())
+    if typ == "float_array":
+        return 4 * int(series.dropna().map(len).sum())
     return int(series.dropna().map(len).sum())
 
 
@@ -150,6 +152,8 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
 
                 _, offs = av.bytes_view(arr)
                 raw = int(offs[-1] - offs[0])
+            elif typ == "float_array":
+                raw = 4 * len(arr.flatten())
             else:
                 raw = 8 * len(arr)
             rows["bucket"].append(bucket)

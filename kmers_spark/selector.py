@@ -48,6 +48,11 @@ def column_stats(series: pd.Series, typ: str, sample_max: int = 8192) -> dict:
     mask = s.notna()
     dense = s[mask]
     stats: dict = {"n": n, "n_null": int((~mask).sum()), "n_total": len(series)}
+    if typ == "float_array":
+        # vector values are unhashable (no distinct/run stats) and the
+        # only codec is vec_plain (float32 payloads are ~incompressible;
+        # the generic entropy backstop still applies at encode)
+        return stats
     if n == 0 or len(dense) == 0:
         stats.update(distinct=0, mean_run=0.0)
         return stats
@@ -180,6 +185,8 @@ def select_codec(stats: dict, typ: str) -> str:
         if stats.get("xor_zero_frac", 0.0) >= 0.25:
             return "xor_float"
         return "plain"
+    if typ == "float_array":
+        return "vec_plain"
     raise ValueError(f"unknown type {typ!r}")
 
 
@@ -199,4 +206,6 @@ def spark_type_name(dt) -> str:
         return "timestamp_ntz"
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         return "double"
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.FloatType):
+        return "float_array"
     raise ValueError(f"unsupported Spark type {dt!r}")

@@ -226,6 +226,7 @@ def arrow_type(typ: str):
         "timestamp": pa.timestamp("us", tz="UTC"),
         "timestamp_ntz": pa.timestamp("us"),
         "double": pa.float64(),
+        "float_array": pa.list_(pa.float32()),
     }[typ]
 
 

@@ -153,3 +153,86 @@ class TestSelector:
             codec = selector.select_codec(selector.column_stats(s, typ), typ)
             payload, meta = codecs.encode_column(s, codec, typ)
             _assert_series_equal(codecs.decode_column(payload, meta), s, typ)
+
+
+class TestFloatArray:
+    """array<float> (embeddings) via the vec_plain codec: u32 element
+    offsets + raw little-endian float32 values, nulls in the shared
+    validity blob — pandas and Arrow paths byte-identical."""
+
+    def _vals(self):
+        import numpy as np
+
+        return [
+            np.arange(4, dtype=np.float32) * 1.5,
+            None,
+            np.array([], dtype=np.float32),
+            np.array([3.25, -1e-7, 2.0**20, float("inf")], dtype=np.float32),
+        ]
+
+    def test_roundtrip_pandas(self):
+        import numpy as np
+        import pandas as pd
+
+        from kmers_spark import codecs
+
+        vals = self._vals()
+        s = pd.Series(vals, dtype=object)
+        payload, meta = codecs.encode_column(s, "vec_plain", "float_array")
+        back = codecs.decode_column(payload, meta)
+        for a, b in zip(vals, back):
+            if a is None:
+                assert b is None
+            else:
+                assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_arrow_byte_parity_and_roundtrip(self):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from kmers_spark import arrowcodecs, codecs
+
+        vals = self._vals()
+        s = pd.Series(vals, dtype=object)
+        arr = pa.array(
+            [None if v is None else list(np.asarray(v, dtype=np.float32))
+             for v in vals],
+            type=pa.list_(pa.float32()),
+        )
+        p1, m1 = codecs.encode_column(s, "vec_plain", "float_array")
+        p2, m2 = arrowcodecs.encode_column_arrow(arr, "vec_plain", "float_array")
+        assert p1 == p2 and m1 == m2
+        back = arrowcodecs.decode_column_arrow(p2, m2)
+        assert back.to_pylist() == arr.to_pylist()
+        # selected decode (scan path)
+        sel = np.array([True, False, False, True])
+        got = arrowcodecs.decode_column_arrow_selected(p2, m2, sel)
+        assert got.to_pylist() == arr.filter(pa.array(sel)).to_pylist()
+
+    def test_selector_picks_vec_plain(self):
+        import pandas as pd
+
+        from kmers_spark import selector
+
+        s = pd.Series([[1.0, 2.0]] * 10, dtype=object)
+        stats = selector.column_stats(s, "float_array")
+        assert selector.select_codec(stats, "float_array") == "vec_plain"
+
+    def test_spark_store_roundtrip_bit_identical(self, spark, tmp_path):
+        import numpy as np
+
+        from kmers_spark.operators import decode as dec, encode as enc
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = str(tmp_path / "emb")
+        enc.encode_table(df, out, key="vec_id", num_buckets=4,
+                         detect_skew=False)
+        back = dec.decode_colocated(spark, out).toPandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        inp = df.toPandas().sort_values("vec_id").reset_index(drop=True)
+        assert len(back) == len(inp)
+        for a, b in zip(back["embedding"], inp["embedding"]):
+            assert np.array_equal(
+                np.asarray(a, dtype=np.float32), np.asarray(b, dtype=np.float32)
+            )
