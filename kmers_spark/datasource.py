@@ -260,11 +260,27 @@ class KmersReader(DataSourceReader):
             if len(paths) == 1
             else pads.dataset([pads.dataset(p, format="parquet") for p in paths])
         )
-        tbl = dataset.to_table(
-            filter=pads.field("bucket").isin(list(bucket_list))
-            & pads.field("column").isin(sorted(needed)),
-            columns=["bucket", "column", "meta", "payload"],
-        )
+        pred = (pads.field("bucket").isin(list(bucket_list))
+                & pads.field("column").isin(sorted(needed)))
+        cols_fetch = ["bucket", "column", "meta", "payload"]
+        if isinstance(self.m, dict) and self.m.get("streamed"):
+            # streamed store: a bucket holds one GENERATION per wave
+            # file — decode each parquet fragment (= one file = whole
+            # buckets of one generation) independently; rows union
+            for frag in dataset.get_fragments():
+                tbl = frag.to_table(filter=pred, columns=cols_fetch)
+                yield from self._decode_block_table(tbl, miss_map, needed)
+            return
+        tbl = dataset.to_table(filter=pred, columns=cols_fetch)
+        yield from self._decode_block_table(tbl, miss_map, needed)
+
+    def _decode_block_table(self, tbl, miss_map: dict, needed: set) -> Iterator:
+        import json
+
+        import pyarrow as pa
+
+        from . import arrowcodecs, zonemap
+
         if tbl.num_rows == 0:
             return
         row_buckets = tbl.column("bucket").to_pylist()
@@ -465,6 +481,62 @@ try:  # writer API: Spark 4.0+
         key_ranges: dict = field(default_factory=dict)  # bucket -> [lo, hi]
         staged_file: str | None = None                  # hidden part file name
 
+    def _encode_to_staged(iterator, table_schema, key, codec_overrides,
+                          staging_dir: str) -> "_WaveCommit":
+        """Task side of both sinks (batch + stream): encode this
+        partition's whole buckets into ONE hidden staged parquet file
+        under `staging_dir`; the driver's commit publishes only the
+        files of successful attempts — a retried/speculative attempt's
+        stale or partial file never becomes visible (the parquet
+        committer's _temporary discipline, hand-rolled)."""
+        import json
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from .operators.encode import make_encode_fn_arrow
+
+        fn = make_encode_fn_arrow(table_schema, key, codec_overrides)
+        tables = [pa.Table.from_batches([b]) for b in iterator]
+        msg = _WaveCommit()
+        if not tables:
+            return msg
+        table = pa.concat_tables(tables).combine_chunks()
+        if table.num_rows == 0:
+            return msg
+        outs = []
+        for b in pc.unique(table.column("bucket")).to_pylist():
+            sub = table.filter(pc.equal(table.column("bucket"), b))
+            blocks = fn(sub)
+            outs.append(blocks)
+            stats = []
+            for i in range(blocks.num_rows):
+                meta = json.loads(blocks.column("meta")[i].as_py())
+                s = {
+                    "column": blocks.column("column")[i].as_py(),
+                    "codec": blocks.column("codec")[i].as_py(),
+                    "n_rows": blocks.column("n_rows")[i].as_py(),
+                    "raw_nbytes": blocks.column("raw_nbytes")[i].as_py(),
+                    "enc_nbytes": blocks.column("enc_nbytes")[i].as_py(),
+                }
+                if "zmin" in meta:
+                    s["zmin"], s["zmax"] = meta["zmin"], meta["zmax"]
+                if "key_min" in meta:
+                    msg.key_ranges[int(b)] = [meta["key_min"], meta["key_max"]]
+                stats.append(s)
+            msg.stats[int(b)] = stats
+        os.makedirs(staging_dir, exist_ok=True)
+        staged = f".staged-{uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(
+            pa.concat_tables(outs), f"{staging_dir}/{staged}",
+            compression="none",
+        )
+        msg.staged_file = staged
+        return msg
+
     class KmersWriter(DataSourceArrowWriter):
         """df.write.format("kmers"): each task encodes whole buckets of
         its partition into ONE block file under a staging wave dir;
@@ -489,60 +561,8 @@ try:  # writer API: Spark 4.0+
             return f"{self.path}/blocks/{self.wave_name}"
 
         def write(self, iterator):
-            import json
-            import os
-            import uuid
-
-            import pyarrow as pa
-            import pyarrow.compute as pc
-            import pyarrow.parquet as pq
-
-            from .operators.encode import make_encode_fn_arrow
-
-            fn = make_encode_fn_arrow(self.table_schema, self.key,
-                                      self.codec_overrides)
-            tables = [pa.Table.from_batches([b]) for b in iterator]
-            msg = _WaveCommit()
-            if not tables:
-                return msg
-            table = pa.concat_tables(tables).combine_chunks()
-            if table.num_rows == 0:
-                return msg
-            outs = []
-            for b in pc.unique(table.column("bucket")).to_pylist():
-                sub = table.filter(pc.equal(table.column("bucket"), b))
-                blocks = fn(sub)
-                outs.append(blocks)
-                stats = []
-                for i in range(blocks.num_rows):
-                    meta = json.loads(blocks.column("meta")[i].as_py())
-                    s = {
-                        "column": blocks.column("column")[i].as_py(),
-                        "codec": blocks.column("codec")[i].as_py(),
-                        "n_rows": blocks.column("n_rows")[i].as_py(),
-                        "raw_nbytes": blocks.column("raw_nbytes")[i].as_py(),
-                        "enc_nbytes": blocks.column("enc_nbytes")[i].as_py(),
-                    }
-                    if "zmin" in meta:
-                        s["zmin"], s["zmax"] = meta["zmin"], meta["zmax"]
-                    if "key_min" in meta:
-                        msg.key_ranges[int(b)] = [meta["key_min"], meta["key_max"]]
-                    stats.append(s)
-                msg.stats[int(b)] = stats
-            os.makedirs(self._wave_dir(), exist_ok=True)
-            # task-attempt isolation: write a HIDDEN file (readers skip
-            # dot-files) and let the driver's commit rename ONLY the
-            # files of successful attempts — a retried/speculative
-            # attempt's stale or partial file never becomes visible
-            # (the parquet-committer _temporary discipline, hand-rolled)
-            staged = f".staged-{uuid.uuid4().hex[:12]}.parquet"
-            pq.write_table(
-                pa.concat_tables(outs),
-                f"{self._wave_dir()}/{staged}",
-                compression="none",
-            )
-            msg.staged_file = staged
-            return msg
+            return _encode_to_staged(iterator, self.table_schema, self.key,
+                                     self.codec_overrides, self._wave_dir())
 
         def commit(self, messages) -> None:
             import os
@@ -657,10 +677,181 @@ try:  # writer API: Spark 4.0+
 
             shutil.rmtree(self._wave_dir(), ignore_errors=True)
 
+    from pyspark.sql.datasource import DataSourceStreamArrowWriter
+
+    class KmersStreamWriter(DataSourceStreamArrowWriter):
+        """df.writeStream.format("kmers"): continuous ingest into the
+        compressed store. Each micro-batch appends ONE wave as a new
+        GENERATION of its buckets (manifest.commit_wave_append): tasks
+        stage hidden files into blocks/.stream-staging, and commit()
+        moves the successful attempts into a fresh wave dir and
+        registers it — with the batchId recorded in the SAME CAS
+        commit, so a replayed batch (Spark re-runs a batch whose sink
+        commit it cannot prove) finds its epoch already present and
+        drops its staged files instead of duplicating rows: end-to-end
+        exactly-once on top of Spark's offset log. Stats are kept
+        inline in the manifest (streams append small waves; the batch
+        writer's spill threshold applies to bulk snapshots)."""
+
+        def __init__(self, path, key, num_buckets, table_schema,
+                     codec_overrides, snapshot_id):
+            self.path = path
+            self.key = key
+            self.num_buckets = num_buckets
+            self.table_schema = table_schema
+            self.codec_overrides = codec_overrides
+            self.snapshot_id = snapshot_id
+
+        def _staging(self) -> str:
+            return f"{self.path}/blocks/.stream-staging"
+
+        def write(self, iterator):
+            return _encode_to_staged(iterator, self.table_schema, self.key,
+                                     self.codec_overrides, self._staging())
+
+        def _clean_staged(self, staged: list[str]) -> None:
+            import os
+
+            for name in staged:
+                try:
+                    os.unlink(os.path.join(self._staging(), name))
+                except OSError:
+                    pass
+
+        def commit(self, messages, batchId) -> None:  # noqa: N803 (Spark API)
+            import os
+            import time
+            import uuid
+
+            from . import manifest
+            from .operators import partitioning
+
+            stats: dict[int, list] = {}
+            key_ranges: dict[int, list] = {}
+            staged: list[str] = []
+            for msg in messages:
+                if msg is None:
+                    continue
+                if msg.staged_file:
+                    staged.append(msg.staged_file)
+                for b, s in msg.stats.items():
+                    if int(b) in stats:
+                        raise ValueError(
+                            f"bucket {b} spans multiple write tasks in batch "
+                            f"{batchId} — repartition('bucket') the stream so "
+                            "each bucket lands whole in one partition"
+                        )
+                    stats[int(b)] = s
+                key_ranges.update({int(b): r for b, r in msg.key_ranges.items()})
+            if not stats:
+                self._clean_staged(staged)
+                return  # empty batch: nothing to register
+
+            def create_or_check(cur):
+                if cur is None:
+                    if not self.num_buckets:
+                        raise ValueError(
+                            "creating a kmers snapshot requires "
+                            ".option('numBuckets', N) matching the "
+                            "with_bucket() call that bucketed the stream"
+                        )
+                    return {
+                        "format_version": 2,
+                        "snapshot_id": self.snapshot_id,
+                        "schema": self.table_schema,
+                        "columns": list(self.table_schema),
+                        "key": self.key,
+                        "num_buckets": self.num_buckets,
+                        "seed": 42,
+                        "committed_buckets": [],
+                        "blocks": {},
+                        "wave_dirs": [],
+                        "hot_keys": {},
+                        "bucket_scheme": partitioning.BUCKET_SCHEME,
+                        "codec_overrides": self.codec_overrides or {},
+                        "streamed": True,
+                        "created_unix": int(time.time()),
+                    }
+                if self.num_buckets and cur["num_buckets"] != self.num_buckets:
+                    raise ValueError(
+                        f"numBuckets={self.num_buckets} != snapshot's "
+                        f"{cur['num_buckets']}"
+                    )
+                if cur["schema"] != self.table_schema:
+                    raise ValueError("streamed schema differs from the snapshot's")
+                return cur
+
+            m = manifest.commit(self.path, create_or_check)
+            if str(batchId) in m.get("stream_epochs", {}):
+                self._clean_staged(staged)  # replayed batch: already in
+                return
+            # publish the wave BEFORE registering it (a crash in between
+            # leaves an unregistered w_ dir for the orphan sweep)
+            wave_name = f"w_stream{batchId}_{uuid.uuid4().hex[:8]}"
+            wave_dir = f"{self.path}/blocks/{wave_name}"
+            os.makedirs(wave_dir, exist_ok=True)
+            for name in staged:
+                os.replace(
+                    os.path.join(self._staging(), name),
+                    os.path.join(wave_dir, name.replace(".staged-", "part-", 1)),
+                )
+            wave_rel = f"blocks/{wave_name}"
+            m = manifest.commit_wave_append(
+                self.path, stats, wave_rel, batchId,
+                key_ranges=key_ranges or None,
+            )
+            if m.get("stream_epochs", {}).get(str(batchId)) != wave_rel:
+                # lost an epoch race (another attempt of this batch
+                # committed concurrently): our wave stays unregistered
+                import shutil
+
+                shutil.rmtree(wave_dir, ignore_errors=True)
+
+        def abort(self, messages, batchId) -> None:  # noqa: N803
+            staged = [m.staged_file for m in messages
+                      if m is not None and m.staged_file]
+            self._clean_staged(staged)
+
     def _ds_writer(self, schema, overwrite):
         return _writer(self.options, schema, overwrite)
 
+    def _ds_stream_writer(self, schema, overwrite):
+        from . import selector
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("kmers sink needs a snapshot path: .start('/snap')")
+        names = [f.name for f in schema.fields]
+        if "bucket" not in names:
+            raise ValueError(
+                "kmers sink requires a `bucket` int column (assign with "
+                "kmers_spark.operators.partitioning.with_bucket, then "
+                "repartition('bucket') so a bucket never spans partitions)"
+            )
+        table_schema = {
+            f.name: selector.spark_type_name(f.dataType)
+            for f in schema.fields
+            if f.name != "bucket"
+        }
+        key = self.options.get("key", "url")
+        if key not in table_schema:
+            raise ValueError(f"key column {key!r} not in the written columns")
+        overrides = {
+            k[len("codec."):]: v
+            for k, v in self.options.items() if k.startswith("codec.")
+        }
+        return KmersStreamWriter(
+            path=path,
+            key=key,
+            num_buckets=int(self.options.get("numbuckets",
+                                             self.options.get("numBuckets", 0)) or 0),
+            table_schema=table_schema,
+            codec_overrides=overrides or None,
+            snapshot_id=self.options.get("snapshot_id", "snap-ds-stream"),
+        )
+
     KmersDataSource.writer = _ds_writer
+    KmersDataSource.streamWriter = _ds_stream_writer
 except ImportError:  # pragma: no cover — older Spark without the writer API
     pass
 

@@ -395,6 +395,58 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
     return commit(out_dir, mutate)
 
 
+def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
+                       wave_dir: str, epoch: int,
+                       key_ranges: dict[int, list] | None = None) -> dict[str, Any]:
+    """Streaming-append commit: register `wave_dir` as a NEW GENERATION
+    of its buckets (a bucket may hold block rows in several waves; the
+    colocated/scan readers decode each wave's file independently and the
+    rows union). Contrast commit_buckets, whose committed-once rule is
+    the batch snapshot's resume contract.
+
+    Exactly-once: `epoch` (the sink's batchId) is recorded in
+    m["stream_epochs"] inside the same CAS commit — a replayed batch
+    sees its epoch present and the sink drops its staged files without
+    registering anything. Returns the manifest; the caller detects a
+    replay by m["stream_epochs"][str(epoch)] != its own wave_dir."""
+
+    def mutate(m: dict[str, Any] | None) -> dict[str, Any]:
+        if m is None:
+            raise FileNotFoundError(f"no manifest in {out_dir}")
+        epochs = m.setdefault("stream_epochs", {})
+        if str(epoch) in epochs:
+            return m  # replay: no-op (caller cleans its staged wave)
+        # multi-generation marker: readers that cannot express
+        # generations (whole-bucket groupBy without a file key,
+        # compaction's single-file-per-bucket rewrite) check this
+        m["streamed"] = True
+        for b, stats in bucket_stats.items():
+            m["blocks"].setdefault(str(b), []).extend(stats)
+            if int(b) not in m["committed_buckets"]:
+                m["committed_buckets"].append(int(b))
+        m["committed_buckets"] = sorted(m["committed_buckets"])
+        if key_ranges:
+            kr = m.setdefault("bucket_key_ranges", {})
+            for b, rng in key_ranges.items():
+                old = kr.get(str(b))
+                if old is None:
+                    kr[str(b)] = rng
+                elif type(old[0]) is type(rng[0]):
+                    # widen, never replace: the range must cover EVERY
+                    # generation or lookups would wrongly prune
+                    kr[str(b)] = [min(old[0], rng[0]), max(old[1], rng[1])]
+                else:  # mixed key types across generations: no sound bound
+                    kr.pop(str(b), None)
+        m.setdefault("wave_dirs", []).append(wave_dir)
+        m.setdefault("wave_buckets", {})[wave_dir] = sorted(
+            int(b) for b in bucket_stats
+        )
+        epochs[str(epoch)] = wave_dir
+        return m
+
+    return commit(out_dir, mutate)
+
+
 ALLOWED_TYPES = ("string", "binary", "int64", "timestamp", "timestamp_ntz",
                  "double", "float_array")
 

@@ -104,14 +104,26 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
         from .. import zonemap
 
         norm = zonemap.normalize_filters(filters, schema)
+    gen_key = None
+    if m.get("streamed"):
+        # streamed stores hold several GENERATIONS of a bucket (one per
+        # appended wave file); grouping on (bucket, file) decodes each
+        # generation independently and the rows union — the same
+        # isolation decode_colocated gets for free from its one-file-
+        # per-partition scan
+        from pyspark.sql import functions as F
+
+        blocks = blocks.withColumn("_gen", F.input_file_name())
+        gen_key = "_gen"
     df = decode_blocks_df(blocks, dec_schema, out_schema, norm_filters=norm,
-                          missing=missing)
+                          missing=missing, gen_key=gen_key)
     return df.select(*cols) if anchor else df
 
 
 def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
                      norm_filters: list[tuple] | None = None,
-                     missing: dict[int, set] | None = None) -> DataFrame:
+                     missing: dict[int, set] | None = None,
+                     gen_key: str | None = None) -> DataFrame:
     """block rows -> original rows; Arrow path when available.
 
     `norm_filters` (zonemap.normalize_filters output) pushes the scan
@@ -132,7 +144,8 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
 
     cols = list(schema.keys())
     missing = missing or {}
-    grouped = blocks.groupBy("bucket")
+    grouped = blocks.groupBy("bucket", gen_key) if gen_key \
+        else blocks.groupBy("bucket")
 
     if hasattr(grouped, "applyInArrow"):
         import pyarrow as pa

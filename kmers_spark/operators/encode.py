@@ -585,6 +585,17 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
     m = manifest.load(out_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
+    if m.get("streamed"):
+        # a streamed store holds several GENERATIONS of a bucket, one
+        # per wave file; this rewrite packs a bucket's rows into one
+        # file, which collapses generations into duplicate (bucket,
+        # column) block rows the readers reject. Stream compaction
+        # needs a re-encode (decode generations -> merge -> encode), a
+        # different maintenance job.
+        raise ValueError(
+            f"{out_dir} is a streamed (multi-generation) snapshot; "
+            "compact_waves only supports batch snapshots"
+        )
     m = migrate_legacy_layout(out_dir, m)  # legacy flat stores compact too
     sweep_orphan_waves(out_dir)  # incl. leftovers of a crashed compact
     old = m.get("wave_dirs", [])

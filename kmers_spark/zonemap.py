@@ -299,11 +299,25 @@ def prune_buckets(m: dict, filters: list[tuple],
     keep = []
     for b in m.get("committed_buckets", []):
         stats = blocks.get(str(b), [])
-        ranges = {
-            s["column"]: (s["zmin"], s["zmax"])
-            for s in stats
-            if "zmin" in s and "zmax" in s
-        }
+        # a streamed (multi-generation) bucket holds several block
+        # entries per column: bounds must WIDEN across generations —
+        # overwriting would prune rows the earlier generations hold
+        ranges: dict = {}
+        n_seen: dict = {}
+        for s in stats:
+            if "zmin" not in s or "zmax" not in s:
+                # a generation without recorded bounds voids the
+                # column's range (its values are unbounded)
+                n_seen[s["column"]] = n_seen.get(s["column"], 0) + 1
+                ranges.pop(s["column"], None)
+                continue
+            cnt = n_seen.get(s["column"], 0)
+            n_seen[s["column"]] = cnt + 1
+            if s["column"] in ranges:
+                lo, hi = ranges[s["column"]]
+                ranges[s["column"]] = (min(lo, s["zmin"]), max(hi, s["zmax"]))
+            elif cnt == 0:
+                ranges[s["column"]] = (s["zmin"], s["zmax"])
         ok = True
         for col, op, bv, _orig in filters:
             if not may_match(ranges.get(col), op, bv):

@@ -1,0 +1,191 @@
+"""df.writeStream.format("kmers"): continuous ingest into the
+compressed store (VERDICT r3 #8 — the interop surface symmetric with
+readStream).
+
+Each micro-batch appends one wave as a new GENERATION of its buckets;
+exactly-once rides on the manifest's stream_epochs record (the batchId
+is committed in the same CAS mutation that registers the wave, so a
+replayed batch drops its staged files instead of duplicating rows).
+Readers: decode_colocated isolates generations per scan partition
+(one wave file each), decode_table groups on (bucket, input_file), and
+the DataSource read iterates parquet fragments.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmers_spark import datasource, manifest, pages, zonemap
+from kmers_spark.operators import partitioning
+from kmers_spark.operators.decode import (
+    decode_colocated,
+    decode_table,
+    lookup_keys,
+    scan_table,
+)
+from kmers_spark.operators.encode import compact_waves
+
+N_B = 8
+
+
+def _bucketed_stream(spark, src_dir, schema):
+    sdf = spark.readStream.schema(schema).parquet(src_dir)
+    return partitioning.with_bucket(sdf, N_B, {}).repartition("bucket")
+
+
+def _run_sink(spark, src_dir, schema, out, ckpt):
+    q = (
+        _bucketed_stream(spark, src_dir, schema)
+        .writeStream.format("kmers")
+        .option("checkpointLocation", ckpt)
+        .option("numBuckets", str(N_B))
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(120)
+
+
+@pytest.fixture(scope="module")
+def streamed_store(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds_sink")
+    src, out, ckpt = str(root / "src"), str(root / "snap"), str(root / "ckpt")
+    df = pages.pages_df(spark, 1600, seed=91, partitions=4).cache()
+    half1 = df.filter(F.xxhash64("url") % 2 == 0)
+    half2 = df.filter(F.xxhash64("url") % 2 != 0)
+    datasource.register(spark)
+    half1.write.parquet(src)  # batch 1
+    _run_sink(spark, src, df.schema, out, ckpt)
+    half2.write.mode("append").parquet(src)  # batch 2 = the new files
+    _run_sink(spark, src, df.schema, out, ckpt)
+    return out, df
+
+
+def test_two_batches_decode_bit_identical(spark, streamed_store):
+    out, df = streamed_store
+    m = manifest.load(out)
+    assert m["streamed"] is True
+    assert len(m.get("stream_epochs", {})) == 2
+    assert len(m["wave_dirs"]) == 2
+    got = decode_colocated(spark, out).toPandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = df.toPandas()[got.columns].sort_values("url").reset_index(drop=True)
+    assert len(got) == 1600
+    assert got.equals(want)
+
+
+def test_shuffle_decode_groups_generations(spark, streamed_store):
+    """decode_table (groupBy path) on a streamed store: the per-file
+    group key keeps each generation's block set intact."""
+    out, df = streamed_store
+    got = decode_table(spark, out).toPandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = df.toPandas()[got.columns].sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_datasource_read_of_streamed_store(spark, streamed_store):
+    out, df = streamed_store
+    t = spark.read.format("kmers").load(out)
+    got = t.toPandas().sort_values("url").reset_index(drop=True)
+    want = df.toPandas()[got.columns].sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+    sel = t.filter("lang = 'pl'").toPandas().sort_values("url") \
+        .reset_index(drop=True)
+    want_sel = df.filter(F.col("lang") == "pl").toPandas()[got.columns] \
+        .sort_values("url").reset_index(drop=True)
+    assert sel.equals(want_sel)
+
+
+def test_scan_and_lookup_on_streamed_store(spark, streamed_store):
+    out, df = streamed_store
+    got = scan_table(spark, out, [("lang", "=", "en")]).toPandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = df.filter(F.col("lang") == "en").toPandas()[got.columns] \
+        .sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+    urls = [r["url"] for r in df.select("url").limit(2).collect()]
+    assert lookup_keys(spark, out, urls).count() == len(set(urls))
+
+
+def test_zone_ranges_widen_across_generations(streamed_store):
+    """prune_buckets must union a bucket's per-generation bounds — an
+    overwrite would prune rows the earlier generation holds."""
+    out, _df = streamed_store
+    m = manifest.load(out)
+    blocks = manifest.block_stats(out, m)
+    # both generations committed warc_ts bounds; the merged range must
+    # cover each generation's own range
+    for b, stats in blocks.items():
+        ts_stats = [s for s in stats if s["column"] == "warc_ts" and "zmin" in s]
+        if len(ts_stats) < 2:
+            continue
+        norm = zonemap.normalize_filters(
+            [("warc_ts", ">=", min(s["zmin"] for s in ts_stats))], m["schema"])
+        assert int(b) in zonemap.prune_buckets(m, norm, blocks=blocks)
+        break
+    else:
+        pytest.skip("no bucket with two bounded generations at this size")
+
+
+def test_replayed_batch_is_noop(spark, streamed_store, tmp_path):
+    """Simulate Spark re-running a committed batch: same batchId, new
+    staged data — the sink must drop it without registering."""
+    out, df = streamed_store
+    from kmers_spark.datasource import KmersStreamWriter
+
+    before = manifest.load(out)
+    w = KmersStreamWriter(
+        path=out, key="url", num_buckets=N_B,
+        table_schema=dict(before["schema"]),
+        codec_overrides=None, snapshot_id="s",
+    )
+    n_before = decode_colocated(spark, out).count()
+    # fabricate a commit message for an ALREADY COMMITTED epoch (0)
+    import os
+
+    staging = w._staging()
+    os.makedirs(staging, exist_ok=True)
+    fake = ".staged-deadbeef.parquet"
+    open(os.path.join(staging, fake), "wb").close()
+
+    class Msg:
+        stats = {0: [{"column": "url", "codec": "plain", "n_rows": 1,
+                      "raw_nbytes": 1, "enc_nbytes": 1}]}
+        key_ranges: dict = {}
+        staged_file = fake
+
+    w.commit([Msg()], 0)
+    after = manifest.load(out)
+    assert after["wave_dirs"] == before["wave_dirs"]  # nothing registered
+    assert not os.path.exists(os.path.join(staging, fake))  # staged cleaned
+    assert decode_colocated(spark, out).count() == n_before
+
+
+def test_compact_refuses_streamed(spark, streamed_store):
+    out, _df = streamed_store
+    with pytest.raises(ValueError, match="multi-generation"):
+        compact_waves(spark, out)
+
+
+def test_abort_cleans_staged(streamed_store):
+    import os
+
+    out, _df = streamed_store
+    from kmers_spark.datasource import KmersStreamWriter
+
+    w = KmersStreamWriter(path=out, key="url", num_buckets=N_B,
+                          table_schema={"url": "string"},
+                          codec_overrides=None, snapshot_id="s")
+    staging = w._staging()
+    os.makedirs(staging, exist_ok=True)
+    fake = ".staged-aborted.parquet"
+    open(os.path.join(staging, fake), "wb").close()
+
+    class Msg:
+        stats: dict = {}
+        key_ranges: dict = {}
+        staged_file = fake
+
+    w.abort([Msg()], 99)
+    assert not os.path.exists(os.path.join(staging, fake))
