@@ -111,6 +111,14 @@ def encode_column_arrow(arr: pa.Array, codec: str, typ: str) -> tuple[bytes, dic
             meta["words_seg"] = wmeta
             # per-segment backstops inside the kernel; no outer pass
             return vblob + body, meta
+        elif codec == "fsst_seg":
+            body, fmeta = fsst.encode_shared_seg(
+                np.ascontiguousarray(buf), lens.astype(np.int64),
+                codecs_mod.SEG_ROWS,
+            )
+            meta["fsst_seg"] = fmeta
+            # per-segment backstops inside the kernel; no outer pass
+            return vblob + body, meta
         elif codec == "prefix":
             body, pmeta = _prefix_encode_arrow(buf, offs)
             meta["prefix"] = pmeta
@@ -410,6 +418,23 @@ def decode_column_arrow_selected(payload: bytes, meta: dict, sel: np.ndarray) ->
         return _words_seg_decode_arrow(
             payload[nb:], meta["words_seg"], meta["type"], mask, sel
         )
+    if meta["codec"] == "fsst_seg":
+        n = meta["n"]
+        nb = meta.get("null_nbytes", 0)
+        mask = None
+        if nb:
+            mask = np.unpackbits(
+                np.frombuffer(payload, np.uint8, count=nb), count=n,
+                bitorder="little",
+            ).astype(bool)
+        from . import zonemap
+
+        atype = zonemap.arrow_type(meta["type"])
+        buf, offs = fsst.decode_shared_seg_arrays(payload[nb:],
+                                                  meta["fsst_seg"], sel)
+        m2 = mask[sel] if mask is not None else None
+        return _bytes_array(atype, len(offs) - 1, offs.astype(np.int32),
+                            buf, m2)
     if not meta["codec"].startswith("seg:"):
         return decode_column_arrow(payload, meta).filter(pa.array(sel))
     parts = []
@@ -464,6 +489,9 @@ def decode_column_arrow(payload: bytes, meta: dict, spark_type: "pa.DataType | N
             return _words_decode_arrow(body, meta["words"], typ, mask)
         if codec == "words_seg":
             return _words_seg_decode_arrow(body, meta["words_seg"], typ, mask)
+        if codec == "fsst_seg":
+            buf, offs = fsst.decode_shared_seg_arrays(body, meta["fsst_seg"])
+            return _bytes_array(atype, n, offs.astype(np.int32), buf, mask)
         if codec == "prefix":
             return _prefix_decode_arrow(body, meta["prefix"], typ, mask)
         raise ValueError(f"unknown codec {codec!r}")

@@ -85,7 +85,13 @@ STRING_CODECS = ("plain", "dict", "dict_rle", "fsst", "words", "prefix")
 # already late-materializes via the kernel mask at zero ratio cost;
 # pick these per column (codec_overrides={"html": "words_seg"}) when a
 # column is read mostly through selective scans.
-SEGMENTED_CODECS = ("words_seg",)  # + any "seg:<inner>" wrapper name
+# fsst_seg (shared symbol table + segmented code streams) measured at
+# 200k pages rows (BENCH/ROUND4.md): vs seg:fsst it compresses slightly
+# better (url 0.2259 vs 0.2274, html 0.0459 vs 0.0463) and
+# selective-decodes ~1.7x faster on url, but encodes 3-5x slower (the
+# whole-stream merge rounds seg:fsst's per-segment training avoids);
+# vs whole-block fsst it selective-decodes 4-19x faster at +1-8% ratio.
+SEGMENTED_CODECS = ("words_seg", "fsst_seg")  # + any "seg:<inner>" wrapper name
 INT_CODECS = ("plain", "for_bitpack", "dict_rle_int", "rle_int", "sortdelta")
 FLOAT_CODECS = ("plain", "dec_scale", "xor_float")
 # float32 vectors (embeddings): u32 element offsets + raw little-endian
@@ -265,6 +271,11 @@ def decode_column_selected(payload: bytes, meta: dict, sel) -> pd.Series:
         data = words.decode_shared(body, meta["words_seg"], sel)
         m2 = mask[sel] if mask is not None else None
         return _from_bytes_list(data, m2, meta["type"]).reset_index(drop=True)
+    if meta["codec"] == "fsst_seg":
+        mask, body = _validity(meta, payload, meta["n"])
+        data = fsst.decode_shared_seg(body, meta["fsst_seg"], sel)
+        m2 = mask[sel] if mask is not None else None
+        return _from_bytes_list(data, m2, meta["type"]).reset_index(drop=True)
     if not meta["codec"].startswith("seg:"):
         s = decode_column(payload, meta)
         return s[sel].reset_index(drop=True)
@@ -329,6 +340,15 @@ def encode_column(series: pd.Series, codec: str, typ: str) -> tuple[bytes, dict]
             codes, counts, dictionary = words.tokenize_dict(data)
             body, wmeta = words.encode_shared(codes, counts, dictionary, SEG_ROWS)
             meta["words_seg"] = wmeta
+            return vblob + body, meta
+        elif codec == "fsst_seg":
+            # shared symbol table + segmented code streams (words_seg's
+            # layout applied to FSST); per-segment backstops, no outer
+            # compression
+            buf = np.frombuffer(b"".join(data), dtype=np.uint8)
+            lens = np.array([len(v) for v in data], dtype=np.int64)
+            body, fmeta = fsst.encode_shared_seg(buf, lens, SEG_ROWS)
+            meta["fsst_seg"] = fmeta
             return vblob + body, meta
         elif codec == "prefix":
             body, pmeta = prefix.encode(data)
@@ -417,6 +437,8 @@ def decode_column(payload: bytes, meta: dict) -> pd.Series:
             data = words.decode(body, meta["words"])
         elif codec == "words_seg":
             data = words.decode_shared(body, meta["words_seg"])
+        elif codec == "fsst_seg":
+            data = fsst.decode_shared_seg(body, meta["fsst_seg"])
         elif codec == "prefix":
             data = prefix.decode(body, meta["prefix"])
         else:

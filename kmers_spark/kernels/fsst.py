@@ -309,12 +309,131 @@ def decode_arrays(payload: bytes, meta: dict) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _intra(reps: np.ndarray) -> np.ndarray:
-    """[0..reps[0]), [0..reps[1]), ... concatenated."""
+    """[0..reps[0]), [0..reps[1]), ... concatenated; robust to zero reps
+    (the cumsum-trick variant corrupted counters after a zero rep — the
+    duplicate write at coinciding run ends clobbered the reset)."""
     total = int(reps.sum())
     if total == 0:
         return np.zeros(0, dtype=np.int64)
-    out = np.ones(total, dtype=np.int64)
-    ends = np.cumsum(reps)
-    out[0] = 0
-    out[ends[:-1]] = 1 - reps[:-1]
-    return np.cumsum(out)
+    gid = np.repeat(np.arange(len(reps)), reps)
+    starts = np.concatenate(([0], np.cumsum(reps)))[:-1]
+    return np.arange(total, dtype=np.int64) - starts[gid]
+
+
+# --------------------------------------------------- shared-table segments
+
+def encode_shared_seg(buf: np.ndarray, lens: np.ndarray,
+                      seg_rows: int) -> tuple[bytes, dict]:
+    """fsst_seg: ONE symbol table for the whole block, independently
+    decodable code segments of `seg_rows` values (parquet-page layout,
+    the words_seg treatment applied to FSST — VERDICT r3 #7).
+
+        payload = [backstop(table header)][seg_0][seg_1]...
+        seg_i   = backstop(bitpacked enc_lens_i + code slice_i)
+
+    The block is encoded ONCE with the normal whole-stream pipeline
+    (sample-trained table + merge rounds, so the table quality equals
+    plain fsst's), then the code stream is re-sliced at value
+    boundaries — FSST matches never cross values, so every slice
+    decodes independently against the shared table. Contrast seg:fsst,
+    which trains a table per segment (table header cost × n_segs).
+    """
+    from .words import _backstop
+
+    from . import bitpack
+
+    n = len(lens)
+    # train + encode exactly as the fsst codec does
+    cut_n = min(n, 4096)
+    cut = int(lens[:cut_n].sum())
+    table = train_arrays(buf[:cut], lens[:cut_n])
+    payload, m = encode_arrays(buf, lens, table)
+    header = payload[: m["header_nbytes"]]
+    enc_lens = np.zeros(n, dtype=np.int64)
+    if m["lens_nbytes"]:
+        enc_lens = bitpack.unpack(
+            payload[m["header_nbytes"]: m["header_nbytes"] + m["lens_nbytes"]],
+            m["len_width"], n,
+        ).astype(np.int64)
+    codes = payload[m["header_nbytes"] + m["lens_nbytes"]:]
+    code_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(enc_lens, out=code_offs[1:])
+
+    header_part, hz = _backstop(header)
+    parts = [header_part]
+    segs = []
+    for r0 in range(0, n, seg_rows):
+        r1 = min(r0 + seg_rows, n)
+        seg_lens = enc_lens[r0:r1]
+        lw = bitpack.width_for(int(seg_lens.max()) if r1 > r0 else 0)
+        lens_blob = bitpack.pack(seg_lens.astype(np.uint64), lw)
+        raw = lens_blob + codes[int(code_offs[r0]): int(code_offs[r1])]
+        part, z = _backstop(raw)
+        parts.append(part)
+        segs.append({
+            "n": r1 - r0, "len_width": lw, "lens_nbytes": len(lens_blob),
+            "nbytes": len(part), "raw_nbytes": len(raw), "z": z,
+        })
+    meta = {
+        "n": n, "n_symbols": m["n_symbols"],
+        "header_nbytes": m["header_nbytes"],
+        "header_part_nbytes": len(header_part), "header_z": hz,
+        "segs": segs,
+    }
+    return b"".join(parts), meta
+
+
+def decode_shared_seg_arrays(payload: bytes, meta: dict,
+                             sel: np.ndarray | None = None
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 buffer, int64 offsets) over all rows — or, with `sel`,
+    over the SELECTED rows only: segments no row selects are neither
+    decompressed nor decoded (page skipping)."""
+    from .words import _unbackstop
+
+    header = _unbackstop(
+        payload[: meta["header_part_nbytes"]], meta["header_z"],
+        meta["header_nbytes"],
+    )
+    bufs: list[np.ndarray] = []
+    offs_parts: list[np.ndarray] = []
+    total = 0
+    off = meta["header_part_nbytes"]
+    r0 = 0
+    for s in meta["segs"]:
+        take = sel[r0: r0 + s["n"]] if sel is not None else None
+        if take is None or take.any():
+            raw = _unbackstop(payload[off: off + s["nbytes"]], s["z"],
+                              s["raw_nbytes"])
+            seg_meta = {
+                "n": s["n"], "n_symbols": meta["n_symbols"],
+                "header_nbytes": meta["header_nbytes"],
+                "len_width": s["len_width"], "lens_nbytes": s["lens_nbytes"],
+            }
+            sbuf, soffs = decode_arrays(header + raw, seg_meta)
+            if take is not None and not take.all():
+                keep = np.flatnonzero(take)
+                klens = (soffs[keep + 1] - soffs[keep])
+                nk = int(klens.sum())
+                src = np.repeat(soffs[keep], klens) + _intra(klens)
+                sbuf = sbuf[src] if nk else np.zeros(0, dtype=np.uint8)
+                soffs = np.zeros(len(keep) + 1, dtype=np.int64)
+                np.cumsum(klens, out=soffs[1:])
+            bufs.append(sbuf)
+            offs_parts.append(soffs[1:] + total)
+            total += int(soffs[-1])
+        off += s["nbytes"]
+        r0 += s["n"]
+    if not bufs:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    return (
+        np.concatenate(bufs) if bufs else np.zeros(0, dtype=np.uint8),
+        np.concatenate(([0], np.concatenate(offs_parts))).astype(np.int64),
+    )
+
+
+def decode_shared_seg(payload: bytes, meta: dict,
+                      sel: np.ndarray | None = None) -> list[bytes]:
+    buf, offs = decode_shared_seg_arrays(payload, meta, sel)
+    ob = buf.tobytes()
+    return [ob[offs[i]: offs[i + 1]] for i in range(len(offs) - 1)]

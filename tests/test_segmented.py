@@ -128,3 +128,80 @@ def test_store_with_segmented_override_scans(spark, tmp_path):
     got = got.sort_values("url").reset_index(drop=True)
     assert got.equals(want_f)
     assert len(got)
+
+
+class TestFsstSeg:
+    """fsst_seg: ONE shared symbol table + segmented code streams
+    (words_seg's layout applied to FSST; VERDICT r3 #7). Measured
+    decision in BENCH/ROUND4.md: adopt override-only — vs seg:fsst it
+    encodes slower but compresses slightly better and selective-decodes
+    faster (the per-segment tables it avoids cost header bytes and
+    training per segment)."""
+
+    def _series(self, n=3000):
+        import pandas as pd
+
+        vals = [f"http://h{i%5}.ex/p/{i}?" + "tok " * (i % 9) for i in range(n)]
+        vals[7] = None
+        return pd.Series(vals, dtype=object), vals
+
+    def test_roundtrip_and_parity(self):
+        import pyarrow as pa
+
+        from kmers_spark import arrowcodecs, codecs
+
+        s, vals = self._series()
+        p1, m1 = codecs.encode_column(s, "fsst_seg", "string")
+        p2, m2 = arrowcodecs.encode_column_arrow(
+            pa.array(vals, type=pa.string()), "fsst_seg", "string")
+        assert p1 == p2 and m1 == m2
+        assert list(codecs.decode_column(p1, m1)) == vals
+        assert arrowcodecs.decode_column_arrow(p2, m2).to_pylist() == vals
+        assert len(m1["fsst_seg"]["segs"]) >= 1
+
+    def test_selected_skips_segments(self, monkeypatch):
+        import numpy as np
+
+        from kmers_spark import codecs
+        from kmers_spark.kernels import fsst, words
+
+        monkeypatch.setattr(codecs, "SEG_ROWS", 256)
+        s, vals = self._series(2000)
+        p, m = codecs.encode_column(s, "fsst_seg", "string")
+        assert len(m["fsst_seg"]["segs"]) == 8
+        sel = np.zeros(2000, dtype=bool)
+        sel[[3, 7, 300]] = True  # segments 0 and 1 only
+        calls = []
+        real = words._unbackstop
+
+        def counting(payload, z, raw_n):
+            calls.append(1)
+            return real(payload, z, raw_n)
+
+        monkeypatch.setattr(words, "_unbackstop", counting)
+        # rebind inside fsst's functions (they import from words at call)
+        got = list(codecs.decode_column_selected(p, m, sel))
+        want = [vals[i] for i in np.flatnonzero(sel)]
+        assert got == want
+        # header + 2 of 8 segments decompressed
+        assert len(calls) == 3
+
+    def test_scan_store_with_fsst_seg_override(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from kmers_spark import pages
+        from kmers_spark.operators import decode as dec, encode as enc
+
+        df = pages.pages_df(spark, 1500, seed=31, partitions=2).cache()
+        out = str(tmp_path / "snap")
+        enc.encode_table(df, out, num_buckets=4, detect_skew=False,
+                         codec_overrides={"url": "fsst_seg"})
+        got = dec.scan_table(spark, out, [("lang", "=", "pl")]).toPandas() \
+            .sort_values("url").reset_index(drop=True)
+        want = df.filter(F.col("lang") == "pl").toPandas()[got.columns] \
+            .sort_values("url").reset_index(drop=True)
+        assert got.equals(want)
+        full = dec.decode_colocated(spark, out).toPandas() \
+            .sort_values("url").reset_index(drop=True)
+        assert full.equals(df.toPandas()[full.columns]
+                           .sort_values("url").reset_index(drop=True))
