@@ -416,6 +416,11 @@ def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
         epochs = m.setdefault("stream_epochs", {})
         if str(epoch) in epochs:
             return m  # replay: no-op (caller cleans its staged wave)
+        if epochs and int(epoch) < min(int(k) for k in epochs):
+            # older than the kept window: batchIds are monotone, so it
+            # can only be an already-committed batch whose entry was
+            # pruned — treat as replay, never re-append
+            return m
         # multi-generation marker: readers that cannot express
         # generations (whole-bucket groupBy without a file key,
         # compaction's single-file-per-bucket rewrite) check this
@@ -442,9 +447,20 @@ def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
             int(b) for b in bucket_stats
         )
         epochs[str(epoch)] = wave_dir
+        # bounded epoch history: the manifest is rewritten per commit,
+        # so a year of 1-minute batches must not carry 500k entries.
+        # Spark replays at most the LAST unproven batch, so a deep tail
+        # is ample; one writer query per store (batchIds of separate
+        # queries would collide at 0 — document, don't support).
+        if len(epochs) > STREAM_EPOCHS_KEEP:
+            for k in sorted(epochs, key=int)[:-STREAM_EPOCHS_KEEP]:
+                del epochs[k]
         return m
 
     return commit(out_dir, mutate)
+
+
+STREAM_EPOCHS_KEEP = 128  # recent batchIds kept for replay detection
 
 
 ALLOWED_TYPES = ("string", "binary", "int64", "timestamp", "timestamp_ntz",

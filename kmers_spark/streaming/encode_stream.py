@@ -59,10 +59,16 @@ def decode_stream_output(spark, out_dir: str, schema: dict[str, str]) -> DataFra
     def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for (_, _), grp in pdf.groupby(["epoch", "bucket"]):
-            series = {}
-            for _, row in grp.iterrows():
-                meta = json.loads(row["meta"])
-                series[row["column"]] = codecs.decode_column(bytes(row["payload"]), meta)
+            # column-wise access (decode.py's rows_by_col shape) — the
+            # group is one row per column, but iterrows() materializes
+            # every cell as a Python object per row; zip over the three
+            # needed columns touches only them
+            series = {
+                cname: codecs.decode_column(bytes(payload), json.loads(meta))
+                for cname, payload, meta in zip(
+                    grp["column"], grp["payload"], grp["meta"]
+                )
+            }
             data = {}
             for c in cols:
                 s = series[c]

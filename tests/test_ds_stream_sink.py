@@ -189,3 +189,26 @@ def test_abort_cleans_staged(streamed_store):
 
     w.abort([Msg()], 99)
     assert not os.path.exists(os.path.join(staging, fake))
+
+
+def test_epoch_history_bounded_and_old_epoch_treated_committed(tmp_path):
+    """stream_epochs must stay bounded (the manifest is rewritten per
+    commit) and a batchId below the kept window must read as already
+    committed (batchIds are monotone; only the last batch can replay)."""
+    import os
+
+    out = str(tmp_path / "snap")
+    manifest.init(out, snapshot_id="s", schema={"url": "string"},
+                  num_buckets=4, key="url")
+    keep = manifest.STREAM_EPOCHS_KEEP
+    for e in range(keep + 10):
+        wd = f"blocks/w_e{e}"
+        os.makedirs(os.path.join(out, wd), exist_ok=True)
+        manifest.commit_wave_append(out, {e % 4: []}, wd, e)
+    m = manifest.load(out)
+    assert len(m["stream_epochs"]) == keep
+    n_waves = len(m["wave_dirs"])
+    # epoch 0 fell out of the window: re-appending it must be a no-op
+    m2 = manifest.commit_wave_append(out, {0: []}, "blocks/w_replay0", 0)
+    assert len(m2["wave_dirs"]) == n_waves
+    assert "blocks/w_replay0" not in m2["wave_dirs"]
