@@ -152,7 +152,7 @@ def main():
     # --- decode + query timings at the high level ---
     s = _spark(CPUS)
     try:
-        from kmers_spark.operators import decode as dec
+        from kmers_spark.operators import decode as dec, encode as enc
 
         # noop write forces FULL materialization of every decoded byte:
         # a bare count() over applyInArrow short-circuits the Arrow->row
@@ -191,6 +191,49 @@ def main():
         ).mode("overwrite").save()
         timings["scan_filtered_pages_nopushdown"] = round(time.perf_counter() - t0, 3)
 
+        # clustered-range scan (cluster_by payoff): the same narrow
+        # ts-window scan against a RANGE-bucketed store vs the hash
+        # store. Hash bucketing scatters warc_ts, so its zone maps are
+        # inert and every bucket decodes the filter columns; range
+        # bucketing makes the bounds disjoint and the manifest prunes
+        # ~all buckets driver-side before any payload read.
+        from kmers_spark import manifest as mf, zonemap
+
+        mm = s.read.parquet(str(CACHE)).agg(
+            F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")
+        ).collect()[0]
+        span = mm["hi"] - mm["lo"]
+        w0, w1 = mm["lo"] + span * 0.49, mm["lo"] + span * 0.51  # ~2% window
+        ts_filters = [("warc_ts", ">=", w0), ("warc_ts", "<", w1)]
+        rng_out = tempfile.mkdtemp(prefix="bench_rng_")
+        t0 = time.perf_counter()
+        enc.encode_table(
+            s.read.parquet(str(CACHE)), rng_out, num_buckets=N_BUCKETS,
+            detect_skew=False, cluster_by="warc_ts", snapshot_id="bench_rng",
+        )
+        timings["encode_pages_clustered"] = round(time.perf_counter() - t0, 3)
+        runs_c, runs_h = [], []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            dec.scan_table(s, rng_out, ts_filters).write.format("noop").mode(
+                "overwrite").save()
+            runs_c.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            dec.scan_table(s, peak["out"], ts_filters).write.format("noop").mode(
+                "overwrite").save()
+            runs_h.append(round(time.perf_counter() - t0, 3))
+        timings["scan_ts_range_clustered"] = min(runs_c)
+        timings["scan_ts_range_hashed"] = min(runs_h)
+        query_runs0 = {"scan_ts_range_clustered": runs_c,
+                       "scan_ts_range_hashed": runs_h}
+        m_rng, m_hash = mf.load(rng_out), mf.load(peak["out"])
+        norm = zonemap.normalize_filters(ts_filters, m_rng["schema"])
+        kept_rng = len(zonemap.prune_buckets(
+            m_rng, norm, blocks=mf.block_stats(rng_out, m_rng)))
+        kept_hash = len(zonemap.prune_buckets(
+            m_hash, norm, blocks=mf.block_stats(peak["out"], m_hash)))
+        shutil.rmtree(rng_out, ignore_errors=True)
+
         # point lookups on the compressed store: 3 present keys (bucket +
         # key-range pruning decode only their buckets) and 1 absent key
         # outside every range (zero buckets decoded, no Spark job for
@@ -212,7 +255,7 @@ def main():
         import __spark_entry__ as entrymod
 
         qs = entrymod.queries()
-        query_runs: dict[str, list[float]] = {}
+        query_runs: dict[str, list[float]] = dict(query_runs0)
         for name in (
             "canonical_count",
             "minimizer_lex",
@@ -251,6 +294,11 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "query_runs": query_runs,
+                "clustered_scan": {
+                    "buckets_kept_clustered": kept_rng,
+                    "buckets_kept_hashed": kept_hash,
+                    "num_buckets": N_BUCKETS,
+                },
                 "sf": SF,
                 "encode": {
                     "pages_rows": PAGES_ROWS,
