@@ -458,19 +458,28 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
         # sorted, so the recorded [key_min, key_max] stays exact)
         return list(m.get("committed_buckets", []))
 
+    def may_hold(rng, k: str) -> bool:
+        """Can the recorded [key_min, key_max] contain probe k? Probes
+        arrive as strings; int64-key snapshots record INT ranges, so the
+        probe is parsed for the compare (a non-numeric probe against an
+        int range proves absence). Unknown/mixed shapes keep the
+        bucket."""
+        if rng is None:
+            return True
+        lo, hi = rng
+        if isinstance(lo, str) and isinstance(hi, str):
+            return lo <= k <= hi
+        if isinstance(lo, int) and isinstance(hi, int):
+            try:
+                return lo <= int(k) <= hi
+            except ValueError:
+                return False  # can't be an int64 key at all
+        return True
+
     buckets = set()
     for k in keys:
         for b in candidates(k):
-            rng = ranges.get(str(b))
-            # no recorded range (legacy snapshot / empty bucket stats /
-            # non-string key column) keeps the bucket; a range excluding
-            # the key proves it's absent. Both ends must be strings.
-            if (
-                rng is None
-                or not isinstance(rng[0], str)
-                or not isinstance(rng[1], str)
-                or rng[0] <= k <= rng[1]
-            ):
+            if may_hold(ranges.get(str(b)), k):
                 buckets.add(b)
     out_schema = ", ".join(
         f"`{c}` {_SPARK_TYPE[t]}" for c, t in manifest.ordered_schema(m).items()

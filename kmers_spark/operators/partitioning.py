@@ -118,16 +118,24 @@ def range_boundaries(df: DataFrame, col: str, typ: str, num_buckets: int,
     the JSON-safe space zonemap stores bounds in, so the manifest can
     carry them).
 
-    One bounded job: rows get a rand(seed) rank and TakeOrdered pulls
-    the lowest `sample_n` to the driver (no full sort, no full shuffle —
-    the same plan shape as df.orderBy(rand).limit). Quantiles of the
-    sample become the boundaries. Equal-frequency cuts ARE the skew
-    control for this scheme: a value holding p% of rows occupies ~p% of
-    buckets' worth of boundary slots, so no per-host salting is needed.
-    Heavy hitters beyond one bucket's width still collapse into one
-    bucket (ties can't be split by a range rule); that residual skew is
-    bounded by the hitter's own frequency and is the documented cost of
-    clustering (a hash scheme scatters the scan instead).
+    Numeric and timestamp columns use approxQuantile (Greenwald-Khanna
+    sketch: one pass, executor-side merge, only the sketch reaches the
+    driver — constant driver cost at any table size). Timestamps ride
+    as unix_micros (sessions are pinned UTC engine-wide, so the
+    epoch-us <-> wall-clock mapping matches _bound_lit's
+    reconstruction); int64 boundaries tolerate the double round-trip —
+    cut PLACEMENT only needs consistency, not exactness. Strings fall
+    back to a bounded rand-ranked TakeOrdered sample (driver merges up
+    to partitions x sample_n rows — sample_n is capped low for this
+    path).
+
+    Equal-frequency cuts ARE the skew control for this scheme: a value
+    holding p% of rows occupies ~p% of buckets' worth of boundary
+    slots, so no per-host salting is needed. Heavy hitters beyond one
+    bucket's width still collapse into one bucket (ties can't be split
+    by a range rule); that residual skew is bounded by the hitter's own
+    frequency and is the documented cost of clustering (a hash scheme
+    scatters the scan instead).
     """
     from .. import zonemap
 
@@ -138,18 +146,30 @@ def range_boundaries(df: DataFrame, col: str, typ: str, num_buckets: int,
         )
     if num_buckets < 2:
         return []
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    if typ in ("int64", "timestamp", "timestamp_ntz", "double"):
+        v = F.col(col)
+        if typ.startswith("timestamp"):
+            v = F.unix_micros(v.cast("timestamp"))
+        q = (
+            df.select(v.cast("double").alias("_v"))
+            .where(F.col("_v").isNotNull())
+            .stat.approxQuantile("_v", probs, 1.0 / (4 * num_buckets))
+        )
+        if not q:
+            return []
+        out = [float(x) if typ == "double" else int(x) for x in q]
+        return sorted(out)
     sample = (
         df.select(F.col(col).alias("_v"))
         .where(F.col(col).isNotNull())
         .withColumn("_r", F.rand(seed))
         .orderBy("_r")
-        .limit(sample_n)
+        .limit(min(sample_n, 10_000))
         .select("_v")
         .collect()
     )
-    vals = sorted(zonemap.to_bound_space(r["_v"], typ) for r in sample)
-    if typ == "string":
-        vals = [v[:RANGE_STR_BOUND] for v in vals]
+    vals = sorted(r["_v"][:RANGE_STR_BOUND] for r in sample)
     if not vals:
         return []
     # quantile cut points; duplicates collapse (ties make empty buckets,

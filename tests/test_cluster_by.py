@@ -196,3 +196,19 @@ def test_spark_vs_driver_bucket_assignment_agree(spark, events):
         assert r["bucket"] == partitioning.range_bucket_for_value(
             r["ts"], m_bnds, "timestamp_ntz"
         )
+
+
+def test_int_key_ranges_prune_lookups(spark, events, rng_store):
+    """int64-key snapshots record INT key ranges; probes (strings) are
+    parsed for the compare, so range pruning now fires for them too —
+    a non-numeric probe proves absence with ZERO buckets decoded."""
+    out, m = rng_store
+    ranges = m.get("bucket_key_ranges", {})
+    assert ranges and all(isinstance(r[0], int) for r in ranges.values())
+    got = dec.lookup_keys(spark, out, ["not-a-number"])
+    assert got.count() == 0
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" not in plan or "LogicalRDD" in plan  # empty plan
+    # numeric absent key beyond every recorded range: also zero buckets
+    hi = max(r[1] for r in ranges.values())
+    assert dec.lookup_keys(spark, out, [str(hi + 10_000_000)]).count() == 0
