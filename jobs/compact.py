@@ -7,6 +7,12 @@ Usage:
 Rewrites all committed wave directories into one (payloads verbatim —
 no re-encode) and atomically swaps the manifest's wave list; orphaned
 dirs from either side of a crash are swept on the next run.
+
+--rebuild-to DST decodes the snapshot and encodes a FRESH one instead
+(re-encode, not verbatim): the streamed-store compactor (merges
+per-batch generations into one block per bucket-column) and the
+re-clustering tool (--cluster-by converts hash bucketing to range
+bucketing so zone maps prune range scans).
 """
 
 from __future__ import annotations
@@ -22,13 +28,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--snapshot", required=True)
+    ap.add_argument("--rebuild-to", default=None, metavar="DST",
+                    help="decode + re-encode into a fresh snapshot dir "
+                    "(streamed-store compaction / re-clustering)")
+    ap.add_argument("--cluster-by", default=None, metavar="COL",
+                    help="with --rebuild-to: range-bucket the rebuilt "
+                    "snapshot by COL")
+    ap.add_argument("--num-buckets", type=int, default=None,
+                    help="with --rebuild-to: bucket count of the rebuilt "
+                    "snapshot (default: source's)")
     args = ap.parse_args()
 
     from kmers_spark.operators import encode as enc
     from kmers_spark.session import get_spark
 
     spark = get_spark("kmers_spark_compact")
-    m = enc.compact_waves(spark, args.snapshot)
+    if args.rebuild_to:
+        m = enc.rebuild_snapshot(
+            spark, args.snapshot, args.rebuild_to,
+            num_buckets=args.num_buckets, cluster_by=args.cluster_by,
+        )
+    else:
+        m = enc.compact_waves(spark, args.snapshot)
     print(json.dumps({"wave_dirs": m["wave_dirs"],
                       "committed_buckets": len(m["committed_buckets"])}))
     spark.stop()

@@ -678,6 +678,49 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
     return m
 
 
+def rebuild_snapshot(spark: SparkSession, src_dir: str, dst_dir: str, *,
+                     num_buckets: int | None = None,
+                     cluster_by: str | None = None,
+                     codec_overrides: dict[str, str] | None = None,
+                     commit_every: int | None = None) -> dict:
+    """Maintenance: decode `src_dir` and encode it into a FRESH batch
+    snapshot at `dst_dir` (Iceberg rewrite-with-transform, not the
+    payload-verbatim compact_waves). This is:
+
+      * the streamed-store compactor — a sink-appended store holds one
+        generation per micro-batch wave; the rebuild merges them into
+        one block per (bucket, column), after which compact_waves and
+        the committed-once resume protocol apply again;
+      * the re-clustering tool — rebuild with cluster_by= converts a
+        hash-bucketed store into a range-bucketed one (zone maps go
+        from inert to disjoint on the cluster column) without touching
+        the source;
+      * a codec migration path (codec_overrides= re-encodes columns).
+
+    The source stays readable throughout (the rebuild only reads it);
+    cutover is the caller renaming/retargeting paths. Crash-safe like
+    any encode: dst's manifest commits per wave, resume completes it.
+    """
+    from .decode import decode_colocated
+
+    m_src = manifest.load(src_dir)
+    if m_src is None:
+        raise FileNotFoundError(f"no manifest in {src_dir}")
+    if os.path.realpath(src_dir) == os.path.realpath(dst_dir):
+        raise ValueError("rebuild requires a fresh destination dir")
+    df = decode_colocated(spark, src_dir)
+    return encode_table(
+        df, dst_dir,
+        key=m_src["key"],
+        num_buckets=num_buckets or m_src["num_buckets"],
+        codec_overrides=codec_overrides,
+        snapshot_id=f"{m_src.get('snapshot_id', 'snap')}-rebuilt",
+        detect_skew=cluster_by is None,
+        cluster_by=cluster_by,
+        commit_every=commit_every,
+    )
+
+
 def encode_colocated_df(df: DataFrame, schema: dict[str, str], key: str,
                         codec_overrides: dict[str, str] | None = None) -> DataFrame:
     """Shuffle-free encode over a pre-bucketed table (mapInArrow).

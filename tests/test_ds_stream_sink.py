@@ -212,3 +212,47 @@ def test_epoch_history_bounded_and_old_epoch_treated_committed(tmp_path):
     m2 = manifest.commit_wave_append(out, {0: []}, "blocks/w_replay0", 0)
     assert len(m2["wave_dirs"]) == n_waves
     assert "blocks/w_replay0" not in m2["wave_dirs"]
+
+
+def test_rebuild_merges_generations_into_batch_snapshot(spark, streamed_store,
+                                                        tmp_path):
+    """rebuild_snapshot: the streamed store's per-batch generations
+    merge into a fresh batch snapshot — bit-identical rows, one block
+    per (bucket, column), compact_waves applies again."""
+    from kmers_spark.operators.encode import rebuild_snapshot
+
+    out, df = streamed_store
+    dst = str(tmp_path / "rebuilt")
+    m = rebuild_snapshot(spark, out, dst)
+    assert not m.get("streamed")
+    got = decode_colocated(spark, dst).toPandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = df.toPandas()[got.columns].sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+    blocks = manifest.block_stats(dst, m)
+    n_cols = len(m["schema"])
+    assert all(len(stats) <= n_cols for stats in blocks.values())
+    compact_waves(spark, dst)  # no multi-generation refusal anymore
+
+
+def test_rebuild_reclusters_hash_store(spark, tmp_path):
+    """rebuild --cluster-by converts a hash store to a range store: the
+    zone maps go from inert to pruning on the cluster column."""
+    from kmers_spark.operators.encode import encode_table, rebuild_snapshot
+
+    src, dst = str(tmp_path / "hash"), str(tmp_path / "rng")
+    df = pages.pages_df(spark, 1500, seed=23, partitions=4).cache()
+    encode_table(df, src, num_buckets=8, detect_skew=False)
+    m = rebuild_snapshot(spark, src, dst, cluster_by="warc_ts")
+    assert m["bucket_scheme"] == partitioning.RANGE_SCHEME
+    blocks = manifest.block_stats(dst, m)
+    zmins = sorted(s["zmin"] for st in blocks.values()
+                   for s in st if s["column"] == "warc_ts" and "zmin" in s)
+    mid = zmins[len(zmins) // 2]
+    norm = zonemap.normalize_filters([("warc_ts", "<", mid)], m["schema"])
+    keep = zonemap.prune_buckets(m, norm, blocks=blocks)
+    assert len(keep) < 8  # prunes now; on the hash store it kept all
+    got = decode_colocated(spark, dst).toPandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert got.equals(df.toPandas()[got.columns]
+                      .sort_values("url").reset_index(drop=True))
