@@ -694,13 +694,18 @@ try:  # writer API: Spark 4.0+
         writer's spill threshold applies to bulk snapshots)."""
 
         def __init__(self, path, key, num_buckets, table_schema,
-                     codec_overrides, snapshot_id):
+                     codec_overrides, snapshot_id, stream_id="stream"):
             self.path = path
             self.key = key
             self.num_buckets = num_buckets
             self.table_schema = table_schema
             self.codec_overrides = codec_overrides
             self.snapshot_id = snapshot_id
+            # option("streamId"): namespaces batchIds (the Kafka
+            # transactional.id pattern) — restarts of the SAME logical
+            # query keep their id (replay detection), a NEW query
+            # (fresh checkpoint, batchIds restart at 0) uses a new one
+            self.stream_id = stream_id
 
         def _staging(self) -> str:
             return f"{self.path}/blocks/.stream-staging"
@@ -782,7 +787,10 @@ try:  # writer API: Spark 4.0+
                 return cur
 
             m = manifest.commit(self.path, create_or_check)
-            if str(batchId) in m.get("stream_epochs", {}):
+            known = m.get("stream_epochs", {}).get(self.stream_id, {})
+            if str(batchId) in known or (
+                known and batchId < min(int(k) for k in known)
+            ):
                 self._clean_staged(staged)  # replayed batch: already in
                 return
             # publish the wave BEFORE registering it (a crash in between
@@ -798,9 +806,10 @@ try:  # writer API: Spark 4.0+
             wave_rel = f"blocks/{wave_name}"
             m = manifest.commit_wave_append(
                 self.path, stats, wave_rel, batchId,
-                key_ranges=key_ranges or None,
+                key_ranges=key_ranges or None, stream_id=self.stream_id,
             )
-            if m.get("stream_epochs", {}).get(str(batchId)) != wave_rel:
+            if m.get("stream_epochs", {}).get(self.stream_id, {}) \
+                    .get(str(batchId)) != wave_rel:
                 # lost an epoch race (another attempt of this batch
                 # committed concurrently): our wave stays unregistered
                 import shutil
@@ -848,6 +857,8 @@ try:  # writer API: Spark 4.0+
             table_schema=table_schema,
             codec_overrides=overrides or None,
             snapshot_id=self.options.get("snapshot_id", "snap-ds-stream"),
+            stream_id=self.options.get("streamid",
+                                       self.options.get("stream_id", "stream")),
         )
 
     KmersDataSource.writer = _ds_writer

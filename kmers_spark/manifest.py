@@ -397,29 +397,36 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
 
 def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
                        wave_dir: str, epoch: int,
-                       key_ranges: dict[int, list] | None = None) -> dict[str, Any]:
+                       key_ranges: dict[int, list] | None = None,
+                       stream_id: str = "stream") -> dict[str, Any]:
     """Streaming-append commit: register `wave_dir` as a NEW GENERATION
     of its buckets (a bucket may hold block rows in several waves; the
     colocated/scan readers decode each wave's file independently and the
     rows union). Contrast commit_buckets, whose committed-once rule is
     the batch snapshot's resume contract.
 
-    Exactly-once: `epoch` (the sink's batchId) is recorded in
-    m["stream_epochs"] inside the same CAS commit — a replayed batch
-    sees its epoch present and the sink drops its staged files without
-    registering anything. Returns the manifest; the caller detects a
-    replay by m["stream_epochs"][str(epoch)] != its own wave_dir."""
+    Exactly-once: `epoch` (the sink's batchId) is recorded under
+    `stream_id` in m["stream_epochs"] inside the same CAS commit — a
+    replayed batch sees its epoch present and the sink drops its staged
+    files without registering anything. `stream_id` namespaces the
+    batchId sequence (Kafka's transactional.id pattern): batchIds are
+    monotone only WITHIN one logical query, and a new query (fresh
+    checkpoint — e.g. restarted after schema evolution) restarts at 0;
+    it must write under a new stream_id, while restarts of the same
+    query keep theirs. Returns the manifest; the caller detects a
+    replay by m["stream_epochs"][stream_id][str(epoch)] != its wave_dir."""
 
     def mutate(m: dict[str, Any] | None) -> dict[str, Any]:
         if m is None:
             raise FileNotFoundError(f"no manifest in {out_dir}")
-        epochs = m.setdefault("stream_epochs", {})
+        all_epochs = m.setdefault("stream_epochs", {})
+        epochs = all_epochs.setdefault(stream_id, {})
         if str(epoch) in epochs:
             return m  # replay: no-op (caller cleans its staged wave)
         if epochs and int(epoch) < min(int(k) for k in epochs):
-            # older than the kept window: batchIds are monotone, so it
-            # can only be an already-committed batch whose entry was
-            # pruned — treat as replay, never re-append
+            # older than the kept window: batchIds are monotone within
+            # a stream_id, so it can only be an already-committed batch
+            # whose entry was pruned — treat as replay, never re-append
             return m
         # multi-generation marker: readers that cannot express
         # generations (whole-bucket groupBy without a file key,
@@ -447,11 +454,10 @@ def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
             int(b) for b in bucket_stats
         )
         epochs[str(epoch)] = wave_dir
-        # bounded epoch history: the manifest is rewritten per commit,
-        # so a year of 1-minute batches must not carry 500k entries.
-        # Spark replays at most the LAST unproven batch, so a deep tail
-        # is ample; one writer query per store (batchIds of separate
-        # queries would collide at 0 — document, don't support).
+        # bounded epoch history per stream: the manifest is rewritten on
+        # every commit, so a year of 1-minute batches must not carry
+        # 500k entries. Spark replays at most the LAST unproven batch,
+        # so a deep tail is ample.
         if len(epochs) > STREAM_EPOCHS_KEEP:
             for k in sorted(epochs, key=int)[:-STREAM_EPOCHS_KEEP]:
                 del epochs[k]
@@ -505,6 +511,11 @@ def evolve_schema(out_dir: str, add: dict[str, str]) -> dict[str, Any]:
                 raise ValueError(f"type {t!r} not in {ALLOWED_TYPES}")
             m["schema"][c] = t
             order = order + [c]
+            # streamed stores need the ADDED-column set explicitly: their
+            # per-bucket block lists mix generations, so "which columns
+            # may legitimately be missing" cannot be derived from the
+            # union the way batch snapshots derive it
+            m.setdefault("evolved_columns", []).append(c)
         m["columns"] = order
         # cheap marker: readers compute per-bucket null-fill sets (a
         # full block-stats read, possibly spilled files) ONLY when an
@@ -557,13 +568,27 @@ def block_stats(out_dir: str, m: dict[str, Any],
 
 def missing_columns(m: dict[str, Any], cols: list[str],
                     blocks: dict[str, list] | None = None) -> dict[int, set]:
-    """{bucket: columns of `cols` that bucket has NO block for} — the
-    per-bucket null-fill set schema evolution creates. Derived from the
-    per-bucket block stats (pass block_stats(out_dir, m) when the
-    snapshot may have spilled stats files); empty dict when no
-    evolution ever happened (the common case — decode's strict
-    bucket-integrity checks then apply unweakened)."""
+    """{bucket: columns of `cols` that MAY legitimately be absent from a
+    bucket's block set} — the null-fill allowance schema evolution
+    creates. Empty dict when no evolution ever happened (the common
+    case — decode's strict bucket-integrity checks then apply
+    unweakened).
+
+    Batch snapshots derive the set from per-bucket block stats (pass
+    block_stats(out_dir, m) when the snapshot may have spilled stats
+    files): a bucket either predates the evolution (no block) or not.
+    STREAMED snapshots mix generations per bucket — the union of a
+    bucket's stats says a column "exists" even when only the newest
+    generation carries it — so the allowance is the evolution's own
+    recorded added-column list, for every bucket: each generation's
+    decode group null-fills the added columns its own block set lacks
+    (the same read-as-null contract, at generation granularity)."""
     out: dict[int, set] = {}
+    if m.get("streamed"):
+        ev = set(m.get("evolved_columns", ())) & set(cols)
+        if not ev:
+            return {}
+        return {int(b): set(ev) for b in m.get("committed_buckets", [])}
     if blocks is None:
         blocks = m.get("blocks", {})
     for b in m.get("committed_buckets", []):

@@ -34,15 +34,16 @@ def _bucketed_stream(spark, src_dir, schema):
     return partitioning.with_bucket(sdf, N_B, {}).repartition("bucket")
 
 
-def _run_sink(spark, src_dir, schema, out, ckpt):
-    q = (
+def _run_sink(spark, src_dir, schema, out, ckpt, stream_id=None):
+    w = (
         _bucketed_stream(spark, src_dir, schema)
         .writeStream.format("kmers")
         .option("checkpointLocation", ckpt)
         .option("numBuckets", str(N_B))
-        .trigger(availableNow=True)
-        .start(out)
     )
+    if stream_id:
+        w = w.option("streamId", stream_id)
+    q = w.trigger(availableNow=True).start(out)
     q.awaitTermination(120)
 
 
@@ -65,7 +66,7 @@ def test_two_batches_decode_bit_identical(spark, streamed_store):
     out, df = streamed_store
     m = manifest.load(out)
     assert m["streamed"] is True
-    assert len(m.get("stream_epochs", {})) == 2
+    assert len(m.get("stream_epochs", {}).get("stream", {})) == 2
     assert len(m["wave_dirs"]) == 2
     got = decode_colocated(spark, out).toPandas() \
         .sort_values("url").reset_index(drop=True)
@@ -206,7 +207,7 @@ def test_epoch_history_bounded_and_old_epoch_treated_committed(tmp_path):
         os.makedirs(os.path.join(out, wd), exist_ok=True)
         manifest.commit_wave_append(out, {e % 4: []}, wd, e)
     m = manifest.load(out)
-    assert len(m["stream_epochs"]) == keep
+    assert len(m["stream_epochs"]["stream"]) == keep
     n_waves = len(m["wave_dirs"])
     # epoch 0 fell out of the window: re-appending it must be a no-op
     m2 = manifest.commit_wave_append(out, {0: []}, "blocks/w_replay0", 0)
@@ -256,3 +257,44 @@ def test_rebuild_reclusters_hash_store(spark, tmp_path):
         .sort_values("url").reset_index(drop=True)
     assert got.equals(df.toPandas()[got.columns]
                       .sort_values("url").reset_index(drop=True))
+
+
+def test_streamed_store_schema_evolution_generation_nullfill(spark, tmp_path):
+    """Continuous ingest + schema evolution: generations written before
+    evolve_schema lack the added column's block; the union of a
+    bucket's per-generation stats would claim the column 'exists', so
+    streamed snapshots take the null-fill allowance from the recorded
+    evolved-column list instead — each generation null-fills what its
+    own block set lacks."""
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    out, ck1, ck2 = (str(tmp_path / n) for n in ("snap", "c1", "c2"))
+    df = pages.pages_df(spark, 600, seed=41, partitions=2).cache()
+    datasource.register(spark)
+    df.write.parquet(src1)
+    _run_sink(spark, src1, df.schema, out, ck1)
+
+    manifest.evolve_schema(out, {"score": "double"})
+    df2 = pages.pages_df(spark, 400, seed=43, partitions=2) \
+        .withColumn("url", F.concat(F.lit("http://g2."), F.col("url").substr(8, 999))) \
+        .withColumn("score", F.length("text").cast("double")).cache()
+    df2.write.parquet(src2)
+    # a NEW query (fresh checkpoint: batchIds restart at 0) must carry
+    # its own streamId or its batch 0 would read as a replay of the
+    # first query's batch 0
+    _run_sink(spark, src2, df2.schema, out, ck2, stream_id="gen2")
+
+    for reader in (
+        lambda: decode_colocated(spark, out),
+        lambda: decode_table(spark, out),
+        lambda: spark.read.format("kmers").load(out),
+    ):
+        got = reader().toPandas()
+        assert len(got) == 1000
+        # generation 1 (600 rows) null-fills; generation 2 carries real
+        # values except its own genuinely-null-text rows
+        g2_nulls = df2.filter(F.col("score").isNull()).count()
+        assert got["score"].isna().sum() == 600 + g2_nulls
+        assert got["score"].notna().sum() == 400 - g2_nulls
+    # projection of ONLY the evolved column anchors on the key
+    proj = decode_colocated(spark, out, columns=["score"]).toPandas()
+    assert len(proj) == 1000
