@@ -251,7 +251,13 @@ class KmersReader(DataSourceReader):
         # in some bucket — the key always has a block)
         needed = set(self.projected) | {c for c, _op, _v in self.triples}
         key = self.m.get("key") if isinstance(self.m, dict) else None
-        if key and any(not (needed - miss) for miss in miss_map.values()):
+        # key column as a row-count anchor ONLY for the buckets whose
+        # whole projection is evolution-missing — a coalesced chunk must
+        # not fetch the key payload for its other 99 buckets
+        anchor_buckets = [
+            b for b, miss in miss_map.items() if key and not (needed - miss)
+        ]
+        if anchor_buckets:
             needed.add(key)
         # each wave path is a DIRECTORY of part files; a list of dirs
         # needs a union of per-dir datasets
@@ -260,8 +266,19 @@ class KmersReader(DataSourceReader):
             if len(paths) == 1
             else pads.dataset([pads.dataset(p, format="parquet") for p in paths])
         )
+        base_cols = sorted(needed - {key}) if (
+            anchor_buckets and key not in self.projected
+            and all(key != c for c, _op, _v in self.triples)
+        ) else sorted(needed)
         pred = (pads.field("bucket").isin(list(bucket_list))
-                & pads.field("column").isin(sorted(needed)))
+                & pads.field("column").isin(base_cols))
+        if anchor_buckets and key not in base_cols:
+            pred = pred | (pads.field("bucket").isin(anchor_buckets)
+                           & (pads.field("column") == key))
+        # the integrity check below must expect the key only where it
+        # was actually fetched (the anchor buckets)
+        base_needed = set(base_cols)
+        anchor_set = set(anchor_buckets)
         cols_fetch = ["bucket", "column", "meta", "payload"]
         if isinstance(self.m, dict) and self.m.get("streamed"):
             # streamed store: a bucket holds one GENERATION per wave
@@ -269,12 +286,15 @@ class KmersReader(DataSourceReader):
             # buckets of one generation) independently; rows union
             for frag in dataset.get_fragments():
                 tbl = frag.to_table(filter=pred, columns=cols_fetch)
-                yield from self._decode_block_table(tbl, miss_map, needed)
+                yield from self._decode_block_table(tbl, miss_map, base_needed,
+                                                    key, anchor_set)
             return
         tbl = dataset.to_table(filter=pred, columns=cols_fetch)
-        yield from self._decode_block_table(tbl, miss_map, needed)
+        yield from self._decode_block_table(tbl, miss_map, base_needed,
+                                            key, anchor_set)
 
-    def _decode_block_table(self, tbl, miss_map: dict, needed: set) -> Iterator:
+    def _decode_block_table(self, tbl, miss_map: dict, base_needed: set,
+                            anchor_key=None, anchor_set=frozenset()) -> Iterator:
         import json
 
         import pyarrow as pa
@@ -302,6 +322,7 @@ class KmersReader(DataSourceReader):
         for bucket in sorted(per_bucket):
             idx = per_bucket[bucket]
             miss = miss_map.get(bucket, set())
+            needed = base_needed | ({anchor_key} if bucket in anchor_set else set())
             # same integrity contract as decode_blocks_df: evolution
             # null-fills ONLY manifest-recorded gaps; anything else is
             # corruption, not silently-wrong data
@@ -391,19 +412,51 @@ class KmersStreamReader(DataSourceStreamReader):
 
         m = manifest.load(self.path)
         done = sorted(m.get("committed_buckets", [])) if m else []
+        if m and m.get("streamed"):
+            # sink-appended stores add GENERATIONS to already-committed
+            # buckets: the bucket set alone never advances, so the
+            # offset also carries the (append-only) wave count
+            return {"buckets": done, "waves": len(m.get("wave_dirs", []))}
         return {"buckets": done}
 
     def partitions(self, start: dict, end: dict):
         from . import manifest
 
-        new = sorted(set(end.get("buckets", [])) - set(start.get("buckets", [])))
-        if not new:
-            # Spark requires >= 1 partition per batch; emit an empty marker
-            return [InputPartition((None, [], []))]
         m = manifest.load(self.path)
         if not self.full_schema and m:
             self.full_schema = manifest.ordered_schema(m)
         self._m = m  # pickled to executors with the reader
+        if "waves" in end:
+            if start.get("buckets") and "waves" not in start:
+                raise ValueError(
+                    "this checkpoint predates generation-aware offsets "
+                    "for streamed kmers stores; restart the read with a "
+                    "fresh checkpoint (bucket-set offsets cannot say "
+                    "which generations were already emitted)"
+                )
+            # every row added between the offsets lives in the wave dirs
+            # appended at [start.waves, end.waves) — the list is append-
+            # only for streamed stores (compact_waves refuses them)
+            s0, e0 = int(start.get("waves", 0)), int(end["waves"])
+            new_dirs = m.get("wave_dirs", [])[s0:e0]
+            wb = m.get("wave_buckets", {})
+            missing = manifest.missing_columns(m, list(self.full_schema))
+            by_bucket: dict[int, list[str]] = {}
+            for d in new_dirs:
+                for b in wb.get(d, ()):
+                    by_bucket.setdefault(int(b), []).append(f"{self.path}/{d}")
+            if not by_bucket:
+                return [InputPartition((None, [], {}))]
+            return [
+                InputPartition((
+                    [b], sorted(paths), {b: sorted(missing.get(b, ()))}
+                ))
+                for b, paths in sorted(by_bucket.items())
+            ]
+        new = sorted(set(end.get("buckets", [])) - set(start.get("buckets", [])))
+        if not new:
+            # Spark requires >= 1 partition per batch; emit an empty marker
+            return [InputPartition((None, [], {}))]
         return plan_bucket_partitions(self.path, m, new, list(self.full_schema))
 
     def commit(self, end: dict) -> None:
@@ -788,9 +841,7 @@ try:  # writer API: Spark 4.0+
 
             m = manifest.commit(self.path, create_or_check)
             known = m.get("stream_epochs", {}).get(self.stream_id, {})
-            if str(batchId) in known or (
-                known and batchId < min(int(k) for k in known)
-            ):
+            if manifest.is_replayed_epoch(known, batchId, self.stream_id):
                 self._clean_staged(staged)  # replayed batch: already in
                 return
             # publish the wave BEFORE registering it (a crash in between
@@ -815,6 +866,32 @@ try:  # writer API: Spark 4.0+
                 import shutil
 
                 shutil.rmtree(wave_dir, ignore_errors=True)
+            self._sweep_staging()
+
+        def _sweep_staging(self, grace_sec: float | None = None) -> None:
+            """Reclaim staged files no commit message ever claimed (a
+            failed executor or a speculative attempt that lost): they
+            are hidden and harmless but would accumulate forever on a
+            long-running ingest. Same mtime grace as the orphan-wave
+            sweep — a concurrent attempt's in-flight file is fresh."""
+            import os
+            import time
+
+            from .operators.encode import SWEEP_GRACE_SEC
+
+            grace = SWEEP_GRACE_SEC if grace_sec is None else grace_sec
+            cutoff = time.time() - grace
+            try:
+                names = os.listdir(self._staging())
+            except OSError:
+                return
+            for name in names:
+                p = os.path.join(self._staging(), name)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        os.unlink(p)
+                except OSError:
+                    pass
 
         def abort(self, messages, batchId) -> None:  # noqa: N803
             staged = [m.staged_file for m in messages
@@ -827,6 +904,12 @@ try:  # writer API: Spark 4.0+
     def _ds_stream_writer(self, schema, overwrite):
         from . import selector
 
+        if overwrite:
+            raise ValueError(
+                "the kmers sink is append-only (each micro-batch appends a "
+                "generation); outputMode('complete'/'update') would need "
+                "per-batch truncation — use outputMode('append')"
+            )
         path = self.options.get("path")
         if not path:
             raise ValueError("kmers sink needs a snapshot path: .start('/snap')")

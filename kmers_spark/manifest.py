@@ -421,13 +421,8 @@ def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
             raise FileNotFoundError(f"no manifest in {out_dir}")
         all_epochs = m.setdefault("stream_epochs", {})
         epochs = all_epochs.setdefault(stream_id, {})
-        if str(epoch) in epochs:
+        if is_replayed_epoch(epochs, epoch, stream_id):
             return m  # replay: no-op (caller cleans its staged wave)
-        if epochs and int(epoch) < min(int(k) for k in epochs):
-            # older than the kept window: batchIds are monotone within
-            # a stream_id, so it can only be an already-committed batch
-            # whose entry was pruned — treat as replay, never re-append
-            return m
         # multi-generation marker: readers that cannot express
         # generations (whole-bucket groupBy without a file key,
         # compaction's single-file-per-bucket rewrite) check this
@@ -467,6 +462,29 @@ def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
 
 
 STREAM_EPOCHS_KEEP = 128  # recent batchIds kept for replay detection
+
+
+def is_replayed_epoch(epochs: dict[str, str], epoch: int,
+                      stream_id: str = "stream") -> bool:
+    """The ONE replay predicate (sink pre-check + commit mutate share
+    it). True = this batchId already committed (legit Spark replay of
+    the last unproven batch — drop staged data, register nothing).
+    A batchId BELOW the kept window cannot be a real replay (batchIds
+    are monotone within a stream and Spark replays only the last one):
+    it means a NEW query with a fresh checkpoint reused this streamId —
+    silently dropping its data would be the worst outcome, so raise."""
+    if not epochs:
+        return False
+    if str(epoch) in epochs:
+        return True
+    if int(epoch) < min(int(k) for k in epochs):
+        raise ValueError(
+            f"batchId {epoch} is below streamId {stream_id!r}'s committed "
+            f"epoch window (min kept: {min(int(k) for k in epochs)}). A new "
+            "query with a fresh checkpoint restarts batchIds at 0 — give it "
+            "its own .option('streamId', ...) instead of reusing this one."
+        )
+    return False
 
 
 ALLOWED_TYPES = ("string", "binary", "int64", "timestamp", "timestamp_ntz",
@@ -582,7 +600,12 @@ def missing_columns(m: dict[str, Any], cols: list[str],
     generation carries it — so the allowance is the evolution's own
     recorded added-column list, for every bucket: each generation's
     decode group null-fills the added columns its own block set lacks
-    (the same read-as-null contract, at generation granularity)."""
+    (the same read-as-null contract, at generation granularity).
+    Accepted trade: a POST-evolution generation that corruptly lost an
+    evolved column's block silently null-fills instead of raising (the
+    batch path distinguishes the two); tightening it needs per-wave
+    evolution watermarks carried into every kernel, which the colocated
+    path (no file provenance inside mapInArrow) cannot see today."""
     out: dict[int, set] = {}
     if m.get("streamed"):
         ev = set(m.get("evolved_columns", ())) & set(cols)

@@ -700,7 +700,14 @@ def rebuild_snapshot(spark: SparkSession, src_dir: str, dst_dir: str, *,
     The source stays readable throughout (the rebuild only reads it);
     cutover is the caller renaming/retargeting paths. Crash-safe like
     any encode: dst's manifest commits per wave, resume completes it.
+
+    Format properties are INHERITED unless overridden: a source's
+    codec_overrides and (for range-bucketed sources) cluster_by carry
+    into the rebuilt snapshot — a compaction run must not silently
+    revert a words_seg column to the auto-selector or de-cluster a
+    range store. Pass explicit values to change them.
     """
+    from . import partitioning
     from .decode import decode_colocated
 
     m_src = manifest.load(src_dir)
@@ -708,6 +715,12 @@ def rebuild_snapshot(spark: SparkSession, src_dir: str, dst_dir: str, *,
         raise FileNotFoundError(f"no manifest in {src_dir}")
     if os.path.realpath(src_dir) == os.path.realpath(dst_dir):
         raise ValueError("rebuild requires a fresh destination dir")
+    if codec_overrides is None:
+        codec_overrides = m_src.get("codec_overrides") or None
+    if cluster_by is None and (
+        m_src.get("bucket_scheme") == partitioning.RANGE_SCHEME
+    ):
+        cluster_by = m_src.get("cluster_by")
     df = decode_colocated(spark, src_dir)
     return encode_table(
         df, dst_dir,

@@ -355,3 +355,48 @@ def test_buckets_per_task_coalescing(spark, ds_store):
         .sort_values("url").reset_index(drop=True)
     )
     assert sel.equals(want_sel)
+
+
+def test_stream_sink_rejects_complete_mode(spark, tmp_path):
+    """The sink is append-only: outputMode('complete') (overwrite=True)
+    must fail loudly, not silently append duplicates per batch."""
+    datasource.register(spark)
+    df = pages.pages_df(spark, 100, seed=5, partitions=1)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    sdf = (
+        spark.readStream.schema(df.schema).parquet(src)
+        .groupBy("lang").count()
+    )
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="append-only"):
+        q = (
+            sdf.writeStream.format("kmers")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .option("numBuckets", "2")
+            .option("key", "lang")
+            .trigger(availableNow=True)
+            .start(str(tmp_path / "snap"))
+        )
+        q.awaitTermination(60)
+
+
+def test_coalesced_read_of_evolved_store_projects_evolved_only(spark, tmp_path):
+    """bucketsPerTask + evolution + a projection of ONLY the evolved
+    column: the key anchors row counts per bucket (fetched only where
+    needed) and every pre-evolution row null-fills."""
+    from kmers_spark.operators.decode import decode_table
+
+    out = str(tmp_path / "snap")
+    df = pages.pages_df(spark, 600, seed=67, partitions=2).cache()
+    encode_table(df, out, num_buckets=6, detect_skew=False)
+    manifest.evolve_schema(out, {"score": "double"})
+    t = (
+        spark.read.format("kmers").option("bucketsPerTask", "3").load(out)
+        .select("score")
+    )
+    got = t.toPandas()
+    assert len(got) == 600
+    assert got["score"].isna().all()

@@ -192,10 +192,12 @@ def test_abort_cleans_staged(streamed_store):
     assert not os.path.exists(os.path.join(staging, fake))
 
 
-def test_epoch_history_bounded_and_old_epoch_treated_committed(tmp_path):
+def test_epoch_history_bounded_and_below_window_raises(tmp_path):
     """stream_epochs must stay bounded (the manifest is rewritten per
-    commit) and a batchId below the kept window must read as already
-    committed (batchIds are monotone; only the last batch can replay)."""
+    commit); a batchId below the kept window cannot be a real replay
+    (batchIds are monotone, Spark replays only the last batch) — it
+    means a NEW query reused this streamId, and silently dropping its
+    data would be worse than failing, so it raises."""
     import os
 
     out = str(tmp_path / "snap")
@@ -209,10 +211,12 @@ def test_epoch_history_bounded_and_old_epoch_treated_committed(tmp_path):
     m = manifest.load(out)
     assert len(m["stream_epochs"]["stream"]) == keep
     n_waves = len(m["wave_dirs"])
-    # epoch 0 fell out of the window: re-appending it must be a no-op
-    m2 = manifest.commit_wave_append(out, {0: []}, "blocks/w_replay0", 0)
+    # an IN-window batchId is a legit replay: no-op
+    m2 = manifest.commit_wave_append(out, {0: []}, "blocks/w_replayK", keep + 5)
     assert len(m2["wave_dirs"]) == n_waves
-    assert "blocks/w_replay0" not in m2["wave_dirs"]
+    # epoch 0 fell out of the window: streamId reuse, loud failure
+    with pytest.raises(ValueError, match="streamId"):
+        manifest.commit_wave_append(out, {0: []}, "blocks/w_replay0", 0)
 
 
 def test_rebuild_merges_generations_into_batch_snapshot(spark, streamed_store,
@@ -298,3 +302,61 @@ def test_streamed_store_schema_evolution_generation_nullfill(spark, tmp_path):
     # projection of ONLY the evolved column anchors on the key
     proj = decode_colocated(spark, out, columns=["score"]).toPandas()
     assert len(proj) == 1000
+
+
+def test_stream_reader_sees_new_generations(spark, tmp_path):
+    """readStream over a sink-appended store: the offset carries the
+    wave count, so generations appended to ALREADY-committed buckets
+    are emitted (the bucket-set offset alone would silently drop every
+    batch after the first — review finding r4)."""
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    out = str(tmp_path / "snap")
+    wck1, wck2, rck = (str(tmp_path / n) for n in ("w1", "w2", "r"))
+    df = pages.pages_df(spark, 800, seed=51, partitions=2).cache()
+    h1 = df.filter(F.xxhash64("url") % 2 == 0)
+    h2 = df.filter(F.xxhash64("url") % 2 != 0)
+    datasource.register(spark)
+    h1.write.parquet(src1)
+    _run_sink(spark, src1, df.schema, out, wck1)
+
+    def drain() -> int:
+        seen = []
+        q = (
+            spark.readStream.format("kmers").load(out)
+            .writeStream.foreachBatch(lambda b, i: seen.append(b.count()))
+            .option("checkpointLocation", rck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(seen)
+
+    assert drain() == h1.count()
+    # second sink batch appends a GENERATION to the same buckets
+    h2.write.parquet(src2)
+    _run_sink(spark, src2, df.schema, out, wck2, stream_id="g2")
+    assert drain() == h2.count()  # only the new generation re-emits
+    assert drain() == 0           # nothing new: empty batch
+
+
+def test_rebuild_inherits_format_properties(spark, tmp_path):
+    """rebuild without overrides must carry the source's codec_overrides
+    and cluster_by — a compaction run must not silently regress the
+    snapshot format (review finding r4)."""
+    from kmers_spark.operators.encode import encode_table, rebuild_snapshot
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = pages.pages_df(spark, 1000, seed=71, partitions=2).cache()
+    encode_table(df, src, num_buckets=4, cluster_by="warc_ts",
+                 codec_overrides={"url": "fsst_seg"})
+    m = rebuild_snapshot(spark, src, dst)
+    assert m["bucket_scheme"] == partitioning.RANGE_SCHEME
+    assert m["cluster_by"] == "warc_ts"
+    blocks = manifest.block_stats(dst, m)
+    url_codecs = {s["codec"] for st in blocks.values()
+                  for s in st if s["column"] == "url"}
+    assert url_codecs == {"fsst_seg"}
+    got = decode_colocated(spark, dst).toPandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert got.equals(df.toPandas()[got.columns]
+                      .sort_values("url").reset_index(drop=True))
