@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame, functions as F
 
 HOST_PATTERN = r"^[a-z]+://([^/]+)"
@@ -154,7 +156,11 @@ def range_boundaries(df: DataFrame, col: str, typ: str, num_buckets: int,
         q = (
             df.select(v.cast("double").alias("_v"))
             .where(F.col("_v").isNotNull())
-            .stat.approxQuantile("_v", probs, 1.0 / (4 * num_buckets))
+            # error floor: the GK sketch grows ~1/err, and boundary
+            # PLACEMENT tolerates imprecision (cuts just need to be
+            # consistent) — 1e-4 keeps a 10^5-boundary request tractable
+            .stat.approxQuantile("_v", probs,
+                                 max(1.0 / (4 * num_buckets), 1e-4))
         )
         if not q:
             return []
@@ -189,24 +195,59 @@ def _bound_lit(value, typ: str):
     return F.lit(value)
 
 
+# boundary count above which the JVM array-filter assignment (O(B) per
+# row, interpreted higher-order function) loses to an Arrow-batched
+# numpy searchsorted (O(log B) per row): the expression path keeps
+# small layouts UDF-free, the UDF path keeps 10^5-bucket layouts linear
+RANGE_EXPR_MAX = 512
+
+
 def with_bucket_range(df: DataFrame, col: str, typ: str,
                       boundaries: list) -> DataFrame:
-    """Add a `bucket` column: count of boundaries <= value (a vectorized
-    searchsorted over an array literal — stays in whole-stage codegen,
-    no UDF, no shuffle). NULL cluster values land in bucket 0 (the
-    comparison is NULL for every boundary, so the filter keeps none).
+    """Add a `bucket` column: count of boundaries <= value. NULL cluster
+    values land in bucket 0.
 
-    Linear in num_buckets per row; fine through ~10^3 boundaries. A
-    10^5-bucket layout should nest: range-bucket to ~10^3 coarse ranges
-    here, then hash within each (composite scheme) — the manifest's
-    scheme field leaves room for that variant."""
+    Up to RANGE_EXPR_MAX boundaries this is a pure JVM expression
+    (filter-count over an array literal — no UDF, no shuffle); beyond
+    that the O(B)-per-row scan would dominate, so assignment switches
+    to a vectorized pandas_udf doing np.searchsorted (O(log B) per row,
+    Arrow-batched) — which is what makes a 10^5-bucket range layout
+    practical. Both paths implement the identical rule as
+    range_bucket_for_value's bisect (golden cross-check in tests)."""
     if not boundaries:
         return df.withColumn("bucket", F.lit(0).cast("int"))
-    v = F.col(col) if typ != "string" else F.substring(F.col(col), 1, RANGE_STR_BOUND)
-    arr = F.array(*[_bound_lit(b, typ) for b in boundaries])
-    return df.withColumn(
-        "bucket", F.size(F.filter(arr, lambda b: b <= v)).cast("int")
-    )
+    if len(boundaries) <= RANGE_EXPR_MAX:
+        v = F.col(col) if typ != "string" else F.substring(F.col(col), 1, RANGE_STR_BOUND)
+        arr = F.array(*[_bound_lit(b, typ) for b in boundaries])
+        return df.withColumn(
+            "bucket", F.size(F.filter(arr, lambda b: b <= v)).cast("int")
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    bnds = list(boundaries)
+
+    @pandas_udf("int")
+    def _searchsorted(s: pd.Series) -> pd.Series:
+        arr = np.asarray(bnds)
+        if typ.startswith("timestamp"):
+            vals = s.to_numpy(dtype="datetime64[us]").astype("int64")
+            valid = s.notna().to_numpy(dtype=bool)
+        elif typ == "string":
+            valid = s.notna().to_numpy(dtype=bool)
+            vals = s.fillna("").str.slice(0, RANGE_STR_BOUND).to_numpy(dtype=object)
+            arr = np.asarray(bnds, dtype=object)
+        elif typ == "double":
+            vals = s.to_numpy(dtype="float64")
+            valid = s.notna().to_numpy(dtype=bool)
+        else:
+            valid = s.notna().to_numpy(dtype=bool)
+            vals = s.fillna(0).to_numpy(dtype="int64")
+        out = np.searchsorted(arr, vals, side="right").astype("int32")
+        out[~valid] = 0
+        return pd.Series(out)
+
+    return df.withColumn("bucket", _searchsorted(F.col(col)))
 
 
 def range_bucket_for_value(value, boundaries: list, typ: str) -> int:

@@ -212,3 +212,41 @@ def test_int_key_ranges_prune_lookups(spark, events, rng_store):
     # numeric absent key beyond every recorded range: also zero buckets
     hi = max(r[1] for r in ranges.values())
     assert dec.lookup_keys(spark, out, [str(hi + 10_000_000)]).count() == 0
+
+
+def test_udf_and_expr_assignment_agree(spark, events, monkeypatch):
+    """Above RANGE_EXPR_MAX boundaries assignment switches to the
+    Arrow-batched searchsorted UDF; both paths and the driver bisect
+    must implement one rule."""
+    bnds = partitioning.range_boundaries(events, "ts", "timestamp_ntz", 64)
+    rows_expr = (
+        partitioning.with_bucket_range(events, "ts", "timestamp_ntz", bnds)
+        .select("event_id", "bucket").toPandas().set_index("event_id")
+    )
+    monkeypatch.setattr(partitioning, "RANGE_EXPR_MAX", 4)
+    rows_udf = (
+        partitioning.with_bucket_range(events, "ts", "timestamp_ntz", bnds)
+        .select("event_id", "bucket").toPandas().set_index("event_id")
+    )
+    assert rows_expr["bucket"].sort_index().equals(rows_udf["bucket"].sort_index())
+
+
+def test_udf_path_end_to_end(spark, events, tmp_path, monkeypatch):
+    """Full encode/scan/decode through the searchsorted-UDF assignment
+    (the 10^5-bucket path, exercised at test scale)."""
+    import datetime
+
+    monkeypatch.setattr(partitioning, "RANGE_EXPR_MAX", 4)
+    out = str(tmp_path / "snap")
+    m = enc.encode_table(events, out, key="event_id", num_buckets=16,
+                         cluster_by="ts")
+    lo, hi = datetime.datetime(2024, 1, 12), datetime.datetime(2024, 1, 14)
+    got = dec.scan_table(spark, out, [("ts", ">=", lo), ("ts", "<", hi)]) \
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    want = events.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))) \
+        .toPandas()[got.columns].sort_values("event_id").reset_index(drop=True)
+    assert got.equals(want)
+    full = dec.decode_colocated(spark, out).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert full.equals(events.toPandas()[full.columns]
+                       .sort_values("event_id").reset_index(drop=True))
