@@ -415,7 +415,13 @@ class KmersStreamReader(DataSourceStreamReader):
         if m and m.get("streamed"):
             # sink-appended stores add GENERATIONS to already-committed
             # buckets: the bucket set alone never advances, so the
-            # offset also carries the (append-only) wave count
+            # offset also carries the (append-only) wave count.
+            # No maxWavesPerBatch admission control: this API gives
+            # latestOffset() no start offset, so any rate cap would
+            # have to live in reader-instance memory and silently
+            # regress offsets across a driver restart (duplicates).
+            # A catch-up batch is big but SAFE: one partition per
+            # (bucket, new waves), each bounded at a bucket's blocks.
             return {"buckets": done, "waves": len(m.get("wave_dirs", []))}
         return {"buckets": done}
 
