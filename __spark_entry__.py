@@ -33,7 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     out = []
-    for table, key in (("documents", "doc_id"), ("events", "event_id")):
+    for table, key in (("documents", "doc_id"), ("events", "event_id"),
+                       ("embeddings", "vec_id")):
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         schema = {f.name: selector.spark_type_name(f.dataType) for f in df.schema.fields}
         bucketed = df.withColumn(
@@ -52,7 +53,9 @@ def entry(spark: SparkSession) -> DataFrame:
             .withColumn("table", F.lit(table))
         )
         out.append(stats)
-    res = out[0].unionAll(out[1]).select(
+    import functools
+
+    res = functools.reduce(lambda a, b: a.unionAll(b), out).select(
         "table", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes",
         F.round(F.col("enc_nbytes") / F.col("raw_nbytes"), 4).alias("ratio"),
     )
