@@ -279,6 +279,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "minhash_signatures": dedup.minhash_signatures,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        # lloyd IVF served from the PERSISTED store index (centroids
+        # trained once, registered in the manifest) — same oracle as
+        # the live-trained ann_ivf_lloyd_topk
+        "ann_store_ivf_topk": ann.store_ivf_topk,
     }
 
 
@@ -763,6 +767,9 @@ def oracle_sql() -> dict[str, str]:
 def extra_oracle_sql() -> dict[str, str]:
     """Oracles for extra_queries() (harness-only; see queries())."""
     return {
+        # persisted-index IVF decodes the same embeddings bit-identical
+        # and trains the same deterministic k-means: same oracle
+        "ann_store_ivf_topk": oracle_sql()["ann_ivf_lloyd_topk"],
         "codec_plain_doubles": "SELECT event_id, value FROM events",
         "minhash_signatures": (
             f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}) "

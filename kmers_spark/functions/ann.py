@@ -320,9 +320,18 @@ def ivf_centroids(spark: SparkSession, sf_dir: str, n_cents: int = 16,
 
     Returns (cent_id, cent_emb array<double>).
     """
+    return ivf_centroids_df(
+        _emb(spark, sf_dir).select("vec_id", "embedding"), n_cents, iters
+    )
+
+
+def ivf_centroids_df(emb: DataFrame, n_cents: int = 16,
+                     iters: int = 2) -> DataFrame:
+    """ivf_centroids over ANY (vec_id, embedding) DataFrame — raw
+    parquet or the compressed store (build_ivf_index)."""
     # each iteration scans the corpus twice (assignment + mean); persist
-    # once instead of re-reading parquet 2*iters times
-    e = _emb(spark, sf_dir).select("vec_id", "embedding").persist()
+    # once instead of re-reading the source 2*iters times
+    e = emb.select("vec_id", "embedding").persist()
     cents = e.filter(F.col("vec_id") < n_cents).select(
         F.col("vec_id").alias("cent_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cent_emb"),
@@ -375,6 +384,96 @@ def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str, query_id: int = 0,
     `iters` k-means steps in SQL."""
     e = _emb(spark, sf_dir)
     cents = ivf_centroids(spark, sf_dir, n_cents=n_cents, iters=iters)
+    return _ivf_topk_from_cents(e, cents, query_id, k, nprobe)
+
+
+# --------------------------------------------- persisted index in the store
+
+def build_ivf_index(spark: SparkSession, store_dir: str, *,
+                    column: str = "embedding", n_cents: int = 16,
+                    iters: int = 2) -> dict:
+    """Train Lloyd IVF centroids over the STORE's embedding column and
+    persist them as an index artifact INSIDE the snapshot —
+    `indexes/ivf_<column>_<uuid>/` parquet (cent_id, cent_emb) —
+    registered in the manifest via a CAS commit under m["indexes"], so
+    the index shares the store's snapshot/versioning discipline and
+    ANN queries stop re-training per run (2 corpus scans per k-means
+    iteration each time). Idempotent: a registered index for the same
+    (column, n_cents, iters) returns without retraining. A crash
+    between the parquet write and the commit leaves an unreferenced
+    dir (bytes: n_cents x dims doubles — negligible; remove manually
+    or rebuild over it).
+
+    Deterministic training (same rule as ivf_centroids), so a query
+    served from the persisted index hash-matches the live-trained
+    oracle."""
+    import uuid
+
+    from .. import manifest
+    from ..operators.decode import decode_colocated
+
+    m = manifest.load(store_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {store_dir}")
+    name = f"ivf_{column}"
+    spec = {"n_cents": n_cents, "iters": iters}
+    existing = m.get("indexes", {}).get(name)
+    if existing and all(existing.get(k) == v for k, v in spec.items()):
+        return existing
+    key = m["key"]
+    emb = decode_colocated(spark, store_dir, columns=[key, column]).select(
+        F.col(key).alias("vec_id"), F.col(column).alias("embedding")
+    )
+    cents = ivf_centroids_df(emb, n_cents=n_cents, iters=iters)
+    rel = f"indexes/{name}_{uuid.uuid4().hex[:8]}"
+    cents.coalesce(1).write.mode("error").parquet(f"{store_dir}/{rel}")
+
+    entry = {**spec, "path": rel, "column": column}
+
+    def register(cur):
+        if cur is None:
+            raise FileNotFoundError(f"no manifest in {store_dir}")
+        idx = cur.setdefault("indexes", {})
+        prev = idx.get(name)
+        if prev and all(prev.get(k) == v for k, v in spec.items()):
+            return cur  # lost a build race: keep the first registration
+        idx[name] = entry
+        return cur
+
+    m2 = manifest.commit(store_dir, register)
+    return m2["indexes"][name]
+
+
+def load_ivf_index(spark: SparkSession, store_dir: str,
+                   column: str = "embedding") -> DataFrame | None:
+    from .. import manifest
+
+    m = manifest.load(store_dir)
+    entry = (m or {}).get("indexes", {}).get(f"ivf_{column}")
+    if not entry:
+        return None
+    return spark.read.parquet(f"{store_dir}/{entry['path']}")
+
+
+def store_ivf_topk(spark: SparkSession, sf_dir: str, query_id: int = 0,
+                   k: int = 10, n_cents: int = 16, nprobe: int = 4,
+                   iters: int = 2) -> DataFrame:
+    """ann_ivf_lloyd_topk served entirely FROM the store: embeddings
+    read through the codec store and centroids from the persisted
+    index (built on first call, then a tiny parquet read). Identical
+    result contract — the oracle is the same unrolled-k-means SQL."""
+    import hashlib
+
+    from ..operators.decode import decode_colocated
+    from ..operators.encode import encode_table
+
+    out = ("/tmp/kmers_emb_store_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    encode_table(df, out, key="vec_id", num_buckets=8, detect_skew=False)
+    build_ivf_index(spark, out, n_cents=n_cents, iters=iters)
+    cents = load_ivf_index(spark, out)
+    e = decode_colocated(spark, out, columns=["vec_id", "embedding"])
     return _ivf_topk_from_cents(e, cents, query_id, k, nprobe)
 
 

@@ -158,3 +158,50 @@ def test_ann_recall_tradeoffs(spark):
     n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
     pairs = ann.embedding_dup_pairs(spark, sf)
     assert pairs.count() == n_vecs
+
+
+class TestPersistedIvfIndex:
+    """IVF centroids as a store artifact: trained once, registered in
+    the manifest via CAS commit, reused by later queries."""
+
+    def test_build_register_reuse_and_serve(self, spark, tmp_path):
+        import time
+
+        from kmers_spark import manifest
+        from kmers_spark.functions import ann
+        from kmers_spark.operators.encode import encode_table
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = str(tmp_path / "emb")
+        encode_table(df, out, key="vec_id", num_buckets=4, detect_skew=False)
+        e1 = ann.build_ivf_index(spark, out, n_cents=8, iters=1)
+        assert e1["n_cents"] == 8 and e1["path"].startswith("indexes/ivf_")
+        m = manifest.load(out)
+        assert m["indexes"]["ivf_embedding"] == e1
+        # idempotent: second build returns the registration, no retrain
+        t0 = time.perf_counter()
+        e2 = ann.build_ivf_index(spark, out, n_cents=8, iters=1)
+        assert e2 == e1
+        assert time.perf_counter() - t0 < 2.0  # manifest read only
+        cents = ann.load_ivf_index(spark, out)
+        assert cents.count() == 8
+        assert cents.columns == ["cent_id", "cent_emb"]
+        # served top-k equals live-trained top-k (same deterministic rule)
+        got = ann._ivf_topk_from_cents(
+            df.select("vec_id", "embedding"), cents, 0, 5, 2
+        ).toPandas()
+        live = ann._ivf_topk_from_cents(
+            df.select("vec_id", "embedding"),
+            ann.ivf_centroids_df(df.select("vec_id", "embedding"), 8, 1),
+            0, 5, 2,
+        ).toPandas()
+        assert got.equals(live)
+
+    def test_missing_index_loads_none(self, spark, tmp_path):
+        from kmers_spark.functions import ann
+        from kmers_spark.operators.encode import encode_table
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = str(tmp_path / "emb2")
+        encode_table(df, out, key="vec_id", num_buckets=4, detect_skew=False)
+        assert ann.load_ivf_index(spark, out) is None
