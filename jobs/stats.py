@@ -42,6 +42,9 @@ def main() -> None:
     out: dict = {}
     if args.stats:
         out["columns"] = metrics.table_stats(args.snapshot)
+        m = manifest.load(args.snapshot)
+        if m and m.get("indexes"):
+            out["indexes"] = m["indexes"]  # registered index artifacts
     if args.blocks:
         out["blocks"] = metrics.codec_summary(args.snapshot)
     if args.history:
