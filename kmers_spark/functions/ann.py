@@ -68,6 +68,21 @@ def cosine_topk_df(e: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def _emb_store(spark: SparkSession, sf_dir: str) -> str:
+    """Encode embeddings.parquet into the on-disk codec store once per
+    sf_dir (resume-idempotent, shared by every store-backed ANN
+    query); returns the snapshot dir."""
+    import hashlib
+
+    from ..operators.encode import encode_table
+
+    out = ("/tmp/kmers_emb_store_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    encode_table(df, out, key="vec_id", num_buckets=8, detect_skew=False)
+    return out
+
+
 def store_cosine_topk(spark: SparkSession, sf_dir: str, query_id: int = 0,
                       k: int = 10) -> DataFrame:
     """cosine top-k reading the embeddings from the COMPRESSED store
@@ -77,15 +92,9 @@ def store_cosine_topk(spark: SparkSession, sf_dir: str, query_id: int = 0,
     the scan (label payloads never decompress), and scored by the same
     plan as cosine_topk — proving the codec store serves the similarity
     workload end-to-end with the identical oracle hash."""
-    import hashlib
-
     from ..operators.decode import decode_colocated
-    from ..operators.encode import encode_table
 
-    out = ("/tmp/kmers_emb_store_"
-           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    encode_table(df, out, key="vec_id", num_buckets=8, detect_skew=False)
+    out = _emb_store(spark, sf_dir)
     e = decode_colocated(spark, out, columns=["vec_id", "embedding"])
     return cosine_topk_df(e, query_id, k)
 
@@ -429,19 +438,38 @@ def build_ivf_index(spark: SparkSession, store_dir: str, *,
     cents.coalesce(1).write.mode("error").parquet(f"{store_dir}/{rel}")
 
     entry = {**spec, "path": rel, "column": column}
+    replaced: list[str] = []
 
     def register(cur):
+        replaced.clear()  # re-derived per CAS attempt (fresh state)
         if cur is None:
             raise FileNotFoundError(f"no manifest in {store_dir}")
         idx = cur.setdefault("indexes", {})
         prev = idx.get(name)
         if prev and all(prev.get(k) == v for k, v in spec.items()):
             return cur  # lost a build race: keep the first registration
+        if prev:
+            replaced.append(prev["path"])
         idx[name] = entry
         return cur
 
     m2 = manifest.commit(store_dir, register)
-    return m2["indexes"][name]
+    final = m2["indexes"][name]
+    if final is not entry and final != entry:
+        # lost the race: our freshly written dir is unreferenced
+        import shutil
+
+        shutil.rmtree(f"{store_dir}/{rel}", ignore_errors=True)
+    elif replaced:
+        # a spec change superseded the old index: reclaim its dir (a
+        # concurrent reader mid-query on the old path fails loudly and
+        # retries — same reader-lag contract as compaction, minus the
+        # grace window an index rebuild doesn't warrant)
+        import shutil
+
+        for old in replaced:
+            shutil.rmtree(f"{store_dir}/{old}", ignore_errors=True)
+    return final
 
 
 def load_ivf_index(spark: SparkSession, store_dir: str,
@@ -462,17 +490,14 @@ def store_ivf_topk(spark: SparkSession, sf_dir: str, query_id: int = 0,
     read through the codec store and centroids from the persisted
     index (built on first call, then a tiny parquet read). Identical
     result contract — the oracle is the same unrolled-k-means SQL."""
-    import hashlib
-
     from ..operators.decode import decode_colocated
-    from ..operators.encode import encode_table
 
-    out = ("/tmp/kmers_emb_store_"
-           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    encode_table(df, out, key="vec_id", num_buckets=8, detect_skew=False)
-    build_ivf_index(spark, out, n_cents=n_cents, iters=iters)
-    cents = load_ivf_index(spark, out)
+    out = _emb_store(spark, sf_dir)
+    # read the centroids from the entry THIS build returned — a
+    # concurrent rebuild with a different spec must not swap the
+    # centroid table under the query
+    entry = build_ivf_index(spark, out, n_cents=n_cents, iters=iters)
+    cents = spark.read.parquet(f"{out}/{entry['path']}")
     e = decode_colocated(spark, out, columns=["vec_id", "embedding"])
     return _ivf_topk_from_cents(e, cents, query_id, k, nprobe)
 

