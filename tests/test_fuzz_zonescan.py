@@ -142,3 +142,71 @@ def test_words_seg_roundtrip_and_selected(vals, rnd):
         assert list(codecs.decode_column_selected(pp, pm, sel)) == want
     finally:
         codecs.SEG_ROWS = old
+
+
+class TestRangeAssignmentProperty:
+    """Property: range_bucket_for_value (driver bisect) implements the
+    same count-of-boundaries<=v rule as np.searchsorted(side='right')
+    — the arithmetic the UDF path runs — for every prunable type,
+    including the pinned NULL/NaN -> bucket 0 edge. Pure driver code
+    (the Spark expr/UDF cross-checks live in test_cluster_by)."""
+
+    @given(
+        bnds=st.lists(st.integers(-2**62, 2**62), min_size=1, max_size=64),
+        vals=st.lists(st.integers(-2**62, 2**62), min_size=1, max_size=32),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_int64(self, bnds, vals):
+        import numpy as np
+
+        from kmers_spark.operators import partitioning as P
+
+        b = sorted(bnds)
+        arr = np.asarray(b, dtype=object)  # object: no float promotion
+        for v in vals:
+            got = P.range_bucket_for_value(v, b, "int64")
+            assert got == int(np.searchsorted(arr, v, side="right"))
+
+    @given(
+        bnds=st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            min_size=1, max_size=64),
+        vals=st.lists(
+            st.floats(allow_nan=True, allow_infinity=False, width=64),
+            min_size=1, max_size=32),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_double_with_nan_rule(self, bnds, vals):
+        import math
+
+        import numpy as np
+
+        from kmers_spark.operators import partitioning as P
+
+        b = sorted(bnds)
+        arr = np.asarray(b, dtype=np.float64)
+        for v in vals:
+            got = P.range_bucket_for_value(v, b, "double")
+            if math.isnan(v):
+                assert got == 0  # the pinned NULL/NaN rule
+            else:
+                assert got == int(np.searchsorted(arr, v, side="right"))
+        assert P.range_bucket_for_value(None, b, "double") == 0
+
+    @given(
+        bnds=st.lists(st.text(max_size=80), min_size=1, max_size=32),
+        vals=st.lists(st.text(max_size=120), min_size=1, max_size=16),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_string_truncation_consistent(self, bnds, vals):
+        import numpy as np
+
+        from kmers_spark.operators import partitioning as P
+
+        # boundaries arrive pre-truncated (range_boundaries truncates)
+        b = sorted(x[: P.RANGE_STR_BOUND] for x in bnds)
+        arr = np.asarray(b, dtype=object)
+        for v in vals:
+            got = P.range_bucket_for_value(v, b, "string")
+            want = int(np.searchsorted(arr, v[: P.RANGE_STR_BOUND], side="right"))
+            assert got == want
