@@ -491,6 +491,27 @@ def _stream_reader(self, schema):
 KmersDataSource.streamReader = _stream_reader
 
 
+def _declared_scheme(options) -> str | None:
+    """.option("bucketScheme", ...): the caller's DECLARATION of which
+    rule bucketed the DataFrame (e.g. "host_or_key" after with_bucket).
+    Unset -> None, and the sink records "external" so lookups never
+    trust a hash rule the writer didn't verify."""
+    from .operators import partitioning
+
+    raw = options.get("bucketscheme") or options.get("bucket_scheme")
+    if raw is None:
+        return None
+    allowed = {partitioning.BUCKET_SCHEME, partitioning.LEGACY_SCHEME,
+               partitioning.EXTERNAL_SCHEME}
+    if raw not in allowed:
+        raise ValueError(
+            f"bucketScheme={raw!r} not in {sorted(allowed)} (range layouts "
+            "must be created by encode_table(cluster_by=...), which records "
+            "their boundaries)"
+        )
+    return raw
+
+
 def _writer(options, schema, overwrite: bool) -> "KmersWriter":
     from . import selector
 
@@ -526,6 +547,7 @@ def _writer(options, schema, overwrite: bool) -> "KmersWriter":
         codec_overrides=overrides or None,
         wave_name=f"w_{uuid.uuid4().hex[:12]}",
         snapshot_id=options.get("snapshot_id", "snap-ds"),
+        bucket_scheme=_declared_scheme(options),
     )
 
 
@@ -606,7 +628,8 @@ try:  # writer API: Spark 4.0+
         appearing in two tasks' messages aborts the job."""
 
         def __init__(self, path, key, num_buckets, table_schema, overwrite,
-                     codec_overrides, wave_name, snapshot_id):
+                     codec_overrides, wave_name, snapshot_id,
+                     bucket_scheme=None):
             self.path = path
             self.key = key
             self.num_buckets = num_buckets
@@ -615,6 +638,7 @@ try:  # writer API: Spark 4.0+
             self.codec_overrides = codec_overrides
             self.wave_name = wave_name
             self.snapshot_id = snapshot_id
+            self.bucket_scheme = bucket_scheme
 
         def _wave_dir(self) -> str:
             return f"{self.path}/blocks/{self.wave_name}"
@@ -698,7 +722,9 @@ try:  # writer API: Spark 4.0+
                         "blocks": {},
                         "wave_dirs": [],
                         "hot_keys": {},
-                        "bucket_scheme": partitioning.BUCKET_SCHEME,
+                        # see KmersStreamWriter: "external" unless declared
+                        "bucket_scheme": (self.bucket_scheme
+                                          or partitioning.EXTERNAL_SCHEME),
                         "codec_overrides": self.codec_overrides or {},
                         "created_unix": int(time.time()),
                     }
@@ -753,13 +779,15 @@ try:  # writer API: Spark 4.0+
         writer's spill threshold applies to bulk snapshots)."""
 
         def __init__(self, path, key, num_buckets, table_schema,
-                     codec_overrides, snapshot_id, stream_id="stream"):
+                     codec_overrides, snapshot_id, stream_id="stream",
+                     bucket_scheme=None):
             self.path = path
             self.key = key
             self.num_buckets = num_buckets
             self.table_schema = table_schema
             self.codec_overrides = codec_overrides
             self.snapshot_id = snapshot_id
+            self.bucket_scheme = bucket_scheme
             # option("streamId"): namespaces batchIds (the Kafka
             # transactional.id pattern) — restarts of the SAME logical
             # query keep their id (replay detection), a NEW query
@@ -831,7 +859,14 @@ try:  # writer API: Spark 4.0+
                         "blocks": {},
                         "wave_dirs": [],
                         "hot_keys": {},
-                        "bucket_scheme": partitioning.BUCKET_SCHEME,
+                        # "external" unless the caller DECLARED the rule
+                        # via .option("bucketScheme", ...): the sink never
+                        # verified how the stream's bucket column was
+                        # computed, and recording a hash rule the writer
+                        # didn't apply would make lookup_keys probe the
+                        # wrong bucket and miss present keys
+                        "bucket_scheme": (self.bucket_scheme
+                                          or partitioning.EXTERNAL_SCHEME),
                         "codec_overrides": self.codec_overrides or {},
                         "streamed": True,
                         "created_unix": int(time.time()),
@@ -948,6 +983,7 @@ try:  # writer API: Spark 4.0+
             snapshot_id=self.options.get("snapshot_id", "snap-ds-stream"),
             stream_id=self.options.get("streamid",
                                        self.options.get("stream_id", "stream")),
+            bucket_scheme=_declared_scheme(self.options),
         )
 
     KmersDataSource.writer = _ds_writer

@@ -68,27 +68,37 @@ class LocalLinkBackend:
 
 class ConditionalPutBackend:
     """Mock object-store backend: emulates a whole-object conditional
-    PUT (upload-if-absent) — the content is COPIED to the target name
-    under O_CREAT|O_EXCL instead of hard-linked, which is exactly the
-    operation shape S3/GCS/Azure offer (no links, no renames across
-    keys). Mock-only caveat: a real store's PUT is atomic w.r.t.
-    readers, while this emulation has a microscopic partial-read window
-    between create and write — _read_json treats truncated JSON as
-    not-yet-visible and retries, which covers it."""
+    PUT (upload-if-absent) — the operation shape S3/GCS/Azure offer
+    (If-None-Match: no links or renames across keys visible to the
+    CALLER). A real store's conditional PUT is atomic w.r.t. readers:
+    the object either doesn't exist or is fully readable. The mock
+    reproduces that by staging the content under a hidden name in the
+    target directory and binding the FINAL name in one os.link call
+    (create-if-absent semantics, no partial-content window — a listed
+    version file is always complete). An earlier copy-into-O_EXCL-fd
+    variant had a create-to-write window in which _load_versioned's
+    bounded retry could exhaust against truncated JSON under
+    contention."""
 
     name = "conditional_put"
 
     def publish(self, tmp_path: str, version_path: str) -> bool:
-        try:
-            fd = os.open(version_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "wb") as f:
+        d = os.path.dirname(version_path)
+        stage = os.path.join(
+            d, f".put-{uuid.uuid4().hex}-{os.path.basename(version_path)}"
+        )
+        with open(stage, "wb") as f:
             with open(tmp_path, "rb") as src:
                 f.write(src.read())
             f.flush()
             os.fsync(f.fileno())
-        return True
+        try:
+            os.link(stage, version_path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(stage)
 
     def overwrite(self, tmp_path: str, path: str) -> None:
         # a plain PUT replaces the object wholesale; emulating with
@@ -147,7 +157,13 @@ def _load_versioned(out_dir: str) -> tuple[dict[str, Any] | None, int]:
     rather than silently walking back to a stale older version (a stale
     read here would make commit() merge against missing state).
     """
-    for _ in range(8):
+    for attempt in range(8):
+        if attempt:
+            # brief linear backoff: gives a concurrent committer (or an
+            # external cleaner) time to finish binding the version it
+            # just listed, instead of burning all retries in the same
+            # microsecond window
+            time.sleep(0.01 * attempt)
         versions = _list_versions(out_dir)
         if not versions:
             return _read_json(os.path.join(out_dir, LEGACY_NAME)), 0

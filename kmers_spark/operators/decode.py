@@ -443,6 +443,12 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
 
     def candidates(k: str) -> list[int]:
         """Buckets that could hold key k under the snapshot's scheme."""
+        if scheme == partitioning.EXTERNAL_SCHEME:
+            # caller-bucketed (DataSource sink without a declared
+            # scheme): no hash rule is trustworthy, so every committed
+            # bucket is a candidate and the recorded per-bucket key
+            # ranges below do the pruning
+            return list(m.get("committed_buckets", []))
         if scheme != partitioning.RANGE_SCHEME:
             return [partitioning.bucket_for_key(k, m["num_buckets"], hot,
                                                 scheme=scheme)]

@@ -347,6 +347,16 @@ def encode_table(
         bucketed = partitioning.with_bucket_range(
             df, m["cluster_by"], schema[m["cluster_by"]], m["range_boundaries"]
         )
+    elif scheme == partitioning.EXTERNAL_SCHEME:
+        # DataSource-sink store with caller-assigned buckets: encode
+        # cannot reproduce a rule it never saw, so resuming here would
+        # scatter the same keys into different buckets than the
+        # committed waves — append through the sink instead
+        raise ValueError(
+            f"snapshot {out_dir} was bucketed externally (DataSource sink "
+            "without a declared bucketScheme); encode_table cannot resume "
+            "it — keep appending via df.write.format('kmers')"
+        )
     else:
         bucketed = plan_buckets(df, num_buckets, hot, key, scheme=scheme)
 

@@ -29,6 +29,11 @@ _HOST_RE = re.compile(HOST_PATTERN)
 BUCKET_SCHEME = "host_or_key"          # written into new manifests
 LEGACY_SCHEME = "host_only"            # pre-scheme snapshots
 RANGE_SCHEME = "range"                 # cluster_by= snapshots
+EXTERNAL_SCHEME = "external"           # caller-bucketed (DataSource sinks):
+#   the writer never verified which rule produced the bucket column, so
+#   point lookups must not re-derive a bucket from any hash — they fall
+#   back to every committed bucket and let the recorded per-bucket key
+#   ranges do the pruning
 
 # driver-side sample size for range boundaries; the collect is bounded
 # at this many scalars regardless of table size (TakeOrdered, not a
@@ -168,18 +173,33 @@ def range_boundaries(df: DataFrame, col: str, typ: str, num_buckets: int,
             return []
         out = [float(x) if typ == "double" else int(x) for x in q]
         return sorted(out)
+    # driver-merge budget: at least 16 sampled rows per requested
+    # bucket (so cuts don't collapse into duplicates at high B), never
+    # more than the caller's sample_n. The old hard 10k floor silently
+    # ignored sample_n and degenerated string layouts at B ~ 10^4.
+    n_take = min(sample_n, max(10_000, 16 * num_buckets))
     sample = (
         df.select(F.col(col).alias("_v"))
         .where(F.col(col).isNotNull())
         .withColumn("_r", F.rand(seed))
         .orderBy("_r")
-        .limit(min(sample_n, 10_000))
+        .limit(n_take)
         .select("_v")
         .collect()
     )
     vals = sorted(r["_v"][:RANGE_STR_BOUND] for r in sample)
     if not vals:
         return []
+    if len(vals) < 4 * num_buckets:
+        import warnings
+
+        warnings.warn(
+            f"range_boundaries: string sample for {col!r} has {len(vals)} "
+            f"rows for {num_buckets} buckets (<4x) — boundaries will "
+            "contain duplicates and some buckets will be empty; lower "
+            "num_buckets or raise sample_n",
+            stacklevel=2,
+        )
     # quantile cut points; duplicates collapse (ties make empty buckets,
     # which commit fine), boundaries stay sorted by construction
     n = len(vals)

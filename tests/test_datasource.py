@@ -129,6 +129,9 @@ def test_writer_roundtrip_and_manifest(spark, tmp_path):
     (
         bucketed.write.format("kmers")
         .option("key", "url").option("numBuckets", "6")
+        # the caller DECLARES the rule it bucketed with — without this
+        # the sink records "external" and lookups scan all buckets
+        .option("bucketScheme", "host_or_key")
         .mode("append").save(out)
     )
     m = manifest.load(out)
@@ -146,6 +149,52 @@ def test_writer_roundtrip_and_manifest(spark, tmp_path):
 
     t = spark.read.format("kmers").load(out)
     assert t.filter("lang = 'en'").count() == df.filter(df.lang == "en").count()
+
+
+def test_writer_undeclared_scheme_is_external_and_lookups_still_hit(
+        spark, tmp_path):
+    """A sink write WITHOUT .option('bucketScheme') must record
+    'external' — the writer never verified which rule made the bucket
+    column — and point lookups must still find every key by falling
+    back to all committed buckets + key-range pruning. The bug this
+    pins: the old sink recorded host_or_key unconditionally, so a
+    stream bucketed any other way silently returned EMPTY for present
+    keys (ADVICE r4)."""
+    from kmers_spark.operators import decode as dec, partitioning
+
+    out = str(tmp_path / "extsnap")
+    df = pages.pages_df(spark, 800, seed=93, partitions=4).cache()
+    # bucket by a rule the engine does NOT know: parity of url length
+    bucketed = df.withColumn(
+        "bucket", (F.length("url") % F.lit(4)).cast("int")
+    ).repartition("bucket")
+    (
+        bucketed.write.format("kmers")
+        .option("key", "url").option("numBuckets", "4")
+        .mode("append").save(out)
+    )
+    m = manifest.load(out)
+    assert m["bucket_scheme"] == partitioning.EXTERNAL_SCHEME
+
+    urls = [r["url"] for r in df.select("url").limit(5).collect()]
+    got = dec.lookup_keys(spark, out, urls)
+    assert got.count() == len(set(urls))
+    # under the OLD recorded-host_or_key behavior this probe would hash
+    # to one wrong bucket and miss; external-scheme fallback cannot
+
+    # encode_table must refuse to resume an externally-bucketed store
+    with pytest.raises(ValueError, match="bucketed externally"):
+        from kmers_spark.operators.encode import encode_table
+        encode_table(df, out, num_buckets=4, detect_skew=False)
+
+    # an invalid declaration is rejected up front
+    with pytest.raises(Exception, match="bucketScheme"):
+        (
+            bucketed.write.format("kmers")
+            .option("key", "url").option("numBuckets", "4")
+            .option("bucketScheme", "range")
+            .mode("append").save(str(tmp_path / "bad"))
+        )
 
 
 def test_writer_rejects_bucket_spanning_partitions(spark, tmp_path):
