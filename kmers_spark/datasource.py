@@ -283,10 +283,22 @@ class KmersReader(DataSourceReader):
         if isinstance(self.m, dict) and self.m.get("streamed"):
             # streamed store: a bucket holds one GENERATION per wave
             # file — decode each parquet fragment (= one file = whole
-            # buckets of one generation) independently; rows union
+            # buckets of one generation) independently; rows union.
+            # The fragment's path names its wave, so the evolution
+            # allowance applies per GENERATION: only columns the wave
+            # predates may null-fill, anything else missing raises
+            from . import manifest as mf
+
+            gen_allow = mf.wave_allowance(self.m, list(self.full_schema))
             for frag in dataset.get_fragments():
+                fmiss = miss_map
+                if gen_allow is not None:
+                    allow = gen_allow.get(
+                        frag.path.rstrip("/").rsplit("/", 2)[-2], set()
+                    )
+                    fmiss = {b: allow for b in bucket_list}
                 tbl = frag.to_table(filter=pred, columns=cols_fetch)
-                yield from self._decode_block_table(tbl, miss_map, base_needed,
+                yield from self._decode_block_table(tbl, fmiss, base_needed,
                                                     key, anchor_set)
             return
         tbl = dataset.to_table(filter=pred, columns=cols_fetch)

@@ -550,6 +550,14 @@ def evolve_schema(out_dir: str, add: dict[str, str]) -> dict[str, Any]:
             # may legitimately be missing" cannot be derived from the
             # union the way batch snapshots derive it
             m.setdefault("evolved_columns", []).append(c)
+            # evolution WATERMARK: how many waves existed when the column
+            # was added. Generations at wave index < watermark predate
+            # the column (read-as-null); a generation AT/after it that
+            # lacks the column's block is CORRUPT and must raise — this
+            # is what lets streamed readers distinguish evolution from
+            # data loss (wave_dirs is append-only for streamed stores;
+            # compact_waves refuses them)
+            m.setdefault("evolution_waves", {})[c] = len(m.get("wave_dirs", []))
         m["columns"] = order
         # cheap marker: readers compute per-bucket null-fill sets (a
         # full block-stats read, possibly spilled files) ONLY when an
@@ -613,15 +621,15 @@ def missing_columns(m: dict[str, Any], cols: list[str],
     files): a bucket either predates the evolution (no block) or not.
     STREAMED snapshots mix generations per bucket — the union of a
     bucket's stats says a column "exists" even when only the newest
-    generation carries it — so the allowance is the evolution's own
-    recorded added-column list, for every bucket: each generation's
-    decode group null-fills the added columns its own block set lacks
-    (the same read-as-null contract, at generation granularity).
-    Accepted trade: a POST-evolution generation that corruptly lost an
-    evolved column's block silently null-fills instead of raising (the
-    batch path distinguishes the two); tightening it needs per-wave
-    evolution watermarks carried into every kernel, which the colocated
-    path (no file provenance inside mapInArrow) cannot see today."""
+    generation carries it — so the bucket-level allowance here is the
+    evolution's own recorded added-column list, for every bucket. This
+    bucket-level view is used for PLANNING decisions only (anchor
+    selection, which payloads to fetch); the read kernels tighten it to
+    GENERATION granularity via wave_allowance: each wave's recorded
+    evolution watermark says which added columns it predates, and a
+    post-evolution generation missing an evolved column's block RAISES
+    (corruption) instead of null-filling. Legacy streamed stores whose
+    evolution predates watermarks keep the every-generation allowance."""
     out: dict[int, set] = {}
     if m.get("streamed"):
         ev = set(m.get("evolved_columns", ())) & set(cols)
@@ -637,6 +645,37 @@ def missing_columns(m: dict[str, Any], cols: list[str],
         miss = {c for c in cols if c not in have}
         if miss:
             out[int(b)] = miss
+    return out
+
+
+def wave_allowance(m: dict[str, Any], cols: list[str]) -> dict[str, set] | None:
+    """Per-GENERATION null-fill allowance for streamed snapshots:
+    {wave dir basename: columns of `cols` that generation may
+    legitimately lack}. None when the snapshot isn't streamed or no
+    evolved column is in `cols` — callers then keep the batch
+    (per-bucket) contract.
+
+    A wave at index i may miss column c iff i < the evolution watermark
+    evolve_schema recorded for c (the wave predates the column). A
+    generation at/after the watermark missing c is CORRUPT — readers
+    with file provenance (all three: the groupBy decode's
+    input_file_name generation key, the colocated reader's _gen
+    projection, the DataSource reader's fragment paths) raise instead
+    of null-filling. Columns evolved BEFORE watermarks existed
+    (legacy manifests without an evolution_waves entry) keep the old
+    every-generation allowance — those stores cannot prove which
+    generations predate the evolution."""
+    if not m.get("streamed"):
+        return None
+    ev = set(m.get("evolved_columns", ())) & set(cols)
+    if not ev:
+        return None
+    marks = m.get("evolution_waves", {})
+    out: dict[str, set] = {}
+    for i, rel in enumerate(m.get("wave_dirs", [])):
+        name = rel.rsplit("/", 1)[-1]
+        allow = {c for c in ev if c not in marks or i < int(marks[c])}
+        out[name] = allow
     return out
 
 

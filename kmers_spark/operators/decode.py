@@ -105,6 +105,7 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
 
         norm = zonemap.normalize_filters(filters, schema)
     gen_key = None
+    gen_missing = None
     if m.get("streamed"):
         # streamed stores hold several GENERATIONS of a bucket (one per
         # appended wave file); grouping on (bucket, file) decodes each
@@ -115,15 +116,27 @@ def decode_table(spark: SparkSession, out_dir: str, buckets: list[int] | None = 
 
         blocks = blocks.withColumn("_gen", F.input_file_name())
         gen_key = "_gen"
+        # per-generation evolution allowance: a generation written
+        # AFTER a column was added must carry its block — missing then
+        # means corruption, not evolution, and the kernel raises
+        gen_missing = manifest.wave_allowance(m, cols)
     df = decode_blocks_df(blocks, dec_schema, out_schema, norm_filters=norm,
-                          missing=missing, gen_key=gen_key)
+                          missing=missing, gen_key=gen_key,
+                          gen_missing=gen_missing)
     return df.select(*cols) if anchor else df
+
+
+def _wave_of(file_path: str) -> str:
+    """Wave dir basename from a block file path/URI — the key
+    manifest.wave_allowance maps generations by."""
+    return file_path.rstrip("/").rsplit("/", 2)[-2]
 
 
 def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
                      norm_filters: list[tuple] | None = None,
                      missing: dict[int, set] | None = None,
-                     gen_key: str | None = None) -> DataFrame:
+                     gen_key: str | None = None,
+                     gen_missing: dict[str, set] | None = None) -> DataFrame:
     """block rows -> original rows; Arrow path when available.
 
     `norm_filters` (zonemap.normalize_filters output) pushes the scan
@@ -139,7 +152,12 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
     `missing` ({bucket: columns that bucket has no block for}, from
     manifest.missing_columns) null-fills schema-evolved columns; a
     column absent WITHOUT a missing-set entry is still a hard error
-    (bucket split across partitions / corrupt wave)."""
+    (bucket split across partitions / corrupt wave).
+
+    `gen_missing` (manifest.wave_allowance, streamed stores) overrides
+    `missing` at GENERATION granularity: the group's gen_key file path
+    names its wave, and only columns the wave predates may null-fill —
+    a post-evolution generation missing an evolved column raises."""
     from .. import zonemap
 
     cols = list(schema.keys())
@@ -166,7 +184,12 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
             payloads = table.column("payload")
             idx = {cname: i for i, cname in enumerate(col_names)}
             bucket_id = int(table.column("bucket")[0].as_py())
-            miss = missing.get(bucket_id, ())
+            if gen_missing is not None and gen_key:
+                miss = gen_missing.get(
+                    _wave_of(table.column(gen_key)[0].as_py()), set()
+                )
+            else:
+                miss = missing.get(bucket_id, ())
             absent = [c for c in cols if c not in idx and c not in miss]
             stray = [c for c in idx if c not in schema]
             if absent or stray:
@@ -232,7 +255,10 @@ def decode_blocks_df(blocks: DataFrame, schema: dict[str, str], out_schema: str,
             )
         rows_by_col = {row["column"]: row for _, row in pdf.iterrows()}
         bucket_id = int(pdf["bucket"].iloc[0])
-        miss = missing.get(bucket_id, ())
+        if gen_missing is not None and gen_key:
+            miss = gen_missing.get(_wave_of(pdf[gen_key].iloc[0]), set())
+        else:
+            miss = missing.get(bucket_id, ())
         absent = [c for c in cols if c not in rows_by_col and c not in miss]
         stray = [c for c in rows_by_col if c not in schema]
         if absent or stray:
@@ -601,6 +627,15 @@ def decode_colocated(spark: SparkSession, out_dir: str,
     if columns is not None and len(dec_schema) < len(full):
         # projection below the scan: unwanted payloads never decompress
         blocks = blocks.filter(blocks.column.isin(dec_cols))
+    gen_missing = manifest.wave_allowance(m, cols) if m.get("streamed") else None
+    if gen_missing is not None:
+        # file provenance for the kernel: which WAVE each block row came
+        # from, so the evolution allowance applies per generation (a
+        # post-evolution generation missing an evolved column raises).
+        # A projection, not a shuffle — the plan stays exchange-free.
+        from pyspark.sql import functions as F
+
+        blocks = blocks.withColumn("_gen", F.input_file_name())
 
     def decode_partition(batches):
         arrowcodecs.pin_worker_threads()
@@ -612,17 +647,23 @@ def decode_colocated(spark: SparkSession, out_dir: str,
         col_names = table.column("column").to_pylist()
         metas = table.column("meta").to_pylist()
         payloads = table.column("payload")
-        per_bucket: dict[int, dict] = {}
+        gens = (
+            [_wave_of(p) for p in table.column("_gen").to_pylist()]
+            if gen_missing is not None else None
+        )
+        per_bucket: dict[tuple, dict] = {}
         for i, b in enumerate(buckets):
-            cols_of_b = per_bucket.setdefault(b, {})
+            k = (b, gens[i]) if gens is not None else (b, None)
+            cols_of_b = per_bucket.setdefault(k, {})
             if col_names[i] in cols_of_b:
                 raise ValueError(
                     f"duplicate block rows for bucket {b}: column "
                     f"{col_names[i]!r} appears twice (corrupt wave dir)"
                 )
             cols_of_b[col_names[i]] = i
-        for b, idx in per_bucket.items():
-            miss = missing.get(int(b), ())
+        for (b, gen), idx in per_bucket.items():
+            miss = gen_missing.get(gen, set()) if gens is not None \
+                else missing.get(int(b), ())
             absent = [c for c in dec_cols if c not in idx and c not in miss]
             stray = [c for c in idx if c not in full] if columns is None \
                 else [c for c in idx if c not in dec_schema]

@@ -83,6 +83,18 @@ def decode_new_waves(spark: SparkSession, out_dir: str, sink_dir: str,
             # first manifest commit defers parsing until one exists)
             filters = zonemap.parse_cli_filters(filters, schema)
         norm = zonemap.normalize_filters(filters, schema)
+    # schema evolution: waves committed before an evolve_schema lack the
+    # added columns' blocks. Batch stores null-fill per bucket (stats-
+    # derived); streamed stores per GENERATION (watermark-derived), so a
+    # post-evolution wave missing an evolved column still raises.
+    missing = (
+        manifest.missing_columns(
+            m, list(schema), blocks=manifest.block_stats(out_dir, m)
+        )
+        if m.get("evolved") and not m.get("streamed") else {}
+    )
+    gen_missing = manifest.wave_allowance(m, list(schema)) \
+        if m.get("evolved") else None
     st = _load_state(state_path)
     waves, buckets = set(st["waves"]), set(st["buckets"])
     wb = m.get("wave_buckets", {})
@@ -103,8 +115,15 @@ def decode_new_waves(spark: SparkSession, out_dir: str, sink_dir: str,
             blocks = blocks.filter(
                 blocks.bucket.isin(sorted(set(wave_buckets) - buckets))
             )
+        gen_key = None
+        if gen_missing is not None:
+            from pyspark.sql import functions as F
+
+            blocks = blocks.withColumn("_gen", F.input_file_name())
+            gen_key = "_gen"
         decoded = decode_blocks_df(blocks, schema, out_schema,
-                                   norm_filters=norm)
+                                   norm_filters=norm, missing=missing,
+                                   gen_key=gen_key, gen_missing=gen_missing)
         wave_id = wd.rsplit("/", 1)[-1]
         decoded.write.mode("overwrite").parquet(f"{sink_dir}/wave={wave_id}")
         waves.add(wd)

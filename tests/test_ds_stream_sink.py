@@ -304,6 +304,69 @@ def test_streamed_store_schema_evolution_generation_nullfill(spark, tmp_path):
     assert len(proj) == 1000
 
 
+def test_streamed_post_evolution_corruption_raises(spark, tmp_path):
+    """The evolution WATERMARK closes the one silent-null path in the
+    engine (VERDICT r4 #1): a generation written AFTER evolve_schema
+    that lost the evolved column's block must RAISE on all three read
+    paths — only generations the column predates may null-fill. A
+    legacy manifest without watermarks keeps the old every-generation
+    allowance (it cannot prove which waves predate the evolution)."""
+    import glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    out, ck1, ck2 = (str(tmp_path / n) for n in ("snap", "c1", "c2"))
+    df = pages.pages_df(spark, 300, seed=61, partitions=2).cache()
+    datasource.register(spark)
+    df.write.parquet(src1)
+    _run_sink(spark, src1, df.schema, out, ck1)
+
+    manifest.evolve_schema(out, {"score": "double"})
+    df2 = pages.pages_df(spark, 200, seed=62, partitions=2) \
+        .withColumn("url", F.concat(F.lit("http://g2."), F.col("url").substr(8, 999))) \
+        .withColumn("score", F.lit(1.5)).cache()
+    df2.write.parquet(src2)
+    _run_sink(spark, src2, df2.schema, out, ck2, stream_id="gen2")
+
+    m = manifest.load(out)
+    wm = m["evolution_waves"]["score"]
+    post_waves = m["wave_dirs"][wm:]
+    assert post_waves, "sink run 2 must have appended post-evolution waves"
+    # sanity: the store reads clean before corruption
+    assert decode_colocated(spark, out).count() == 500
+
+    # corrupt: strip the score blocks from every post-evolution wave file
+    stripped = 0
+    for wd in post_waves:
+        for f in glob.glob(f"{out}/{wd}/part-*"):
+            t = pq.read_table(f)
+            t2 = t.filter(pc.not_equal(t.column("column"), "score"))
+            stripped += t.num_rows - t2.num_rows
+            pq.write_table(t2, f, compression="none")
+    assert stripped > 0
+
+    for name, reader in (
+        ("colocated", lambda: decode_colocated(spark, out)),
+        ("shuffle", lambda: decode_table(spark, out)),
+        ("datasource", lambda: spark.read.format("kmers").load(out)),
+    ):
+        with pytest.raises(Exception, match="corrupt"):
+            reader().toPandas()
+
+    # legacy manifests (evolution predates watermarks): the allowance
+    # stays every-generation, so the same store reads with nulls
+    def drop_watermarks(cur):
+        cur.pop("evolution_waves", None)
+        return cur
+
+    manifest.commit(out, drop_watermarks)
+    got = decode_colocated(spark, out).toPandas()
+    assert len(got) == 500
+    assert got["score"].isna().sum() == 500  # 300 pre-evo + 200 corrupt
+
+
 def test_stream_reader_sees_new_generations(spark, tmp_path):
     """readStream over a sink-appended store: the offset carries the
     wave count, so generations appended to ALREADY-committed buckets
