@@ -398,9 +398,26 @@ def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str, query_id: int = 0,
 
 # --------------------------------------------- persisted index in the store
 
+def _store_key_rows(store_dir: str, m: dict) -> int:
+    """Logical row count of the store, manifest-only (zero Spark jobs):
+    sum of the KEY column's block row counts — one block per bucket for
+    batch stores, one per generation for streamed, so the sum is exact
+    for both. This is the staleness fingerprint index entries pin:
+    row count survives compaction (same data, new wave layout) but
+    moves on every append — exactly the changes that drift centroids."""
+    from .. import manifest
+
+    key = m["key"]
+    return sum(
+        int(s["n_rows"])
+        for st in manifest.block_stats(store_dir, m).values()
+        for s in st if s["column"] == key
+    )
+
+
 def build_ivf_index(spark: SparkSession, store_dir: str, *,
                     column: str = "embedding", n_cents: int = 16,
-                    iters: int = 2) -> dict:
+                    iters: int = 2, max_stale_frac: float = 0.0) -> dict:
     """Train Lloyd IVF centroids over the STORE's embedding column and
     persist them as an index artifact INSIDE the snapshot —
     `indexes/ivf_<column>_<uuid>/` parquet (cent_id, cent_emb) —
@@ -415,20 +432,32 @@ def build_ivf_index(spark: SparkSession, store_dir: str, *,
 
     Deterministic training (same rule as ivf_centroids), so a query
     served from the persisted index hash-matches the live-trained
-    oracle."""
+    oracle.
+
+    The entry pins the data it trained on: `built_rows` (the store's
+    manifest-only key-row count) and `built_at_version` (the manifest
+    version read). An existing index is reused only when its spec
+    matches AND the store's row count drifted no more than
+    `max_stale_frac` from built_rows (default 0.0: any append or
+    rebuild retrains) — a re-clustered or heavily-appended store can
+    no longer silently serve centroids describing old data."""
     import uuid
 
     from .. import manifest
     from ..operators.decode import decode_colocated
 
-    m = manifest.load(store_dir)
+    m, version = manifest.load_with_version(store_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {store_dir}")
     name = f"ivf_{column}"
     spec = {"n_cents": n_cents, "iters": iters}
     existing = m.get("indexes", {}).get(name)
+    rows = _store_key_rows(store_dir, m)
     if existing and all(existing.get(k) == v for k, v in spec.items()):
-        return existing
+        built = existing.get("built_rows")
+        if built is not None and abs(rows - built) <= max_stale_frac * built:
+            return existing
+        # stale (or a pre-pinning legacy entry): fall through to retrain
     key = m["key"]
     emb = decode_colocated(spark, store_dir, columns=[key, column]).select(
         F.col(key).alias("vec_id"), F.col(column).alias("embedding")
@@ -437,7 +466,8 @@ def build_ivf_index(spark: SparkSession, store_dir: str, *,
     rel = f"indexes/{name}_{uuid.uuid4().hex[:8]}"
     cents.coalesce(1).write.mode("error").parquet(f"{store_dir}/{rel}")
 
-    entry = {**spec, "path": rel, "column": column}
+    entry = {**spec, "path": rel, "column": column,
+             "built_rows": rows, "built_at_version": version}
     replaced: list[str] = []
 
     def register(cur):
@@ -446,8 +476,9 @@ def build_ivf_index(spark: SparkSession, store_dir: str, *,
             raise FileNotFoundError(f"no manifest in {store_dir}")
         idx = cur.setdefault("indexes", {})
         prev = idx.get(name)
-        if prev and all(prev.get(k) == v for k, v in spec.items()):
-            return cur  # lost a build race: keep the first registration
+        if (prev and prev.get("built_rows") == rows
+                and all(prev.get(k) == v for k, v in spec.items())):
+            return cur  # lost a build race AT THE SAME DATA: keep theirs
         if prev:
             replaced.append(prev["path"])
         idx[name] = entry
@@ -473,13 +504,36 @@ def build_ivf_index(spark: SparkSession, store_dir: str, *,
 
 
 def load_ivf_index(spark: SparkSession, store_dir: str,
-                   column: str = "embedding") -> DataFrame | None:
+                   column: str = "embedding",
+                   on_stale: str = "warn") -> DataFrame | None:
+    """Read the registered IVF centroids, checking the entry's pinned
+    built_rows against the store's CURRENT manifest-only row count.
+    `on_stale`: "warn" (default — serve the index, emit a warning:
+    staleness drifts recall, it does not corrupt results, assignment
+    still scans live vectors), "raise", or "ignore". Entries from
+    before pinning (no built_rows) are treated as stale. Rebuild via
+    build_ivf_index, which retrains whenever the pin is stale."""
+    import warnings
+
     from .. import manifest
 
     m = manifest.load(store_dir)
     entry = (m or {}).get("indexes", {}).get(f"ivf_{column}")
     if not entry:
         return None
+    if on_stale != "ignore":
+        rows = _store_key_rows(store_dir, m)
+        built = entry.get("built_rows")
+        if built != rows:
+            msg = (
+                f"IVF index {entry['path']} trained at {built} rows "
+                f"(manifest v{entry.get('built_at_version')}), store now "
+                f"holds {rows} — centroids are stale; build_ivf_index "
+                "retrains"
+            )
+            if on_stale == "raise":
+                raise RuntimeError(msg)
+            warnings.warn(msg, stacklevel=2)
     return spark.read.parquet(f"{store_dir}/{entry['path']}")
 
 

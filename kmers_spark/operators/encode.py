@@ -716,6 +716,12 @@ def rebuild_snapshot(spark: SparkSession, src_dir: str, dst_dir: str, *,
     into the rebuilt snapshot — a compaction run must not silently
     revert a words_seg column to the auto-selector or de-cluster a
     range store. Pass explicit values to change them.
+
+    Registered index artifacts (m["indexes"]) are intentionally NOT
+    carried: they pin the SOURCE's data (built_rows/built_at_version,
+    functions/ann.py) and a rebuilt layout invalidates that pin —
+    rebuild them against the destination (build_ivf_index retrains on
+    first call).
     """
     from . import partitioning
     from .decode import decode_colocated

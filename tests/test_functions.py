@@ -206,6 +206,54 @@ class TestPersistedIvfIndex:
         ).toPandas()
         assert got.equals(live)
 
+    def test_stale_index_retrains_after_append(self, spark, tmp_path):
+        """Version pinning (VERDICT r4 #4): the entry records built_rows
+        + built_at_version; after the store grows, load warns (or
+        raises on request) and build retrains instead of reusing — a
+        grown store can't silently serve centroids of the old data."""
+        import os
+
+        from kmers_spark import manifest
+        from kmers_spark.functions import ann
+        from kmers_spark.operators.encode import encode_table
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = str(tmp_path / "emb4")
+        # first 2 of 4 buckets commit: a store mid-append
+        encode_table(df, out, key="vec_id", num_buckets=4,
+                     detect_skew=False, fail_buckets_over=2)
+        e1 = ann.build_ivf_index(spark, out, n_cents=4, iters=1)
+        assert e1["built_rows"] > 0
+        assert e1["built_at_version"] >= 1
+        # resume completes the remaining buckets: the store GREW
+        encode_table(df, out, key="vec_id", num_buckets=4, detect_skew=False)
+        with pytest.warns(UserWarning, match="stale"):
+            ann.load_ivf_index(spark, out)
+        with pytest.raises(RuntimeError, match="stale"):
+            ann.load_ivf_index(spark, out, on_stale="raise")
+        e2 = ann.build_ivf_index(spark, out, n_cents=4, iters=1)
+        assert e2["built_rows"] > e1["built_rows"]
+        assert e2["path"] != e1["path"]
+        assert not os.path.exists(os.path.join(out, e1["path"]))  # reclaimed
+        assert manifest.load(out)["indexes"]["ivf_embedding"] == e2
+        # fresh again: no warning, reuse without retraining
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            cents = ann.load_ivf_index(spark, out)
+        assert cents.count() == 4
+        # served result matches live training on the grown corpus
+        got = ann._ivf_topk_from_cents(
+            df.select("vec_id", "embedding"), cents, 0, 5, 2
+        ).toPandas()
+        live = ann._ivf_topk_from_cents(
+            df.select("vec_id", "embedding"),
+            ann.ivf_centroids_df(df.select("vec_id", "embedding"), 4, 1),
+            0, 5, 2,
+        ).toPandas()
+        assert got.equals(live)
+
     def test_missing_index_loads_none(self, spark, tmp_path):
         from kmers_spark.functions import ann
         from kmers_spark.operators.encode import encode_table
