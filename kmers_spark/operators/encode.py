@@ -9,8 +9,11 @@ Pipeline (all declarative until the codec kernels):
 
 Block row: (bucket, column, codec, n_rows, raw_nbytes, enc_nbytes,
 payload binary, meta json). Rows within a block are sorted by the key
-column so encoding is deterministic under Spark's nondeterministic
-partition ordering — order is part of the format (SURVEY.md §7).
+column — or by (cluster_col, key) for range-clustered stores, so a
+range predicate selects a contiguous run and segment skipping composes
+with bucket pruning — making encoding deterministic under Spark's
+nondeterministic partition ordering; order is part of the format
+(SURVEY.md §7).
 """
 
 from __future__ import annotations
@@ -56,13 +59,22 @@ def _raw_nbytes(series: pd.Series, typ: str) -> int:
     return int(series.dropna().map(len).sum())
 
 
-def make_encode_fn(schema: dict[str, str], key: str, codec_overrides: dict[str, str] | None):
+def make_encode_fn(schema: dict[str, str], key: str,
+                   codec_overrides: dict[str, str] | None,
+                   sort_by: list[str] | None = None):
     """Build the applyInPandas group encoder. Everything it captures is a
-    small plain dict (cheap closure pickling)."""
+    small plain dict (cheap closure pickling).
+
+    `sort_by` orders rows within the block (default: the key column).
+    Range-clustered stores pass [cluster_col, key]: a range predicate
+    then selects a CONTIGUOUS run of rows, so segmented codecs' mask-
+    driven segment skipping composes with bucket pruning on scans
+    (without it, the surviving buckets' intra-bucket scan is full)."""
     overrides = codec_overrides or {}
+    sort_cols = sort_by or [key]
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(key, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else -1
         out = []
         for col, typ in schema.items():
@@ -81,15 +93,18 @@ def make_encode_fn(schema: dict[str, str], key: str, codec_overrides: dict[str, 
                 # Iceberg file-stats analogue: the block's key range rides
                 # in the key column's meta and lands in the manifest at
                 # commit (decode.lookup_keys prunes buckets whose range
-                # excludes every probe key). Rows are key-sorted above.
+                # excludes every probe key). min/max over non-null keys —
+                # valid whatever sort_by ordered the rows by (a null key
+                # can never match a probe, so dropping nulls keeps the
+                # range a total bound for probeable keys).
                 # JSON-safe types only (numpy scalars coerced to native).
-                lo, hi = s.iloc[0], s.iloc[-1]
-                lo = lo.item() if hasattr(lo, "item") else lo
-                hi = hi.item() if hasattr(hi, "item") else hi
-                # nulls sort last: a null max means the range is not a
-                # total bound — record nothing (pruning stays bucket-only)
-                if isinstance(lo, (str, int)) and isinstance(hi, (str, int)):
-                    meta = {**meta, "key_min": lo, "key_max": hi}
+                nn = s.dropna()
+                if len(nn):
+                    lo, hi = nn.min(), nn.max()
+                    lo = lo.item() if hasattr(lo, "item") else lo
+                    hi = hi.item() if hasattr(hi, "item") else hi
+                    if isinstance(lo, (str, int)) and isinstance(hi, (str, int)):
+                        meta = {**meta, "key_min": lo, "key_max": hi}
             out.append(
                 {
                     "bucket": bucket,
@@ -110,21 +125,27 @@ def make_encode_fn(schema: dict[str, str], key: str, codec_overrides: dict[str, 
 
 
 def make_encode_fn_arrow(schema: dict[str, str], key: str,
-                         codec_overrides: dict[str, str] | None):
+                         codec_overrides: dict[str, str] | None,
+                         sort_by: list[str] | None = None):
     """Arrow-native group encoder (the hot path): rows stay in Arrow
     buffers end-to-end; sort/dictionary/token work happens in C++ and
     the bit-level kernels in numpy. ~10x less allocator traffic than the
-    pandas path, which is what lets 32 cores actually scale (BENCH)."""
+    pandas path, which is what lets 32 cores actually scale (BENCH).
+    `sort_by`: see make_encode_fn — [cluster_col, key] for range-
+    clustered stores so segment skipping composes with bucket pruning."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from .. import arrowcodecs
 
     overrides = codec_overrides or {}
+    sort_cols = sort_by or [key]
 
     def encode_group(table: "pa.Table") -> "pa.Table":
         arrowcodecs.pin_worker_threads()
-        idx = pc.sort_indices(table.column(key))
+        idx = pc.sort_indices(
+            table, sort_keys=[(c, "ascending") for c in sort_cols]
+        )
         table = table.take(idx)
         bucket = table.column("bucket")[0].as_py() if table.num_rows else -1
         rows = {k: [] for k in ("bucket", "column", "codec", "n_rows",
@@ -142,9 +163,11 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
             if zb is not None:
                 meta = {**meta, "zmin": zb[0], "zmax": zb[1]}
             if col == key and len(arr) and typ in ("string", "int64"):
-                # key range for manifest pruning (rows are key-sorted;
-                # nulls sort last, so a null max voids the range)
-                lo, hi = arr[0].as_py(), arr[-1].as_py()
+                # key range for manifest pruning: non-null min/max
+                # (order-independent — sort_by may not lead with the
+                # key; a null key never matches a probe)
+                mm = pc.min_max(arr)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
                 if isinstance(lo, (str, int)) and isinstance(hi, (str, int)):
                     meta = {**meta, "key_min": lo, "key_max": hi}
             if typ in ("string", "binary"):
@@ -181,15 +204,18 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
 
 
 def encode_blocks_df(bucketed: DataFrame, schema: dict[str, str], key: str,
-                     codec_overrides: dict[str, str] | None) -> DataFrame:
+                     codec_overrides: dict[str, str] | None,
+                     sort_by: list[str] | None = None) -> DataFrame:
     """groupBy(bucket) -> block rows, preferring the Arrow path."""
     grouped = bucketed.groupBy("bucket")
     if hasattr(grouped, "applyInArrow"):
         return grouped.applyInArrow(
-            make_encode_fn_arrow(schema, key, codec_overrides), BLOCK_SCHEMA
+            make_encode_fn_arrow(schema, key, codec_overrides, sort_by=sort_by),
+            BLOCK_SCHEMA,
         )
     return grouped.applyInPandas(
-        make_encode_fn(schema, key, codec_overrides), BLOCK_SCHEMA
+        make_encode_fn(schema, key, codec_overrides, sort_by=sort_by),
+        BLOCK_SCHEMA,
     )
 
 
@@ -380,7 +406,17 @@ def encode_table(
             wave_df = bucketed if len(wave) == num_buckets else bucketed.filter(
                 F.col("bucket").isin(wave)
             )
-            blocks = encode_blocks_df(wave_df, schema, key, codec_overrides)
+            # range-clustered stores sort rows by (cluster_col, key)
+            # INSIDE each bucket: a range scan's surviving buckets then
+            # hold the matching rows contiguously, so segmented codecs
+            # skip the non-matching segments (pruning composes: bucket
+            # layer drops whole buckets, segment layer most of the rest)
+            sort_by = None
+            cl = m.get("cluster_by")
+            if scheme == partitioning.RANGE_SCHEME and cl and cl != key:
+                sort_by = [cl, key]
+            blocks = encode_blocks_df(wave_df, schema, key, codec_overrides,
+                                      sort_by=sort_by)
             # Each wave lands in its own directory and only becomes
             # visible when the manifest commit below registers it
             # (Iceberg manifest-list discipline): a crash between write

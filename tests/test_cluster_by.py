@@ -295,3 +295,75 @@ def test_int64_udf_assignment_exact_above_2_53(spark, monkeypatch):
     import bisect
     assert bisect.bisect_right(bnds, big) == 1
     assert bisect.bisect_right(bnds, big - 1) == 0
+
+
+def test_intra_bucket_cluster_sort_composes_with_segment_skip(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r4 #5: rows inside a range bucket are sorted by
+    (cluster_col, key), so a range predicate selects a CONTIGUOUS run
+    and segmented codecs skip most segments of the surviving buckets —
+    the two pruning layers compose. Contrast: the same mask over
+    key-ordered rows is scattered and touches ~every segment."""
+    import numpy as np
+
+    from kmers_spark import codecs, pages
+    from kmers_spark.kernels import words
+
+    df = pages.pages_df(spark, 2000, seed=81, partitions=4).cache()
+    out = str(tmp_path / "rng")
+    enc.encode_table(df, out, num_buckets=4, cluster_by="warc_ts",
+                     detect_skew=False)
+
+    # the store still decodes bit-identical (order is per-block only)
+    got_all = dec.decode_colocated(spark, out).toPandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = df.toPandas()[got_all.columns].sort_values("url") \
+        .reset_index(drop=True)
+    assert got_all.equals(want)
+
+    # one bucket = one block file = one scan partition: decode order is
+    # block order; the cluster column must be non-decreasing
+    got = dec.decode_colocated(spark, out, buckets=[1]).toPandas()
+    ts = got["warc_ts"].to_numpy()
+    assert len(ts) > 200
+    assert (ts[1:] >= ts[:-1]).all(), "bucket rows not cluster-sorted"
+
+    # driver-side kernel composition (same style as TestFsstSeg):
+    # re-encode the bucket's text in BOTH orders at small segments and
+    # count decompressed segments for one contiguous ts-range mask
+    monkeypatch.setattr(codecs, "SEG_ROWS", 64)
+    lo, hi = np.quantile(ts.astype("datetime64[us]").astype(np.int64),
+                         [0.4, 0.6]).astype(np.int64)
+    tsi = ts.astype("datetime64[us]").astype(np.int64)
+    sel = (tsi >= lo) & (tsi <= hi)
+    assert 0 < sel.sum() < len(sel) // 2
+
+    real = words._unbackstop
+
+    def run(series, mask):
+        p, meta = codecs.encode_column(series, "fsst_seg", "string")
+        nseg = len(meta["fsst_seg"]["segs"])
+        calls = []
+        monkeypatch.setattr(
+            words, "_unbackstop",
+            lambda payload, z, raw_n: (calls.append(1), real(payload, z, raw_n))[1],
+        )
+        try:
+            dec_vals = list(codecs.decode_column_selected(p, meta, mask))
+        finally:
+            monkeypatch.setattr(words, "_unbackstop", real)
+        assert dec_vals == list(series[mask])
+        return len(calls) - 1, nseg  # minus the shared-table header call
+
+    touched_clustered, nseg = run(got["text"].reset_index(drop=True), sel)
+    assert nseg >= 6
+    # scattered contrast: same rows in key (url) order
+    order = got["url"].argsort(kind="mergesort").to_numpy()
+    touched_keyorder, nseg2 = run(
+        got["text"].iloc[order].reset_index(drop=True), sel[order]
+    )
+    assert nseg2 == nseg
+    # clustered: the contiguous run covers few segments (>50% skipped)
+    assert touched_clustered <= nseg // 2
+    # key order scatters the selection across nearly all segments
+    assert touched_keyorder > touched_clustered
