@@ -243,14 +243,27 @@ class KmersReader(DataSourceReader):
 
         from . import arrowcodecs, zonemap
 
-        bucket_list, paths, miss_map = partition.value
+        vals = partition.value
+        bucket_list, paths, miss_map = vals[0], vals[1], vals[2]
+        # stream partitions carry a 4th element with the manifest bits
+        # read() needs (streamed flag, key, per-wave evolution
+        # allowance): the STREAM reader instance is pickled to
+        # executors when the query starts — before partitions() ever
+        # runs — so reader state set at planning time never arrives;
+        # only the partition payload does. Without this, a catch-up
+        # partition holding >=2 generations of a bucket would take the
+        # batch (whole-dataset) path and die on duplicate block rows.
+        aux = vals[3] if len(vals) > 3 else None
+        m = self.m if isinstance(self.m, dict) and self.m else None
+        streamed = aux["streamed"] if aux is not None \
+            else bool(m and m.get("streamed"))
         miss_map = {int(b): set(v) for b, v in miss_map.items()}
         # column pruning reaches the block-row fetch: only projected +
         # filter columns' payloads are read (plus the key column as a
         # row-count anchor when everything needed is evolution-missing
         # in some bucket — the key always has a block)
         needed = set(self.projected) | {c for c, _op, _v in self.triples}
-        key = self.m.get("key") if isinstance(self.m, dict) else None
+        key = aux.get("key") if aux is not None else (m.get("key") if m else None)
         # key column as a row-count anchor ONLY for the buckets whose
         # whole projection is evolution-missing — a coalesced chunk must
         # not fetch the key payload for its other 99 buckets
@@ -280,16 +293,22 @@ class KmersReader(DataSourceReader):
         base_needed = set(base_cols)
         anchor_set = set(anchor_buckets)
         cols_fetch = ["bucket", "column", "meta", "payload"]
-        if isinstance(self.m, dict) and self.m.get("streamed"):
+        if streamed:
             # streamed store: a bucket holds one GENERATION per wave
             # file — decode each parquet fragment (= one file = whole
             # buckets of one generation) independently; rows union.
+            # Peak task memory is therefore ONE generation's bucket
+            # blocks however many generations the partition carries
+            # (the stream reader's unbounded catch-up rides on this).
             # The fragment's path names its wave, so the evolution
             # allowance applies per GENERATION: only columns the wave
             # predates may null-fill, anything else missing raises
             from . import manifest as mf
 
-            gen_allow = mf.wave_allowance(self.m, list(self.full_schema))
+            gen_allow = aux["gen_allow"] if aux is not None \
+                else mf.wave_allowance(self.m, list(self.full_schema))
+            if gen_allow is not None:
+                gen_allow = {w: set(v) for w, v in gen_allow.items()}
             for frag in dataset.get_fragments():
                 fmiss = miss_map
                 if gen_allow is not None:
@@ -459,15 +478,30 @@ class KmersStreamReader(DataSourceStreamReader):
             new_dirs = m.get("wave_dirs", [])[s0:e0]
             wb = m.get("wave_buckets", {})
             missing = manifest.missing_columns(m, list(self.full_schema))
+            gen_allow = manifest.wave_allowance(m, list(self.full_schema))
             by_bucket: dict[int, list[str]] = {}
             for d in new_dirs:
                 for b in wb.get(d, ()):
                     by_bucket.setdefault(int(b), []).append(f"{self.path}/{d}")
             if not by_bucket:
                 return [InputPartition((None, [], {}))]
+            # the 4th tuple element ships the manifest bits read() needs:
+            # this reader instance was pickled to executors at query
+            # start, BEFORE partitions() ran — state set here never
+            # reaches read(), only the partition payload does
+            new_names = {d.rsplit("/", 1)[-1] for d in new_dirs}
+            aux = {
+                "streamed": bool(m.get("streamed")),
+                "key": m.get("key"),
+                "gen_allow": (
+                    {w: sorted(v) for w, v in gen_allow.items()
+                     if w in new_names}
+                    if gen_allow is not None else None
+                ),
+            }
             return [
                 InputPartition((
-                    [b], sorted(paths), {b: sorted(missing.get(b, ()))}
+                    [b], sorted(paths), {b: sorted(missing.get(b, ()))}, aux
                 ))
                 for b, paths in sorted(by_bucket.items())
             ]
@@ -475,7 +509,9 @@ class KmersStreamReader(DataSourceStreamReader):
         if not new:
             # Spark requires >= 1 partition per batch; emit an empty marker
             return [InputPartition((None, [], {}))]
-        return plan_bucket_partitions(self.path, m, new, list(self.full_schema))
+        parts = plan_bucket_partitions(self.path, m, new, list(self.full_schema))
+        aux = {"streamed": False, "key": m.get("key"), "gen_allow": None}
+        return [InputPartition((*p.value, aux)) for p in parts]
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: the offset log is Spark's

