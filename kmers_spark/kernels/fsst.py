@@ -33,6 +33,16 @@ ROUND1_MAX = 208    # round-1 table cap: leave code space for merge rounds
 MERGE_ROUNDS = 2    # pair-merge rounds on the code stream (symbols to 8 bytes)
 MIN_MERGE_COUNT = 4
 MAX_SYM_LEN = 8
+# Merge-round LEARNING runs on a bounded leading sample of the stream
+# (same regime as round-1 table training); the APPLY then processes the
+# stream in cache-resident chunks with the FIXED tables. Whole-stream
+# apply was the fsst/fsst_seg encode bottleneck: at tens of MB every
+# intermediate (pair keys, masks, offsets — 2-8 bytes per input byte)
+# falls out of cache, while seg:fsst did identical math 2 MB at a time
+# ~8x faster. Chunking at value boundaries is exact: matches never
+# cross values, so fixed-table chunked output == whole-stream output.
+LEARN_MAX_BYTES = 4 << 20    # merge-learning sample cap
+APPLY_CHUNK_BYTES = 2 << 20  # per-chunk input bytes for the apply pass
 
 
 def train(sample_values: list[bytes], max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
@@ -95,51 +105,26 @@ def encode(values: list[bytes], table: list[bytes]) -> tuple[bytes, dict]:
     return encode_arrays(buf, lens, table)
 
 
-def encode_arrays(buf: np.ndarray, lens: np.ndarray, table: list[bytes],
-                  merge_rounds: int = MERGE_ROUNDS) -> tuple[bytes, dict]:
-    """Encode a concatenated uint8 buffer + per-value lens -> (payload, meta).
-
-    Round 1 applies the trained 1-2 byte table; then `merge_rounds`
-    passes greedily merge the most frequent adjacent *code* pairs into
-    longer symbols (up to MAX_SYM_LEN bytes, learned on the full stream,
-    deterministic) — the decoder is already generic over symbol length,
-    so only the table in the payload header grows. Escape+literal pairs
-    are atomic and never merge, which preserves the decoder's invariant
-    that every literal is immediately preceded by its escape.
-    """
-    n = len(lens)
-    table = list(table)
+def _round1_chunk(buf: np.ndarray, lens: np.ndarray, single_code: np.ndarray,
+                  pair_lut: np.ndarray, have_pairs: bool
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Apply the FIXED round-1 table to one chunk of whole values ->
+    (codes uint8, per-value code counts int64, normal mask — False on
+    escape+literal positions, which never merge)."""
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-
-    sym_lens = np.array([len(s) for s in table], dtype=np.uint8)
-    single_code = np.full(256, ESCAPE, dtype=np.uint8)
-    pair_codes: dict[int, int] = {}
-    for code, s in enumerate(table):
-        if len(s) == 1:
-            single_code[s[0]] = code
-        else:
-            pair_codes[(s[0] << 8) | s[1]] = code
-
-    if buf.size == 0:
-        header = sym_lens.tobytes() + b"".join(table)
-        meta = {"n": n, "n_symbols": len(table), "header_nbytes": len(header),
-                "len_width": 0, "lens_nbytes": 0}
-        return header, meta
-
     taken = np.zeros(buf.size, dtype=bool)
-    if pair_codes:
+    if have_pairs and buf.size >= 2:
         pair = buf[:-1].astype(np.uint16) << np.uint16(8) | buf[1:]
-        pk = np.fromiter(pair_codes.keys(), dtype=np.uint16, count=len(pair_codes))
-        cand_mask = np.isin(pair, pk)
+        cand_mask = pair_lut[pair] != ESCAPE
         ends = starts + lens
-        cross = ends[ends < buf.size] - 1  # last byte of each value can't start a pair
+        cross = ends[ends < buf.size] - 1  # last byte of a value can't start a pair
         cand_mask[cross[cross >= 0]] = False
         cand = _greedy_nonoverlap(np.flatnonzero(cand_mask))
         taken[cand] = True
     consumed = np.zeros(buf.size, dtype=bool)
     consumed[1:] = taken[:-1]
 
-    sc = single_code[buf]
+    sc = single_code[buf] if buf.size else np.empty(0, dtype=np.uint8)
     out_len = np.ones(buf.size, dtype=np.int64)          # single coded byte -> 1
     out_len[consumed] = 0                                 # swallowed by pair
     esc = (~taken) & (~consumed) & (sc == ESCAPE)
@@ -149,35 +134,67 @@ def encode_arrays(buf: np.ndarray, lens: np.ndarray, table: list[bytes],
     out_off = np.concatenate(([0], np.cumsum(out_len)))
     total = int(out_off[-1])
     out = np.empty(total, dtype=np.uint8)
+    normal = np.ones(total, dtype=bool)
 
     single_pos = (~taken) & (~consumed) & (sc != ESCAPE)
     out[out_off[:-1][single_pos]] = sc[np.flatnonzero(single_pos)]
     if taken.any():
         tpos = np.flatnonzero(taken)
         pair_vals = buf[tpos].astype(np.uint16) << np.uint16(8) | buf[tpos + 1]
-        pair_lut = np.zeros(1 << 16, dtype=np.uint8)
-        for p, c in pair_codes.items():
-            pair_lut[p] = c
         out[out_off[:-1][taken]] = pair_lut[pair_vals]
     if esc.any():
-        epos = np.flatnonzero(esc)
-        out[out_off[:-1][esc]] = ESCAPE
-        out[out_off[:-1][esc] + 1] = buf[epos]
-
-    # per-value code counts (each output byte is one code)
-    enc_lens = out_off[starts + lens] - out_off[starts]
-
-    # --- merge rounds: grow symbols beyond 2 bytes on the code stream ---
-    codes = out
-    normal = np.ones(codes.size, dtype=bool)
-    if esc.any():
         epos = out_off[:-1][esc]
+        out[epos] = ESCAPE
+        out[epos + 1] = buf[np.flatnonzero(esc)]
         normal[epos] = False
         normal[epos + 1] = False
+
+    enc_lens = out_off[starts + lens] - out_off[starts]
+    return out, enc_lens, normal
+
+
+def _merge_apply_chunk(codes: np.ndarray, enc_lens: np.ndarray,
+                       normal: np.ndarray, luts: list[np.ndarray]
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Apply the FIXED learned merge LUTs (one per round) to one chunk's
+    code stream -> (codes, per-value counts)."""
+    n = len(enc_lens)
+    value_id = np.repeat(np.arange(n, dtype=np.int64), enc_lens)
+    for lut in luts:
+        if codes.size < 2:
+            break
+        keys = codes[:-1].astype(np.uint16) << np.uint16(8) | codes[1:]
+        ok = normal[:-1] & normal[1:] & (value_id[:-1] == value_id[1:])
+        cand = _greedy_nonoverlap(np.flatnonzero(ok & (lut[keys] != ESCAPE)))
+        if cand.size == 0:
+            continue
+        taken = np.zeros(codes.size, dtype=bool)
+        taken[cand] = True
+        consumed = np.zeros(codes.size, dtype=bool)
+        consumed[1:] = taken[:-1]
+        merged = codes.copy()
+        merged[cand] = lut[keys[cand]]
+        keep = ~consumed
+        codes = merged[keep]
+        normal = normal[keep]
+        value_id = value_id[keep]
+    return codes, np.bincount(value_id, minlength=n).astype(np.int64)
+
+
+def _learn_merge_luts(codes: np.ndarray, enc_lens: np.ndarray,
+                      normal: np.ndarray, table: list[bytes],
+                      merge_rounds: int
+                      ) -> tuple[list[np.ndarray], list[bytes]]:
+    """Learn merge-round pair tables on the (sample) code stream:
+    each round counts adjacent code pairs, admits the most frequent as
+    new symbols, applies them to the sample, and the next round learns
+    on the merged result. Returns (one uint16->code LUT per round, the
+    grown symbol table)."""
+    luts: list[np.ndarray] = []
+    n = len(enc_lens)
     value_id = np.repeat(np.arange(n, dtype=np.int64), enc_lens)
     slen = np.zeros(256, dtype=np.int64)
     slen[: len(table)] = [len(s) for s in table]
-
     for _ in range(merge_rounds):
         room = MAX_SYMBOLS - len(table)
         if room <= 0 or codes.size < 2:
@@ -202,24 +219,93 @@ def encode_arrays(buf: np.ndarray, lens: np.ndarray, table: list[bytes],
         for i, pk in enumerate(new_pairs):
             pair2code[pk] = len(table) + i
             slen[len(table) + i] = slen[pk >> 8] + slen[pk & 0xFF]
-        table += [table[int(pk) >> 8] + table[int(pk) & 0xFF] for pk in new_pairs]
-
-        cand_mask = ok & (pair2code[keys] != ESCAPE)
-        cand = _greedy_nonoverlap(np.flatnonzero(cand_mask))
+        table = table + [table[int(pk) >> 8] + table[int(pk) & 0xFF]
+                         for pk in new_pairs]
+        luts.append(pair2code)
+        # apply to the sample so the next round learns on merged codes
+        cand = _greedy_nonoverlap(np.flatnonzero(ok & (pair2code[keys] != ESCAPE)))
         if cand.size == 0:
             break
-        taken2 = np.zeros(codes.size, dtype=bool)
-        taken2[cand] = True
-        consumed2 = np.zeros(codes.size, dtype=bool)
-        consumed2[1:] = taken2[:-1]
+        taken = np.zeros(codes.size, dtype=bool)
+        taken[cand] = True
+        consumed = np.zeros(codes.size, dtype=bool)
+        consumed[1:] = taken[:-1]
         merged = codes.copy()
         merged[cand] = pair2code[keys[cand]]
-        keep_mask = ~consumed2
+        keep_mask = ~consumed
         codes = merged[keep_mask]
         normal = normal[keep_mask]
         value_id = value_id[keep_mask]
+    return luts, table
 
-    enc_lens = np.bincount(value_id, minlength=n).astype(np.int64)
+
+def encode_arrays(buf: np.ndarray, lens: np.ndarray, table: list[bytes],
+                  merge_rounds: int = MERGE_ROUNDS) -> tuple[bytes, dict]:
+    """Encode a concatenated uint8 buffer + per-value lens -> (payload, meta).
+
+    Round 1 applies the trained 1-2 byte table; `merge_rounds` passes
+    grow symbols up to MAX_SYM_LEN bytes by merging the most frequent
+    adjacent *code* pairs — LEARNED on the leading LEARN_MAX_BYTES of
+    the stream, then APPLIED with fixed LUTs. The apply processes the
+    stream in APPLY_CHUNK_BYTES chunks of whole values: matches never
+    cross value boundaries, so chunked output is bit-identical to a
+    whole-stream pass while every intermediate stays cache-resident
+    (the whole-stream pass was ~8x slower at tens of MB). Escape+
+    literal pairs are atomic and never merge, preserving the decoder's
+    invariant that every literal is immediately preceded by its escape.
+    Deterministic: sample and chunk boundaries depend only on `lens`.
+    """
+    n = len(lens)
+    table = list(table)
+
+    single_code = np.full(256, ESCAPE, dtype=np.uint8)
+    pair_lut = np.full(1 << 16, ESCAPE, dtype=np.uint8)
+    have_pairs = False
+    for code, s in enumerate(table):
+        if len(s) == 1:
+            single_code[s[0]] = code
+        else:
+            pair_lut[(s[0] << 8) | s[1]] = code
+            have_pairs = True
+
+    if buf.size == 0:
+        sym_lens = np.array([len(s) for s in table], dtype=np.uint8)
+        header = sym_lens.tobytes() + b"".join(table)
+        meta = {"n": n, "n_symbols": len(table), "header_nbytes": len(header),
+                "len_width": 0, "lens_nbytes": 0}
+        return header, meta
+
+    ends_all = np.cumsum(lens)
+
+    # --- learn merge tables on a bounded leading sample of whole values
+    luts: list[np.ndarray] = []
+    if merge_rounds > 0:
+        s_n = min(n, int(np.searchsorted(ends_all, LEARN_MAX_BYTES)) + 1)
+        s_codes, s_lens, s_norm = _round1_chunk(
+            buf[: int(ends_all[s_n - 1])], lens[:s_n],
+            single_code, pair_lut, have_pairs,
+        )
+        luts, table = _learn_merge_luts(s_codes, s_lens, s_norm, table,
+                                        merge_rounds)
+
+    # --- chunked apply with the fixed tables
+    code_parts: list[np.ndarray] = []
+    len_parts: list[np.ndarray] = []
+    pos, start_byte = 0, 0
+    while pos < n:
+        end = min(n, max(pos + 1, int(np.searchsorted(
+            ends_all, start_byte + APPLY_CHUNK_BYTES)) + 1))
+        cb = buf[start_byte: int(ends_all[end - 1])]
+        codes, el, norm = _round1_chunk(cb, lens[pos:end],
+                                        single_code, pair_lut, have_pairs)
+        if luts:
+            codes, el = _merge_apply_chunk(codes, el, norm, luts)
+        code_parts.append(codes)
+        len_parts.append(el)
+        start_byte = int(ends_all[end - 1])
+        pos = end
+    codes = np.concatenate(code_parts)
+    enc_lens = np.concatenate(len_parts)
 
     from . import bitpack
 
