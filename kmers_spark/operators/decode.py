@@ -480,8 +480,10 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
                                                 scheme=scheme)]
         if m.get("cluster_by") == key_col and m["schema"][key_col] == "string":
             # range-bucketed ON the key: exact bucket via the same
-            # searchsorted rule encode used (driver-side bisect)
-            return [partitioning.range_bucket_for_value(
+            # searchsorted rule encode used (driver-side bisect),
+            # including the heavy-value overflow salt — with
+            # cluster == key the salt input is the probe itself
+            return [partitioning.range_bucket_for_key(
                 k, m["range_boundaries"], "string"
             )]
         # range-bucketed on a DIFFERENT column: the key hash says nothing

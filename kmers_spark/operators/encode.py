@@ -371,7 +371,8 @@ def encode_table(
         # boundaries come from the MANIFEST (not this call's sample):
         # resume must re-assign rows exactly as the committed waves did
         bucketed = partitioning.with_bucket_range(
-            df, m["cluster_by"], schema[m["cluster_by"]], m["range_boundaries"]
+            df, m["cluster_by"], schema[m["cluster_by"]],
+            m["range_boundaries"], key=key,
         )
     elif scheme == partitioning.EXTERNAL_SCHEME:
         # DataSource-sink store with caller-assigned buckets: encode

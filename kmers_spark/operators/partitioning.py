@@ -224,8 +224,31 @@ def _bound_lit(value, typ: str):
 RANGE_EXPR_MAX = 512
 
 
+def heavy_boundary_values(boundaries: list) -> dict:
+    """{heavy value: (first overflow bucket, n overflow buckets)} for
+    boundary values appearing >= 2 times. Equal-frequency cuts repeat a
+    value exactly when it holds more than one bucket's width of rows; a
+    value at slots [i, i+m) makes bucket ids i+1 .. i+m-1 UNREACHABLE
+    (no other value maps there) and piles all its rows onto i+m — so
+    those m ids (i+1 .. i+m) become the value's salted overflow span,
+    mirroring detect_hot_keys for the hash scheme. Range semantics are
+    untouched: every overflow bucket's recorded zone bounds are [v, v]
+    (or [v, next) for the last), so pruning keeps working off the
+    manifest bounds."""
+    import bisect as _bisect
+
+    out = {}
+    i = 0
+    while i < len(boundaries):
+        j = _bisect.bisect_right(boundaries, boundaries[i], lo=i)
+        if j - i >= 2:
+            out[boundaries[i]] = (i + 1, j - i)
+        i = j
+    return out
+
+
 def with_bucket_range(df: DataFrame, col: str, typ: str,
-                      boundaries: list) -> DataFrame:
+                      boundaries: list, key: str | None = None) -> DataFrame:
     """Add a `bucket` column: count of boundaries <= value. NULL cluster
     values land in bucket 0, and so does a NaN double — NaN has no
     order, and the three implementations of this rule (JVM expression,
@@ -238,9 +261,30 @@ def with_bucket_range(df: DataFrame, col: str, typ: str,
     to a vectorized pandas_udf doing np.searchsorted (O(log B) per row,
     Arrow-batched) — which is what makes a 10^5-bucket range layout
     practical. Both paths implement the identical rule as
-    range_bucket_for_value's bisect (golden cross-check in tests)."""
+    range_bucket_for_value's bisect (golden cross-check in tests).
+
+    With `key`, HEAVY cluster values (duplicate boundary slots — a
+    value wider than one bucket) are salted by xxhash64(key) across
+    their otherwise-unreachable overflow bucket ids
+    (heavy_boundary_values), so a 50%-one-value column stops producing
+    one giant block. Deterministic per key: resume re-routes rows
+    identically, and the lookup mirror (range_bucket_for_key) computes
+    the same bucket driver-side."""
     if not boundaries:
         return df.withColumn("bucket", F.lit(0).cast("int"))
+    heavy = heavy_boundary_values(boundaries) if key is not None else {}
+
+    def _salted(base_expr):
+        expr = base_expr
+        for v, (first, n) in heavy.items():
+            vv = F.col(col) if typ != "string" else \
+                F.substring(F.col(col), 1, RANGE_STR_BOUND)
+            expr = F.when(
+                vv == _bound_lit(v, typ),
+                (F.lit(first) + F.pmod(F.xxhash64(F.col(key)), F.lit(n)))
+                .cast("int"),
+            ).otherwise(expr)
+        return expr
     if len(boundaries) <= RANGE_EXPR_MAX:
         v = F.col(col) if typ != "string" else F.substring(F.col(col), 1, RANGE_STR_BOUND)
         arr = F.array(*[_bound_lit(b, typ) for b in boundaries])
@@ -249,7 +293,7 @@ def with_bucket_range(df: DataFrame, col: str, typ: str,
             # Spark orders NaN above every value (all boundaries <=
             # NaN) — pin it to bucket 0, matching NULL and the mirrors
             expr = F.when(F.isnan(F.col(col)), F.lit(0)).otherwise(expr)
-        return df.withColumn("bucket", expr)
+        return df.withColumn("bucket", _salted(expr))
 
     from pyspark.sql.functions import pandas_udf
 
@@ -292,11 +336,13 @@ def with_bucket_range(df: DataFrame, col: str, typ: str,
         # pandas); the outer when() restores NULL -> bucket 0
         return df.withColumn(
             "bucket",
-            F.when(F.col(col).isNull(), F.lit(0)).otherwise(
-                _searchsorted(F.coalesce(F.col(col), F.lit(0)))
-            ).cast("int"),
+            _salted(
+                F.when(F.col(col).isNull(), F.lit(0)).otherwise(
+                    _searchsorted(F.coalesce(F.col(col), F.lit(0)))
+                ).cast("int")
+            ),
         )
-    return df.withColumn("bucket", _searchsorted(F.col(col)))
+    return df.withColumn("bucket", _salted(_searchsorted(F.col(col))))
 
 
 def range_bucket_for_value(value, boundaries: list, typ: str) -> int:
@@ -317,6 +363,27 @@ def range_bucket_for_value(value, boundaries: list, typ: str) -> int:
     if isinstance(bv, float) and math.isnan(bv):
         return 0  # NULL-and-NaN -> bucket 0 (with_bucket_range's rule)
     return bisect.bisect_right(boundaries, bv)
+
+
+def range_bucket_for_key(key_value: str, boundaries: list, typ: str) -> int:
+    """Driver-side mirror of with_bucket_range(..., key=cluster) for a
+    cluster==key snapshot: the base bisect rule PLUS the heavy-value
+    overflow salt — with cluster == key the salt input IS the probe
+    value, so the salted bucket is exactly computable (one bucket per
+    probe, no fan-out)."""
+    from .. import sparkhash
+
+    heavy = heavy_boundary_values(boundaries)
+    if heavy:
+        from .. import zonemap
+
+        bv = zonemap.to_bound_space(key_value, typ)
+        if typ == "string":
+            bv = bv[:RANGE_STR_BOUND]
+        if bv in heavy:
+            first, n = heavy[bv]
+            return first + sparkhash.pmod(sparkhash.xxhash64(key_value), n)
+    return range_bucket_for_value(key_value, boundaries, typ)
 
 
 def bucket_for_key(key: str, num_buckets: int, hot_keys: dict[str, int],

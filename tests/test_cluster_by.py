@@ -367,3 +367,90 @@ def test_intra_bucket_cluster_sort_composes_with_segment_skip(
     assert touched_clustered <= nseg // 2
     # key order scatters the selection across nearly all segments
     assert touched_keyorder > touched_clustered
+
+
+def test_heavy_value_overflow_salting(spark, tmp_path):
+    """VERDICT r4 #7: a cluster value holding >1 bucket's width of rows
+    used to collapse into ONE giant block (ties can't be range-split).
+    Equal-frequency boundaries repeat the value; those duplicate slots
+    are unreachable bucket ids, so assignment salts the heavy value's
+    rows across them by xxhash64(key). Blocks balance, decode is
+    bit-identical, scans still prune off the recorded [v, v] bounds."""
+    from kmers_spark import pages
+
+    df = pages.pages_df(spark, 3000, seed=17, partitions=4)
+    # plant a 50% heavy hitter at the median-ish timestamp
+    mid_row = df.select("warc_ts").orderBy("warc_ts").limit(1600).tail(1)[0][0]
+    df = df.withColumn(
+        "warc_ts",
+        F.when(F.xxhash64("url") % 2 == 0, F.lit(mid_row)).otherwise(
+            F.col("warc_ts"))
+    ).cache()
+    out = str(tmp_path / "heavy")
+    m = enc.encode_table(df, out, num_buckets=8, cluster_by="warc_ts",
+                         detect_skew=False)
+    heavy = partitioning.heavy_boundary_values(m["range_boundaries"])
+    assert heavy, "planted hitter must repeat in equal-frequency boundaries"
+    (first, n), = heavy.values()
+    assert n >= 2
+
+    # block sizes balanced: the hitter's rows spread across its overflow
+    # span instead of one ~1500-row block
+    blocks = manifest.block_stats(out, m)
+    per_bucket = {int(b): st[0]["n_rows"] for b, st in blocks.items() if st}
+    assert max(per_bucket.values()) < 1000  # was ~1500+ unsalted
+    spread = [per_bucket.get(b, 0) for b in range(first, first + n)]
+    assert sum(1 for s in spread if s > 0) >= 2  # genuinely spread
+
+    # bit-identical decode
+    got = dec.decode_colocated(spark, out).toPandas() \
+        .sort_values("url").reset_index(drop=True)
+    want = df.toPandas()[got.columns].sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+
+    # a scan for exactly the heavy value returns every row; pruning
+    # keeps the overflow buckets via their recorded [v, v] bounds
+    rows = dec.scan_table(spark, out, [("warc_ts", "=", mid_row)])
+    n_hit = df.filter(F.col("warc_ts") == F.lit(mid_row)).count()
+    assert rows.count() == n_hit
+    # and a range NOT containing the hitter prunes the overflow buckets
+    lo = min(b for b in m["range_boundaries"])
+    norm = zonemap.normalize_filters([("warc_ts", "<", lo)], m["schema"])
+    keep = zonemap.prune_buckets(m, norm, blocks=blocks)
+    assert not set(range(first, first + n)) <= set(keep)
+
+    # point lookups on urls still land (cluster != key: candidates are
+    # key-range pruned over committed buckets)
+    urls = [r["url"] for r in df.select("url").limit(3).collect()]
+    assert dec.lookup_keys(spark, out, urls).count() == len(set(urls))
+
+    # resume determinism: re-encoding with recorded boundaries routes
+    # identically (no rows lost to committed buckets)
+    m2 = enc.encode_table(df, out, num_buckets=8, cluster_by="warc_ts",
+                          detect_skew=False)
+    assert m2["committed_buckets"] == m["committed_buckets"]
+
+
+def test_range_bucket_for_key_mirrors_salted_assignment(spark):
+    """cluster==key heavy values: the driver mirror must compute the
+    SAME salted bucket the Spark expression assigns (the salt input is
+    the key itself, so the bucket is exact — no probe fan-out)."""
+    from kmers_spark import sparkhash
+
+    boundaries = ["b", "m", "m", "m", "t"]  # "m" heavy: slots 1..3
+    heavy = partitioning.heavy_boundary_values(boundaries)
+    assert heavy == {"m": (2, 3)}
+    sdf = spark.createDataFrame(
+        [("a",), ("m",), ("t",), ("z",)], "k string"
+    )
+    got = {r["k"]: r["bucket"] for r in partitioning.with_bucket_range(
+        sdf, "k", "string", boundaries, key="k").collect()}
+    # non-heavy values: plain bisect rule
+    assert got["a"] == 0 and got["t"] == 5 and got["z"] == 5
+    # heavy value: salted into [2, 4], matching the driver mirror
+    want = 2 + sparkhash.pmod(sparkhash.xxhash64("m"), 3)
+    assert got["m"] == want
+    assert partitioning.range_bucket_for_key("m", boundaries, "string") == want
+    assert 2 <= want <= 4
+    # non-heavy probes route through the plain rule
+    assert partitioning.range_bucket_for_key("a", boundaries, "string") == 0
