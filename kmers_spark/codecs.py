@@ -88,9 +88,13 @@ STRING_CODECS = ("plain", "dict", "dict_rle", "fsst", "words", "prefix")
 # fsst_seg (shared symbol table + segmented code streams) measured at
 # 200k pages rows (BENCH/ROUND4.md): vs seg:fsst it compresses slightly
 # better (url 0.2259 vs 0.2274, html 0.0459 vs 0.0463) and
-# selective-decodes ~1.7x faster on url, but encodes 3-5x slower (the
-# whole-stream merge rounds seg:fsst's per-segment training avoids);
-# vs whole-block fsst it selective-decodes 4-19x faster at +1-8% ratio.
+# selective-decodes ~1.7x faster on url; encode was 3-5x slower until
+# sample-learned merge rounds + cache-chunked apply (kernels/fsst.py
+# LEARN_MAX_BYTES/APPLY_CHUNK_BYTES) brought it within ~1.3x of
+# seg:fsst at a better ratio (23 MB fixture: 7.0s vs 5.3s, 0.1498 vs
+# 0.1507), making fsst_seg the preferred override for segmented
+# strings; vs whole-block fsst it selective-decodes 4-19x faster at
+# +1-8% ratio.
 SEGMENTED_CODECS = ("words_seg", "fsst_seg")  # + any "seg:<inner>" wrapper name
 INT_CODECS = ("plain", "for_bitpack", "dict_rle_int", "rle_int", "sortdelta")
 FLOAT_CODECS = ("plain", "dec_scale", "xor_float")
