@@ -177,9 +177,14 @@ def main():
         CACHE = REPO / ".bench_cache" / f"pages_{PAGES_ROWS}"
     if "--buckets" in sys.argv:
         N_BUCKETS = int(sys.argv[sys.argv.index("--buckets") + 1])
+    from kmers_spark import hostcheck
+
     timings: dict[str, float] = {}
     runs_map: dict[str, list[float]] = {}
     t_suite = time.perf_counter()
+    host_start = hostcheck.probe()
+    _log(f"host {'HEALTHY' if host_start['healthy'] else 'DEGRADED'} "
+         f"first_touch={host_start['first_touch_gbps']} GB/s")
     _log(f"pages rows={PAGES_ROWS} buckets={N_BUCKETS}")
     ensure_pages()
     ensure_sfx1()
@@ -306,6 +311,7 @@ def main():
             "buckets_kept_hashed": kept_hash,
             "num_buckets": N_BUCKETS,
         },
+        "host_state": {"start": host_start, "end": hostcheck.probe()},
         "encode": {
             "pages_rows": PAGES_ROWS,
             "logical_gb": round(peak["raw"] / 1e9, 3),
