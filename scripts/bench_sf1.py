@@ -139,8 +139,10 @@ def ensure_sfx1():
 def encode_run(cores: int, keep_out: bool = False) -> dict:
     from pyspark.sql import functions as F
 
+    from kmers_spark import hostcheck
     from kmers_spark.operators import encode as enc
 
+    host_before = hostcheck.probe()
     s = _spark(cores)
     df = s.read.parquet(str(CACHE))
     out = tempfile.mkdtemp(prefix=f"sf1_enc_{cores}_")
@@ -162,7 +164,9 @@ def encode_run(cores: int, keep_out: bool = False) -> dict:
         raw = sum(r["raw"] for r in stats)
         encb = sum(r["enc"] for r in stats)
         percol = {r["column"]: round(r["enc"] / r["raw"], 4) for r in stats}
-        return {"sec": sec, "raw": raw, "enc": encb, "per_col": percol, "out": out}
+        return {"sec": sec, "raw": raw, "enc": encb, "per_col": percol,
+                "out": out,
+                "host": {"before": host_before, "after": hostcheck.probe()}}
     finally:
         s.stop()
         if not keep_out:
@@ -207,6 +211,7 @@ def main():
             "cores_hi": HI, "cores_lo": LO,
             "gbps_hi": round(gbps_peak, 4), "gbps_lo": round(gbps_lo, 4),
             "scaling_efficiency": round(gbps_peak / ((HI / LO) * gbps_lo), 3),
+            "host_lo_run": lo["host"],
         }
 
     s = _spark(CPUS)
@@ -320,6 +325,7 @@ def main():
             "ratio_overall": round(peak["enc"] / peak["raw"], 4),
             "ratio_by_column": peak["per_col"],
             "scaling_8v32": scaling,
+            "host_peak_run": peak["host"],
         },
         "oracle_sfx1": oracle_ok,
     }
