@@ -626,10 +626,29 @@ def _prefix_decode_arrow(body: bytes, pmeta: dict, typ: str, mask) -> pa.Array:
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     out = np.empty(int(offs[-1]), dtype=np.uint8)
-    for i in range(n):
-        o = offs[i]
-        if cps[i]:
-            out[o : o + cps[i]] = out[offs[i - 1] : offs[i - 1] + cps[i]]
-        if suf_lens[i]:
-            out[o + cps[i] : offs[i + 1]] = suf_buf[suf_offs[i] : suf_offs[i + 1]]
+    maxcps = int(cps.max()) if n else 0
+    prefix_total = int(cps.sum())
+    # Front coding resolves without row order: byte j of row i equals
+    # suf[k][j - cps[k]] for k = last row <= i with cps[k] <= j (row i
+    # inherits [0, cps[i]) from row i-1, recursively; valid front coding
+    # guarantees j < lens[k] at the stop row). Columnwise that k is a
+    # running maximum, so the whole decode is one suffix scatter plus
+    # maxcps accumulate/gather passes -- no per-row Python. Guard: the
+    # columnwise pass costs O(maxcps*n); a lone deep prefix (maxcps*n >>
+    # prefix bytes) degenerates it, so fall back to the sequential copy.
+    if suf_buf.size:
+        dst = np.repeat(offs[:-1] + cps, suf_lens) + _intra(suf_lens)
+        out[dst] = suf_buf
+    if maxcps and maxcps * n <= 64 * prefix_total:
+        idx = np.arange(n, dtype=np.int64)
+        for j in range(maxcps):
+            need = cps > j
+            src = np.maximum.accumulate(np.where(cps <= j, idx, -1))
+            rows = idx[need]
+            k = src[rows]
+            out[offs[rows] + j] = suf_buf[suf_offs[k] + (j - cps[k])]
+    elif maxcps:
+        for i in range(1, n):
+            if cps[i]:
+                out[offs[i] : offs[i] + cps[i]] = out[offs[i - 1] : offs[i - 1] + cps[i]]
     return _bytes_array(atype, n, offs.astype(np.int32), out, mask)

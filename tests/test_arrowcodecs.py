@@ -177,3 +177,40 @@ class TestArrowDecode:
             p, m = arrowcodecs.encode_column_arrow(arr, codec, "string")
             out = arrowcodecs.decode_column_arrow(p, m)
             assert out.to_pylist() == vals, codec
+
+
+class TestPrefixDecodePaths:
+    """The columnwise vectorized front-coding decode and the sequential
+    fallback (arrowcodecs._prefix_decode_arrow) must agree byte-for-byte;
+    the deep-prefix guard picks the fallback without changing output."""
+
+    @staticmethod
+    def _roundtrip(vals):
+        arr = pa.array(vals, type=pa.string())
+        p, m = arrowcodecs.encode_column_arrow(arr, "prefix", "string")
+        out = arrowcodecs.decode_column_arrow(p, m)
+        assert out.to_pylist() == vals
+
+    def test_sorted_urls_columnwise_path(self):
+        rng = np.random.default_rng(11)
+        vals = sorted(
+            f"https://site{int(rng.integers(0, 20))}.example.com/p/{i}.html"
+            for i in range(3000)
+        )
+        self._roundtrip(vals)
+
+    def test_deep_lone_prefix_fallback_path(self):
+        # one 5000-byte shared prefix among tiny rows: maxcps*n >> prefix
+        # bytes, so the guard must route to the sequential copy
+        vals = ["x" * 5000, "x" * 5000 + "y"] + ["z"] * 200
+        self._roundtrip(vals)
+
+    def test_empty_and_degenerate(self):
+        for vals in ([], [""], ["", "", ""], ["a"], ["abc", "abc", "abc"],
+                     ["ab", "a", "abc", "abd", ""]):
+            self._roundtrip(vals)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(alphabet="abq/", max_size=40), max_size=80))
+    def test_property_prefix_roundtrip(self, vals):
+        self._roundtrip(vals)
