@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -177,6 +178,14 @@ def main():
     gbps_hi = hi["raw"] / hi["sec"] / 1e9
     gbps_lo = lo["raw"] / lo["sec"] / 1e9
     eff = gbps_hi / ((HI_CPUS / LO_CPUS) * gbps_lo)
+    # min-of-interleaved-runs can pair a lucky hi with an unlucky lo and
+    # report a physically impossible >1 efficiency (r4: 1.367). The
+    # median pair is burst-resistant in the other direction, so report
+    # both: `scaling_efficiency` stays the gate number (min pair),
+    # `scaling_efficiency_median` is the plausibility check.
+    med_hi = statistics.median(hi_secs)
+    med_lo = statistics.median(lo_secs)
+    eff_median = (med_lo / med_hi) / (HI_CPUS / LO_CPUS)
 
     # --- decode + query timings at the high level ---
     s = _spark(CPUS)
@@ -368,6 +377,7 @@ def main():
                     "cores_hi": HI_CPUS,
                     "cores_lo": LO_CPUS,
                     "scaling_efficiency": round(eff, 3),
+                    "scaling_efficiency_median": round(eff_median, 3),
                     "hi_runs_sec": hi["secs"],
                     "lo_runs_sec": lo["secs"],
                     "gbps_16": round(mid["raw"] / mid["sec"] / 1e9, 4) if mid else None,
