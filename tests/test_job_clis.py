@@ -117,3 +117,38 @@ def test_stream_decode_catchup_then_incremental(cli_snapshot, spark):
         "--sink", sink, "--checkpoint", ckpt, "--filter", "lang:=:en",
     )
     assert code == 0 and json.loads(out)["decoded_rows_total"] == total
+
+
+def test_delete_job(cli_snapshot, spark, tmp_path):
+    """jobs/delete.py on a COPY of the shared snapshot (delete mutates):
+    parquet doomed-set path, then the --key literal path, then the
+    arg-validation error."""
+    import shutil
+
+    src, snap, _base = cli_snapshot
+    mine = str(tmp_path / "snap_copy")
+    shutil.copytree(snap, mine)
+    doomed_pq = str(tmp_path / "doomed")
+    batch = spark.read.parquet(src)
+    batch.select("url").distinct().limit(40).write.parquet(doomed_pq)
+    doomed = spark.read.parquet(doomed_pq)  # pin the materialized set
+
+    code, out = run_job("jobs/delete.py", "--snapshot", mine,
+                        "--keys-parquet", doomed_pq)
+    assert code == 0, out
+    d = json.loads(out)
+    assert d["rows_deleted"] == 40 and d["buckets_rewritten"] >= 1
+
+    one = doomed.limit(1).collect()[0]["url"]  # already gone: no-op
+    code, out = run_job("jobs/delete.py", "--snapshot", mine, "--key", one)
+    assert code == 0 and json.loads(out)["rows_deleted"] == 0
+
+    survivor = (batch.join(doomed.withColumnRenamed("url", "u"),
+                           batch.url == "u", "left_anti")
+                .select("url").limit(1).collect()[0]["url"])
+    code, out = run_job("jobs/delete.py", "--snapshot", mine,
+                        "--key", survivor)
+    assert code == 0 and json.loads(out)["rows_deleted"] == 1
+
+    code, out = run_job("jobs/delete.py", "--snapshot", mine)
+    assert code != 0
