@@ -283,7 +283,33 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trained once, registered in the manifest) — same oracle as
         # the live-trained ann_ivf_lloyd_topk
         "ann_store_ivf_topk": ann.store_ivf_topk,
+        "delete_prune_roundtrip": _delete_prune_roundtrip,
     }
+
+
+def _delete_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup->prune mutation surface: encode documents into a block
+    store, DELETE every doc_id divisible by 7 (delete_keys — merge-on-
+    write, only waves holding affected buckets rewrite), decode the
+    survivors. Oracle: the same table minus the doomed predicate.
+    Idempotent per sf_dir: encode resume no-ops on the complete store
+    and re-deleting already-deleted keys deletes nothing."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kmers_spark.operators.decode import decode_table
+    from kmers_spark.operators.delete import delete_keys
+    from kmers_spark.operators.encode import encode_table
+
+    out = ("/tmp/kmers_delete_store_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    encode_table(df, out, key="doc_id", num_buckets=8, detect_skew=False,
+                 commit_every=4)
+    doomed = df.select("doc_id").filter(F.col("doc_id") % 7 == 0)
+    delete_keys(spark, out, doomed)
+    return decode_table(spark, out)
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -770,6 +796,8 @@ def extra_oracle_sql() -> dict[str, str]:
         # persisted-index IVF decodes the same embeddings bit-identical
         # and trains the same deterministic k-means: same oracle
         "ann_store_ivf_topk": oracle_sql()["ann_ivf_lloyd_topk"],
+        "delete_prune_roundtrip":
+            "SELECT * FROM documents WHERE doc_id % 7 <> 0",
         "codec_plain_doubles": "SELECT event_id, value FROM events",
         "minhash_signatures": (
             f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}) "
