@@ -284,7 +284,37 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the live-trained ann_ivf_lloyd_topk
         "ann_store_ivf_topk": ann.store_ivf_topk,
         "delete_prune_roundtrip": _delete_prune_roundtrip,
+        "upsert_merge_roundtrip": _upsert_merge_roundtrip,
     }
+
+
+def _upsert_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-write mutation surface: encode documents, UPSERT a
+    deterministic re-crawl batch (doc_id % 10 == 0 rows with mutated
+    text and n_chars), decode the merged table. Oracle: anti-join +
+    union of the same batch. Idempotent per sf_dir: re-upserting an
+    identical batch replaces identical rows with themselves."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kmers_spark.operators.decode import decode_table
+    from kmers_spark.operators.encode import encode_table
+    from kmers_spark.operators.upsert import upsert_table
+
+    out = ("/tmp/kmers_upsert_store_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    encode_table(df, out, key="doc_id", num_buckets=8, detect_skew=False,
+                 commit_every=4)
+    batch = df.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("RECRAWL:"), F.col("text")).alias("text"),
+        "lang", "source",
+        (F.col("n_chars") + F.lit(1000)).alias("n_chars"),
+    )
+    upsert_table(spark, out, batch)
+    return decode_table(spark, out)
 
 
 def _delete_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,6 +828,13 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_store_ivf_topk": oracle_sql()["ann_ivf_lloyd_topk"],
         "delete_prune_roundtrip":
             "SELECT * FROM documents WHERE doc_id % 7 <> 0",
+        "upsert_merge_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents "
+            "WHERE doc_id % 10 <> 0 "
+            "UNION ALL "
+            "SELECT doc_id, 'RECRAWL:' || text AS text, lang, source, "
+            "n_chars + 1000 AS n_chars FROM documents WHERE doc_id % 10 = 0"
+        ),
         "codec_plain_doubles": "SELECT event_id, value FROM events",
         "minhash_signatures": (
             f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}) "

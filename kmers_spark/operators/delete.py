@@ -221,6 +221,46 @@ def _make_delete_fn_pandas(schema: dict[str, str], key: str,
     return fn
 
 
+def collect_fresh_stats(spark: SparkSession, new_dir: str, affected: list,
+                        m: dict, key_col: str):
+    """Per-bucket block stats + key ranges of the freshly written wave,
+    restricted to the rewritten buckets (verbatim buckets keep their
+    committed stats) — the same bounded collect encode_table does:
+    a handful of scalars per (bucket, column), never payloads."""
+    written = (
+        spark.read.schema(BLOCK_SCHEMA).parquet(new_dir)
+        .filter(F.col("bucket").isin(list(affected)))
+        .select(
+            "bucket", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes",
+            F.when(F.col("column") == key_col, F.col("meta")).alias("key_meta"),
+            F.get_json_object(F.col("meta"), "$.zmin").alias("zmin"),
+            F.get_json_object(F.col("meta"), "$.zmax").alias("zmax"),
+        )
+        .collect()
+    )
+    fresh: dict[int, list[dict]] = {b: [] for b in affected}
+    key_ranges: dict[int, list] = {}
+    for r in written:
+        st = {
+            "column": r["column"], "codec": r["codec"], "n_rows": r["n_rows"],
+            "raw_nbytes": r["raw_nbytes"], "enc_nbytes": r["enc_nbytes"],
+        }
+        if r["zmin"] is not None and r["zmax"] is not None:
+            typ = m["schema"][r["column"]]
+            if typ in ("int64", "timestamp", "timestamp_ntz"):
+                st["zmin"], st["zmax"] = int(r["zmin"]), int(r["zmax"])
+            elif typ == "double":
+                st["zmin"], st["zmax"] = float(r["zmin"]), float(r["zmax"])
+            else:
+                st["zmin"], st["zmax"] = r["zmin"], r["zmax"]
+        fresh.setdefault(int(r["bucket"]), []).append(st)
+        if r["key_meta"] is not None:
+            km = json.loads(r["key_meta"])
+            if "key_min" in km:
+                key_ranges[int(r["bucket"])] = [km["key_min"], km["key_max"]]
+    return fresh, key_ranges
+
+
 def _candidate_pairs(spark: SparkSession, kdf: DataFrame, m: dict,
                      key_col: str, ktype: str) -> DataFrame:
     """(bucket, key) candidate pairs under the snapshot's bucket rule —
@@ -380,39 +420,7 @@ def delete_keys(spark: SparkSession, out_dir: str,
         .parquet(new_dir)
     )
 
-    # fresh stats for the REWRITTEN buckets only (verbatim buckets keep
-    # their committed stats) — same bounded collect encode_table does
-    written = (
-        spark.read.schema(BLOCK_SCHEMA).parquet(new_dir)
-        .filter(F.col("bucket").isin(affected))
-        .select(
-            "bucket", "column", "codec", "n_rows", "raw_nbytes", "enc_nbytes",
-            F.when(F.col("column") == key_col, F.col("meta")).alias("key_meta"),
-            F.get_json_object(F.col("meta"), "$.zmin").alias("zmin"),
-            F.get_json_object(F.col("meta"), "$.zmax").alias("zmax"),
-        )
-        .collect()
-    )
-    fresh: dict[int, list[dict]] = {b: [] for b in affected}
-    key_ranges: dict[int, list] = {}
-    for r in written:
-        st = {
-            "column": r["column"], "codec": r["codec"], "n_rows": r["n_rows"],
-            "raw_nbytes": r["raw_nbytes"], "enc_nbytes": r["enc_nbytes"],
-        }
-        if r["zmin"] is not None and r["zmax"] is not None:
-            typ = m["schema"][r["column"]]
-            if typ in ("int64", "timestamp", "timestamp_ntz"):
-                st["zmin"], st["zmax"] = int(r["zmin"]), int(r["zmax"])
-            elif typ == "double":
-                st["zmin"], st["zmax"] = float(r["zmin"]), float(r["zmax"])
-            else:
-                st["zmin"], st["zmax"] = r["zmin"], r["zmax"]
-        fresh.setdefault(int(r["bucket"]), []).append(st)
-        if r["key_meta"] is not None:
-            km = json.loads(r["key_meta"])
-            if "key_min" in km:
-                key_ranges[int(r["bucket"])] = [km["key_min"], km["key_max"]]
+    fresh, key_ranges = collect_fresh_stats(spark, new_dir, affected, m, key_col)
     rows_after = sum(_rows_of(fresh[b]) for b in affected)
 
     retired_set = set(retired)

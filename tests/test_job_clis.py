@@ -152,3 +152,29 @@ def test_delete_job(cli_snapshot, spark, tmp_path):
 
     code, out = run_job("jobs/delete.py", "--snapshot", mine)
     assert code != 0
+
+
+def test_upsert_job(cli_snapshot, spark, tmp_path):
+    """jobs/upsert.py merges a re-crawl batch parquet into a COPY of
+    the shared snapshot."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src, snap, _base = cli_snapshot
+    mine = str(tmp_path / "snap_copy")
+    shutil.copytree(snap, mine)
+    batch_pq = str(tmp_path / "batch")
+    batch = spark.read.parquet(src).limit(25).withColumn(
+        "text", F.concat(F.lit("V2:"), F.col("text")))
+    batch.write.parquet(batch_pq)
+
+    code, out = run_job("jobs/upsert.py", "--snapshot", mine,
+                        "--input", batch_pq)
+    assert code == 0, out
+    d = json.loads(out)
+    assert d["rows_inserted"] == 25 and d["rows_replaced"] == 25
+    from kmers_spark.operators.decode import decode_table
+    got = decode_table(spark, mine)
+    assert got.count() == 1500
+    assert got.filter(got.text.startswith("V2:")).count() == 25
