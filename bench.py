@@ -317,6 +317,32 @@ def main():
             s, peak["out"], ["zzz://absent.invalid/x"]).count())
         assert dec.lookup_keys(
             s, peak["out"], ["zzz://absent.invalid/x"]).count() == 0
+
+        # mutation surface on the soon-to-be-discarded hashed store:
+        # DELETE 1% of keys, then UPSERT a 1% re-crawl batch. Each is
+        # single-shot BY DESIGN (a mutation changes the store, so a
+        # second identical run measures different work — and a repeat
+        # delete of the same keys is a no-op that would fake a fast
+        # min). A uniform 1% key sample touches ~every bucket, so these
+        # time the worst-case full-rewrite shape; key-local mutations
+        # only get cheaper (wave pruning, tests/test_delete.py).
+        if not throttled:  # suite-budget gate, same as the 16-core point
+            from kmers_spark.operators.delete import delete_keys
+            from kmers_spark.operators.upsert import upsert_table
+
+            base_df = s.read.parquet(str(CACHE))
+            doomed = base_df.select("url").distinct().sample(0.01, seed=7)
+            mres = {}
+            timed("delete_keys_1pct",
+                  lambda: mres.update(d=delete_keys(s, peak["out"], doomed)),
+                  n=1)
+            assert mres["d"]["rows_deleted"] > 0
+            batch = base_df.sample(0.01, seed=11).withColumn(
+                "text", F.concat(F.lit("RECRAWL:"), F.col("text")))
+            timed("upsert_1pct",
+                  lambda: mres.update(u=upsert_table(s, peak["out"], batch)),
+                  n=1)
+            assert mres["u"]["rows_inserted"] > 0
         shutil.rmtree(peak["out"], ignore_errors=True)
 
         import __spark_entry__ as entrymod
