@@ -285,7 +285,36 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_store_ivf_topk": ann.store_ivf_topk,
         "delete_prune_roundtrip": _delete_prune_roundtrip,
         "upsert_merge_roundtrip": _upsert_merge_roundtrip,
+        "agg_store_range": _agg_store_range,
     }
+
+
+def _agg_store_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate pushdown (operators/agg.py): encode
+    documents range-clustered by n_chars, then answer count(*)/
+    count(text)/min/max/sum(n_chars) under an n_chars range predicate
+    from the manifest's block stats (n_rows, zone bounds, znull, zsum)
+    — interior buckets are counted without touching payload bytes;
+    only the two boundary-straddling buckets decode, and only the
+    columns the predicate needs. Oracle: the plain SQL aggregate.
+    Idempotent per sf_dir: encode resume no-ops on the complete
+    store and the aggregate mutates nothing."""
+    import hashlib
+
+    from kmers_spark.operators.agg import agg_table_df
+    from kmers_spark.operators.encode import encode_table
+
+    out = ("/tmp/kmers_agg_store_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    encode_table(df, out, key="doc_id", num_buckets=8, detect_skew=False,
+                 cluster_by="n_chars")
+    return agg_table_df(
+        spark, out,
+        [("count", "*"), ("count", "text"), ("min", "n_chars"),
+         ("max", "n_chars"), ("sum", "n_chars")],
+        filters=[("n_chars", ">=", 100), ("n_chars", "<", 300)],
+    )
 
 
 def _upsert_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,6 +863,12 @@ def extra_oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT doc_id, 'RECRAWL:' || text AS text, lang, source, "
             "n_chars + 1000 AS n_chars FROM documents WHERE doc_id % 10 = 0"
+        ),
+        "agg_store_range": (
+            "SELECT count(*) AS count_star, count(text) AS count_text, "
+            "min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_n_chars "
+            "FROM documents WHERE n_chars >= 100 AND n_chars < 300"
         ),
         "codec_plain_doubles": "SELECT event_id, value FROM events",
         "minhash_signatures": (

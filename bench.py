@@ -294,6 +294,18 @@ def main():
         timings["scan_ts_range_hashed"] = min(runs_h)
         query_runs["scan_ts_range_clustered"] = runs_c
         query_runs["scan_ts_range_hashed"] = runs_h
+        # metadata-only aggregate on the same window: interior buckets
+        # answer from manifest stats, only the 1-2 straddlers decode —
+        # vs the scan above, which decodes every surviving bucket
+        from kmers_spark.operators.agg import agg_table
+
+        ares = {}
+        timed("agg_count_ts_range_meta", lambda: ares.update(r=agg_table(
+            s, rng_out,
+            [("count", "*"), ("min", "warc_ts"), ("max", "warc_ts")],
+            filters=ts_filters)))
+        assert ares["r"]["count_star"] > 0
+
         m_rng, m_hash = mf.load(rng_out), mf.load(peak["out"])
         norm = zonemap.normalize_filters(ts_filters, m_rng["schema"])
         kept_rng = len(zonemap.prune_buckets(

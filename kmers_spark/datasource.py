@@ -653,6 +653,10 @@ try:  # writer API: Spark 4.0+
                 }
                 if "zmin" in meta:
                     s["zmin"], s["zmax"] = meta["zmin"], meta["zmax"]
+                if "znull" in meta:
+                    s["znull"] = meta["znull"]
+                if "zsum" in meta:
+                    s["zsum"] = meta["zsum"]
                 if "key_min" in meta:
                     msg.key_ranges[int(b)] = [meta["key_min"], meta["key_max"]]
                 stats.append(s)

@@ -1,0 +1,322 @@
+"""Metadata-only aggregate pushdown over the compressed store.
+
+`agg_table` answers count/min/max/sum (the Iceberg/Spark
+metadata-only-aggregate set, plus sum) from the manifest's per-block
+stats — n_rows, zone bounds, null counts (znull), overflow-checked int
+sums (zsum) — decoding payload bytes ONLY where stats cannot prove the
+answer:
+
+  * no filters: count(*) / count(col) / sum(int64 col) / min / max over
+    exact-bounds types (int64, timestamps, finite doubles) run with
+    ZERO Spark jobs — a pure driver-side walk of the manifest stats,
+    whatever the table's size. At 10^12 rows this is the difference
+    between a metadata read and a 100 TB scan.
+  * range filters: buckets whose bounds exclude the predicate are
+    pruned (zonemap.prune_buckets, as scans do); buckets whose bounds
+    prove EVERY row matches (zonemap.must_match + znull == 0) are
+    counted from stats; only the boundary-straddling buckets decode —
+    and only the columns the aggregate + filters actually need.
+  * string min/max (unfiltered): zone bounds are width-truncated, so
+    the exact extreme is found by decoding only the CANDIDATE buckets —
+    truncation is monotone w.r.t. lexicographic order, so the block
+    holding the true minimum always carries the globally minimal zmin
+    (dually for max); every other bucket is skipped.
+  * anything stats can't prove (binary columns, pre-znull snapshots,
+    filtered string extremes, non-finite doubles) falls back to a
+    bucket-restricted decode — never a full scan unless every bucket
+    genuinely straddles.
+
+The same wave/generation stats streams and mutations maintain
+(encode commit, writeStream sink, delete/upsert rewrites) feed this —
+a mutated store's aggregates stay exact because merge-on-write
+regenerates block stats for rewritten buckets.
+
+Reference parity note: the reference engine (COMBINE-lab/kmers) has no
+aggregate surface — this is engine-native functionality in the style
+of Iceberg's metadata aggregates / Parquet column-index stats reads.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import manifest, zonemap
+from .decode import _filters_expr, decode_colocated, decode_table
+
+_AGG_FNS = ("count", "min", "max", "sum")
+_EXACT_BOUND_TYPES = ("int64", "timestamp", "timestamp_ntz", "double")
+
+
+def _epoch_us_to_dt(v: int) -> datetime.datetime:
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=v)
+
+
+def _stats_value_to_py(v: Any, typ: str) -> Any:
+    """Manifest bound -> the python value Spark's collect would return
+    (timestamps ride as epoch-us ints in stats)."""
+    if typ in ("timestamp", "timestamp_ntz"):
+        return _epoch_us_to_dt(int(v))
+    return v
+
+
+def _entries(stats: list[dict], col: str) -> list[dict]:
+    return [s for s in stats if s["column"] == col]
+
+
+def _bucket_rows(stats: list[dict], key: str) -> int:
+    """Total rows of a bucket = the key column's n_rows across
+    generations (the key exists in every generation; evolved columns
+    may not)."""
+    return sum(int(s.get("n_rows", 0)) for s in _entries(stats, key))
+
+
+def _bucket_contained(stats: list[dict], key: str,
+                      norm: list[tuple], schema: dict[str, str]) -> bool:
+    """Can stats prove EVERY row of this bucket matches all filters?
+    Requires, per filter column: bounds present and must_match for
+    every generation, zero nulls, and full row coverage (an evolved
+    column missing from older generations leaves null rows that match
+    no predicate)."""
+    rows = _bucket_rows(stats, key)
+    for col, op, bv, _orig in norm:
+        ents = _entries(stats, col)
+        if sum(int(s.get("n_rows", 0)) for s in ents) != rows:
+            return False
+        for s in ents:
+            if s.get("znull") is None or s["znull"] != 0:
+                return False
+            rng = (s["zmin"], s["zmax"]) if "zmin" in s and "zmax" in s \
+                else None
+            if not zonemap.must_match(rng, op, bv, schema[col]):
+                return False
+    return True
+
+
+def agg_table(spark: SparkSession, out_dir: str,
+              aggs: list[tuple[str, str]],
+              filters: list[tuple] | None = None,
+              version: int | None = None) -> dict[str, Any]:
+    """Exact aggregates over the store with stats-first evaluation.
+
+    `aggs` is a list of (fn, column) with fn in {"count", "min", "max",
+    "sum"}; column "*" is allowed for count. Returns {"fn_col": value}
+    ("count_star" for count(*)), with SQL semantics: count(col) skips
+    nulls, min/max skip nulls and return None on no rows, sum returns
+    None on no (non-null) rows. `filters` uses the scan_table triple
+    syntax, ANDed. `version` pins a time-travel read.
+    """
+    if not aggs:
+        raise ValueError("aggs must not be empty")
+    m, pin = (manifest.load_with_version(out_dir) if version is None
+              else (manifest.load(out_dir, version=version), version))
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    schema = manifest.ordered_schema(m)
+    key = m["key"]
+    for fn, col in aggs:
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unsupported agg fn {fn!r} (supported: {_AGG_FNS})")
+        if col == "*":
+            if fn != "count":
+                raise ValueError(f"{fn}(*) is not defined; only count(*)")
+        elif col not in schema:
+            raise KeyError(f"column {col!r} not in snapshot schema")
+        if fn == "sum" and col != "*" and schema[col] not in (
+            "int64", "double"
+        ):
+            raise TypeError(f"sum over {schema[col]} column {col!r}")
+    norm = zonemap.normalize_filters(filters or [], schema)
+    blocks = manifest.block_stats(out_dir, m)
+    committed = list(m.get("committed_buckets", []))
+    surviving = zonemap.prune_buckets(m, norm, blocks=blocks) if norm \
+        else committed
+    contained, straddling = [], []
+    for b in surviving:
+        bs = blocks.get(str(b), [])
+        if not norm or _bucket_contained(bs, key, norm, schema):
+            contained.append(b)
+        else:
+            straddling.append(b)
+
+    # Per-agg stats pass: accumulate what stats can prove; route the
+    # rest to decode. results[i] is the stats-side partial; decode_of[i]
+    # the bucket set whose rows must be decoded for agg i.
+    results: list[Any] = [None] * len(aggs)
+    decode_of: list[set[int]] = [set(straddling) for _ in aggs]
+
+    for i, (fn, col) in enumerate(aggs):
+        typ = schema.get(col) if col != "*" else None
+        if fn == "count" and col == "*":
+            results[i] = sum(
+                _bucket_rows(blocks.get(str(b), []), key) for b in contained
+            )
+            continue
+        if fn == "count":
+            # bucket granularity: a bucket with ANY pre-znull entry
+            # decodes whole (mixing its stats with a bucket-level
+            # decoded count would double-count)
+            total = 0
+            for b in contained:
+                ents = _entries(blocks.get(str(b), []), col)
+                if any(s.get("znull") is None for s in ents):
+                    decode_of[i].add(b)
+                else:
+                    total += sum(
+                        int(s["n_rows"]) - int(s["znull"]) for s in ents
+                    )
+            results[i] = total
+            continue
+        if fn == "sum":
+            total, saw = 0, False
+            for b in contained:
+                ents = _entries(blocks.get(str(b), []), col)
+                ok = all(
+                    "zsum" in s or s.get("znull") == s.get("n_rows")
+                    for s in ents
+                )
+                if not ok:
+                    decode_of[i].add(b)  # no zsum (double / overflow
+                    # risk / pre-zsum snapshot): decode to stay exact
+                    continue
+                for s in ents:
+                    if "zsum" in s:
+                        total += int(s["zsum"])
+                        saw = True
+            results[i] = total if saw else None
+            continue
+        # min / max (idempotent combines: a bucket contributing both a
+        # stats bound and decoded rows cannot skew the result, so these
+        # stay entry-granular)
+        if typ in _EXACT_BOUND_TYPES:
+            best = None
+            for b in contained:
+                for s in _entries(blocks.get(str(b), []), col):
+                    if "zmin" in s and "zmax" in s:
+                        v = s["zmin"] if fn == "min" else s["zmax"]
+                        best = v if best is None else (
+                            min(best, v) if fn == "min" else max(best, v)
+                        )
+                    elif s.get("znull") == s.get("n_rows"):
+                        pass
+                    else:
+                        decode_of[i].add(b)
+            results[i] = None if best is None \
+                else _stats_value_to_py(best, typ)
+        elif typ == "string" and not norm:
+            # candidate pruning: truncation is order-monotone, so the
+            # bucket holding the true extreme always shows the extreme
+            # truncated bound; everything else is skipped
+            extreme = None
+            unbounded: set[int] = set()
+            for b in contained:
+                for s in _entries(blocks.get(str(b), []), col):
+                    if "zmin" in s and "zmax" in s:
+                        v = s["zmin"] if fn == "min" else s["zmax"]
+                        extreme = v if extreme is None else (
+                            min(extreme, v) if fn == "min"
+                            else max(extreme, v)
+                        )
+                    elif s.get("znull") != s.get("n_rows"):
+                        unbounded.add(b)  # live rows, no bounds
+                        # (truncate_max overflow): must inspect
+            for b in contained:
+                if b in unbounded:
+                    decode_of[i].add(b)
+                    continue
+                for s in _entries(blocks.get(str(b), []), col):
+                    if "zmin" in s and (
+                        s["zmin"] if fn == "min" else s["zmax"]
+                    ) == extreme:
+                        decode_of[i].add(b)
+                        break
+            results[i] = None
+        else:
+            # filtered string extremes, binary columns: stats can't
+            # prove the exact value — decode every surviving bucket's
+            # needed columns (still zone-pruned, never a full scan
+            # unless every bucket may match)
+            decode_of[i].update(contained)
+            results[i] = None
+
+    # Decode pass: group aggs by identical bucket subsets so each
+    # subset costs ONE Spark job decoding the union of needed columns.
+    fcols = [c for c, _op, _bv, _v in norm]
+    groups: dict[frozenset, list[int]] = {}
+    for i in range(len(aggs)):
+        if decode_of[i]:
+            groups.setdefault(frozenset(decode_of[i]), []).append(i)
+    for bucket_set, idxs in groups.items():
+        need = sorted({aggs[i][1] for i in idxs if aggs[i][1] != "*"}
+                      | set(fcols)) or [key]
+        bsel = sorted(bucket_set)
+        if version is None:
+            df = decode_colocated(spark, out_dir, columns=need,
+                                  filters=filters, buckets=bsel, snapshot=m)
+        else:
+            df = decode_table(spark, out_dir, buckets=bsel, columns=need,
+                              version=pin or None, filters=filters)
+        if norm:
+            df = df.filter(_filters_expr(norm, schema))
+        exprs = []
+        for i in idxs:
+            fn, col = aggs[i]
+            if fn == "count" and col == "*":
+                exprs.append(F.count(F.lit(1)).alias(f"a{i}"))
+            else:
+                exprs.append(getattr(F, fn)(F.col(col)).alias(f"a{i}"))
+        row = df.agg(*exprs).collect()[0]
+        for i in idxs:
+            fn, col = aggs[i]
+            v = row[f"a{i}"]
+            if fn == "count":
+                results[i] = (results[i] or 0) + int(v)
+            elif v is None:
+                pass
+            elif fn == "sum":
+                results[i] = v if results[i] is None else results[i] + v
+            elif results[i] is None:
+                results[i] = v
+            else:
+                results[i] = min(results[i], v) if fn == "min" \
+                    else max(results[i], v)
+
+    out = {}
+    for i, (fn, col) in enumerate(aggs):
+        name = "count_star" if col == "*" else f"{fn}_{col}"
+        out[name] = results[i]
+    return out
+
+
+def agg_table_df(spark: SparkSession, out_dir: str,
+                 aggs: list[tuple[str, str]],
+                 filters: list[tuple] | None = None,
+                 version: int | None = None) -> DataFrame:
+    """One-row DataFrame wrapper over agg_table (column per agg, named
+    fn_col / count_star) — the queries()/oracle surface."""
+    m = manifest.load(out_dir, version=version)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    schema = manifest.ordered_schema(m)
+    res = agg_table(spark, out_dir, aggs, filters=filters, version=version)
+    _SPARK_T = {"int64": "bigint", "double": "double", "string": "string",
+                "binary": "binary", "timestamp": "timestamp",
+                "timestamp_ntz": "timestamp_ntz"}
+    fields = []
+    for fn, col in aggs:
+        name = "count_star" if col == "*" else f"{fn}_{col}"
+        if fn == "count":
+            t = "bigint"
+        elif fn == "sum":
+            t = "bigint" if schema[col] == "int64" else "double"
+        else:
+            t = _SPARK_T[schema[col]]
+        fields.append(f"`{name}` {t}")
+    return spark.createDataFrame(
+        [tuple(res["count_star" if c == "*" else f"{f}_{c}"]
+               for f, c in aggs)],
+        ", ".join(fields),
+    )

@@ -235,6 +235,8 @@ def collect_fresh_stats(spark: SparkSession, new_dir: str, affected: list,
             F.when(F.col("column") == key_col, F.col("meta")).alias("key_meta"),
             F.get_json_object(F.col("meta"), "$.zmin").alias("zmin"),
             F.get_json_object(F.col("meta"), "$.zmax").alias("zmax"),
+            F.get_json_object(F.col("meta"), "$.znull").alias("znull"),
+            F.get_json_object(F.col("meta"), "$.zsum").alias("zsum"),
         )
         .collect()
     )
@@ -253,6 +255,10 @@ def collect_fresh_stats(spark: SparkSession, new_dir: str, affected: list,
                 st["zmin"], st["zmax"] = float(r["zmin"]), float(r["zmax"])
             else:
                 st["zmin"], st["zmax"] = r["zmin"], r["zmax"]
+        if r["znull"] is not None:
+            st["znull"] = int(r["znull"])
+        if r["zsum"] is not None:
+            st["zsum"] = int(r["zsum"])
         fresh.setdefault(int(r["bucket"]), []).append(st)
         if r["key_meta"] is not None:
             km = json.loads(r["key_meta"])

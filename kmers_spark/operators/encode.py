@@ -89,6 +89,16 @@ def make_encode_fn(schema: dict[str, str], key: str,
                 # lands in the manifest at commit; scan_table prunes
                 # buckets whose bounds exclude a filter, driver-side
                 meta = {**meta, "zmin": zb[0], "zmax": zb[1]}
+            # null count + (overflow-safe) int sum: metadata-only
+            # aggregates (agg.agg_table) answer count(col)/sum(col)
+            # from these without touching the payload
+            meta = {**meta, "znull": int(s.isna().sum())}
+            if typ == "int64" and zb is not None:
+                nn = len(s) - meta["znull"]
+                if nn and max(abs(zb[0]), abs(zb[1])) * nn < 2**62:
+                    meta = {**meta, "zsum": int(
+                        s.dropna().to_numpy(dtype="int64").sum()
+                    )}
             if col == key and len(s) and typ in ("string", "int64"):
                 # Iceberg file-stats analogue: the block's key range rides
                 # in the key column's meta and lands in the manifest at
@@ -162,6 +172,13 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
             zb = zonemap.bounds_arrow(arr, typ)
             if zb is not None:
                 meta = {**meta, "zmin": zb[0], "zmax": zb[1]}
+            # null count + (overflow-safe) int sum for metadata-only
+            # aggregates — see make_encode_fn
+            meta = {**meta, "znull": arr.null_count}
+            if typ == "int64" and zb is not None:
+                nn = len(arr) - arr.null_count
+                if nn and max(abs(zb[0]), abs(zb[1])) * nn < 2**62:
+                    meta = {**meta, "zsum": int(pc.sum(arr).as_py())}
             if col == key and len(arr) and typ in ("string", "int64"):
                 # key range for manifest pruning: non-null min/max
                 # (order-independent — sort_by may not lead with the
@@ -447,6 +464,8 @@ def encode_table(
                     F.when(F.col("column") == key, F.col("meta")).alias("key_meta"),
                     F.get_json_object(F.col("meta"), "$.zmin").alias("zmin"),
                     F.get_json_object(F.col("meta"), "$.zmax").alias("zmax"),
+                    F.get_json_object(F.col("meta"), "$.znull").alias("znull"),
+                    F.get_json_object(F.col("meta"), "$.zsum").alias("zsum"),
                 )
                 .collect()
             )
@@ -471,6 +490,10 @@ def encode_table(
                         stat["zmin"], stat["zmax"] = float(r["zmin"]), float(r["zmax"])
                     else:
                         stat["zmin"], stat["zmax"] = r["zmin"], r["zmax"]
+                if r["znull"] is not None:
+                    stat["znull"] = int(r["znull"])
+                if r["zsum"] is not None:
+                    stat["zsum"] = int(r["zsum"])
                 stats.setdefault(int(r["bucket"]), []).append(stat)
                 if r["key_meta"] is not None:
                     km = json.loads(r["key_meta"])

@@ -166,6 +166,42 @@ def may_match(rng: tuple[Any, Any] | list | None, op: str, value: Any) -> bool:
     raise ValueError(f"unsupported filter op {op!r} (supported: {OPS})")
 
 
+def must_match(rng: tuple[Any, Any] | list | None, op: str, value: Any,
+               typ: str) -> bool:
+    """Does EVERY non-null x in [lo, hi] satisfy `x op value`? The
+    containment dual of may_match: metadata-only aggregation counts a
+    whole block from its stats when this holds for all filters (and the
+    filter columns carry no nulls — NULL satisfies no predicate, so the
+    caller must check znull separately).
+
+    Sound under truncated string bounds for the inequality ops: lo is a
+    lower bound of every value and hi an upper bound, so lo >= v proves
+    all values >= v (and dually for hi). Equality needs EXACT bounds —
+    for strings that means both bounds shorter than the truncation
+    width (a width-length bound may have been cut). Missing range =
+    False (can't prove containment)."""
+    if rng is None:
+        return False
+    lo, hi = rng
+    if op in ("=", "in"):
+        if typ == "string" and (
+            len(lo) >= STR_BOUND_WIDTH or len(hi) >= STR_BOUND_WIDTH
+        ):
+            return False
+        if op == "=":
+            return lo == hi == value
+        return lo == hi and lo in value
+    if op == "<":
+        return hi < value
+    if op == "<=":
+        return hi <= value
+    if op == ">":
+        return lo > value
+    if op == ">=":
+        return lo >= value
+    raise ValueError(f"unsupported filter op {op!r} (supported: {OPS})")
+
+
 def parse_cli_filters(specs: list[str], schema: dict[str, str]) -> list[tuple]:
     """COL:OP:VALUE strings (the jobs' --filter syntax) -> (col, op,
     value) triples typed by the snapshot schema. `in` takes a

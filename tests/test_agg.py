@@ -1,0 +1,338 @@
+"""agg_table: metadata-only aggregate pushdown (operators/agg.py).
+
+The reference engine has no aggregate surface; this is engine-native
+Iceberg-style functionality: count/min/max/sum answered from manifest
+block stats (n_rows, zone bounds, znull, zsum), decoding only the
+buckets stats cannot prove — none for unfiltered exact-bounds
+aggregates, the boundary-straddling buckets for range filters, the
+candidate buckets for (truncated-bound) string extremes.
+
+Covers: exactness against Spark truth on every path, the zero-Spark-job
+guarantee for stats-only aggregates, candidate pruning for string
+extremes, contained/straddle classification on clustered stores,
+pre-znull snapshot back-compat, all-null columns, mutation and
+evolution interplay, and input validation.
+"""
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmers_spark import manifest
+from kmers_spark.operators import agg as aggmod
+from kmers_spark.operators.agg import agg_table, agg_table_df
+from kmers_spark.operators.encode import encode_table
+from kmers_spark.pages import pages_df
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, 5000, seed=23, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def hash_store(spark, pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("agg_hash") / "snap")
+    encode_table(pages, out, num_buckets=16)
+    return out
+
+
+@pytest.fixture(scope="module")
+def range_store(spark, pages, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("agg_range") / "snap")
+    encode_table(pages, out, num_buckets=16, cluster_by="warc_ts")
+    return out
+
+
+@pytest.fixture(scope="module")
+def typed(spark, tmp_path_factory):
+    """string key + int64 (with nulls) + double (with nulls) + an
+    all-null int64 column."""
+    rows = [
+        (f"k{i:04d}",
+         None if i % 7 == 0 else (i - 500) * 1000,
+         None if i % 5 == 0 else float(i) / 3.0,
+         None)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, v bigint, d double, nil bigint").cache()
+    out = str(tmp_path_factory.mktemp("agg_typed") / "snap")
+    encode_table(df, out, key="k", num_buckets=8)
+    return df, out
+
+
+def _truth(df, exprs):
+    return tuple(df.agg(*exprs).collect()[0])
+
+
+def _no_decode(monkeypatch):
+    """Fail the test if any decode path runs."""
+    def boom(*a, **k):
+        raise AssertionError("stats-only aggregate decoded payload")
+    monkeypatch.setattr(aggmod, "decode_colocated", boom)
+    monkeypatch.setattr(aggmod, "decode_table", boom)
+
+
+def _capture_buckets(monkeypatch):
+    seen = []
+    real = aggmod.decode_colocated
+
+    def spy(spark, out_dir, columns=None, filters=None, buckets=None,
+            snapshot=None):
+        seen.append(list(buckets or []))
+        return real(spark, out_dir, columns=columns, filters=filters,
+                    buckets=buckets, snapshot=snapshot)
+
+    monkeypatch.setattr(aggmod, "decode_colocated", spy)
+    return seen
+
+
+# ------------------------------------------------------------- stats-only
+
+def test_unfiltered_counts_and_ts_extremes_no_jobs(
+        spark, pages, hash_store, monkeypatch):
+    _no_decode(monkeypatch)
+    r = agg_table(spark, hash_store, [
+        ("count", "*"), ("count", "lang"),
+        ("min", "warc_ts"), ("max", "warc_ts"),
+    ])
+    c, cl, mn, mx = _truth(pages, [
+        F.count(F.lit(1)), F.count("lang"), F.min("warc_ts"),
+        F.max("warc_ts")])
+    assert r == {"count_star": c, "count_lang": cl,
+                 "min_warc_ts": mn, "max_warc_ts": mx}
+
+
+def test_unfiltered_int_sum_minmax_no_jobs(spark, typed, monkeypatch):
+    df, out = typed
+    _no_decode(monkeypatch)
+    r = agg_table(spark, out, [
+        ("sum", "v"), ("min", "v"), ("max", "v"), ("count", "v"),
+    ])
+    sv, mn, mx, cv = _truth(df, [
+        F.sum("v"), F.min("v"), F.max("v"), F.count("v")])
+    assert r == {"sum_v": sv, "min_v": mn, "max_v": mx, "count_v": cv}
+
+
+def test_all_null_column_no_jobs(spark, typed, monkeypatch):
+    df, out = typed
+    _no_decode(monkeypatch)
+    r = agg_table(spark, out, [
+        ("count", "nil"), ("min", "nil"), ("max", "nil"), ("sum", "nil")])
+    assert r == {"count_nil": 0, "min_nil": None, "max_nil": None,
+                 "sum_nil": None}
+
+
+def test_filter_excluding_everything_no_jobs(
+        spark, range_store, monkeypatch):
+    _no_decode(monkeypatch)
+    r = agg_table(spark, range_store,
+                  [("count", "*"), ("min", "warc_ts")],
+                  filters=[("warc_ts", "<", "1990-01-01T00:00:00")])
+    assert r == {"count_star": 0, "min_warc_ts": None}
+
+
+# -------------------------------------------------------- decode fallbacks
+
+def test_string_extremes_candidate_pruned(
+        spark, pages, hash_store, monkeypatch):
+    seen = _capture_buckets(monkeypatch)
+    r = agg_table(spark, hash_store, [("min", "url"), ("max", "url")])
+    t = _truth(pages, [F.min("url"), F.max("url")])
+    assert (r["min_url"], r["max_url"]) == t
+    total = len(manifest.load(hash_store)["committed_buckets"])
+    # candidate sets must genuinely prune: the extreme url bound lives
+    # in a few buckets, not all 16 (text can tie broadly on "" — url
+    # values are distinct keys)
+    assert all(0 < len(b) < total for b in seen) and seen
+
+
+def test_string_extremes_with_ties(spark, pages, hash_store):
+    # text min ties on the empty string across many buckets: the
+    # candidate set may be wide, exactness must hold regardless
+    r = agg_table(spark, hash_store, [("min", "text"), ("max", "text")])
+    t = _truth(pages, [F.min("text"), F.max("text")])
+    assert (r["min_text"], r["max_text"]) == t
+
+
+def test_double_minmax(spark, typed):
+    df, out = typed
+    r = agg_table(spark, out, [("min", "d"), ("max", "d"), ("sum", "d")])
+    mn, mx, sd = _truth(df, [F.min("d"), F.max("d"), F.sum("d")])
+    assert r["min_d"] == mn and r["max_d"] == mx
+    assert abs(r["sum_d"] - sd) < 1e-6  # decoded double sum: fp order
+
+
+def test_binary_minmax_decodes(spark, pages, hash_store):
+    r = agg_table(spark, hash_store, [("min", "html"), ("max", "html")])
+    mn, mx = _truth(pages, [F.min("html"), F.max("html")])
+    assert r["min_html"] == bytes(mn) and r["max_html"] == bytes(mx)
+
+
+# ---------------------------------------------------------- range filters
+
+def _ts_window(pages, lo_frac=3, hi_frac=6):
+    a, b = pages.agg(F.min("warc_ts"), F.max("warc_ts")).collect()[0]
+    return (a + (b - a) * lo_frac // 10, a + (b - a) * hi_frac // 10)
+
+
+def test_clustered_range_filter_partial_decode(
+        spark, pages, range_store, monkeypatch):
+    lo, hi = _ts_window(pages)
+    seen = _capture_buckets(monkeypatch)
+    filt = [("warc_ts", ">=", lo), ("warc_ts", "<", hi)]
+    r = agg_table(spark, range_store, [
+        ("count", "*"), ("min", "warc_ts"), ("max", "warc_ts"),
+        ("count", "lang")], filters=filt)
+    fdf = pages.filter((F.col("warc_ts") >= F.lit(lo)) &
+                       (F.col("warc_ts") < F.lit(hi)))
+    c, mn, mx, cl = _truth(fdf, [
+        F.count(F.lit(1)), F.min("warc_ts"), F.max("warc_ts"),
+        F.count("lang")])
+    assert r == {"count_star": c, "min_warc_ts": mn, "max_warc_ts": mx,
+                 "count_lang": cl}
+    # on a warc_ts-clustered store only the two boundary buckets
+    # straddle a contiguous range — the interior is counted from stats
+    total = len(manifest.load(range_store)["committed_buckets"])
+    assert all(len(b) <= 3 for b in seen) and len(seen) >= 1
+    assert all(len(b) < total for b in seen)
+
+
+def test_hash_store_range_filter_exact(spark, pages, hash_store):
+    lo, hi = _ts_window(pages)
+    filt = [("warc_ts", ">=", lo), ("warc_ts", "<", hi)]
+    r = agg_table(spark, hash_store,
+                  [("count", "*"), ("min", "url")], filters=filt)
+    fdf = pages.filter((F.col("warc_ts") >= F.lit(lo)) &
+                       (F.col("warc_ts") < F.lit(hi)))
+    c, mu = _truth(fdf, [F.count(F.lit(1)), F.min("url")])
+    assert r == {"count_star": c, "min_url": mu}
+
+
+def test_eq_filter_on_dict_column(spark, pages, hash_store):
+    lang = pages.select("lang").first()["lang"]
+    r = agg_table(spark, hash_store, [("count", "*")],
+                  filters=[("lang", "=", lang)])
+    assert r["count_star"] == pages.filter(F.col("lang") == lang).count()
+
+
+# ------------------------------------------------------------ back-compat
+
+def test_pre_znull_snapshot_falls_back(spark, typed, tmp_path, monkeypatch):
+    """Strip znull/zsum from a snapshot's stats (as a pre-upgrade store
+    would lack them): count(col)/sum fall back to decode, stay exact."""
+    df, out = typed
+    m, v = manifest.load_with_version(out)
+    vpath = os.path.join(out, f"{manifest.VERSION_PREFIX}{v}.json")
+    with open(vpath) as f:
+        raw = json.load(f)
+    for b, ents in raw.get("blocks", {}).items():
+        for s in ents:
+            s.pop("znull", None)
+            s.pop("zsum", None)
+    stripped = str(tmp_path / "stripped")
+    import shutil
+    shutil.copytree(out, stripped)
+    with open(os.path.join(
+            stripped, f"{manifest.VERSION_PREFIX}{v}.json"), "w") as f:
+        json.dump(raw, f)
+    r = agg_table(spark, stripped, [
+        ("count", "*"), ("count", "v"), ("sum", "v"), ("min", "v")])
+    c, cv, sv, mn = _truth(df, [
+        F.count(F.lit(1)), F.count("v"), F.sum("v"), F.min("v")])
+    # count(*) (n_rows) and min (bounds) stay stats-only; count(col)
+    # and sum decode
+    assert r == {"count_star": c, "count_v": cv, "sum_v": sv, "min_v": mn}
+
+
+# ------------------------------------------------ mutation and evolution
+
+def test_count_after_delete(spark, pages, tmp_path):
+    from kmers_spark.operators.delete import delete_keys
+
+    out = str(tmp_path / "snap")
+    encode_table(pages, out, num_buckets=8)
+    doomed = [r["url"] for r in
+              pages.select("url").distinct().limit(37).collect()]
+    delete_keys(spark, out, doomed)
+    r = agg_table(spark, out, [("count", "*"), ("min", "warc_ts")])
+    surv = pages.filter(~F.col("url").isin(doomed))
+    c, mn = _truth(surv, [F.count(F.lit(1)), F.min("warc_ts")])
+    assert r == {"count_star": c, "min_warc_ts": mn}
+
+
+def test_evolved_store_filter_on_new_column(spark, tmp_path):
+    """Pre-evolution buckets lack the evolved column -> their rows are
+    null for it -> a filter on it must exclude them (the coverage check
+    keeps such buckets out of the contained set)."""
+    from kmers_spark.operators import partitioning
+
+    df = pages_df(spark, 1200, seed=5, partitions=2).cache()
+    out = str(tmp_path / "snap")
+    # wave 1: old schema, buckets 0-3 only (same shape as the
+    # evolution suite's fixture)
+    encode_table(df, out, num_buckets=8, detect_skew=False,
+                 fail_buckets_over=4)
+    manifest.evolve_schema(out, {"score": "int64"})
+    df2 = df.withColumn("score", (F.length("text") % 100).cast("long"))
+    m = encode_table(df2, out, num_buckets=8, detect_skew=False)
+    assert sorted(m["committed_buckets"]) == list(range(8))
+    wb = partitioning.with_bucket(df2, 8, m["hot_keys"])
+    scored = wb.filter(F.col("bucket") >= 4).drop("bucket").cache()
+    matching = scored.filter(F.col("score") >= 0)  # null text -> null
+    # score rows exist even post-evolution; the filter excludes them
+    r = agg_table(spark, out, [("count", "*"), ("sum", "score")],
+                  filters=[("score", ">=", 0)])
+    assert r["count_star"] == matching.count()
+    assert r["sum_score"] == matching.agg(F.sum("score")).collect()[0][0]
+    # unfiltered: count(*) spans both waves, count(score) skips the
+    # pre-evolution rows' nulls AND the null-text rows'
+    r2 = agg_table(spark, out, [("count", "*"), ("count", "score")])
+    assert r2 == {"count_star": 1200,
+                  "count_score": scored.agg(
+                      F.count("score")).collect()[0][0]}
+
+
+# --------------------------------------------------------------- surface
+
+def test_validation(spark, hash_store):
+    with pytest.raises(ValueError):
+        agg_table(spark, hash_store, [])
+    with pytest.raises(ValueError):
+        agg_table(spark, hash_store, [("median", "warc_ts")])
+    with pytest.raises(ValueError):
+        agg_table(spark, hash_store, [("min", "*")])
+    with pytest.raises(KeyError):
+        agg_table(spark, hash_store, [("count", "nope")])
+    with pytest.raises(TypeError):
+        agg_table(spark, hash_store, [("sum", "url")])
+
+
+def test_df_wrapper(spark, pages, hash_store):
+    df = agg_table_df(spark, hash_store, [
+        ("count", "*"), ("min", "warc_ts"), ("max", "warc_ts")])
+    assert df.columns == ["count_star", "min_warc_ts", "max_warc_ts"]
+    row = df.collect()[0]
+    c, mn, mx = _truth(pages, [F.count(F.lit(1)), F.min("warc_ts"),
+                               F.max("warc_ts")])
+    assert (row["count_star"], row["min_warc_ts"], row["max_warc_ts"]) \
+        == (c, mn, mx)
+    assert dict(df.dtypes)["count_star"] == "bigint"
+    assert dict(df.dtypes)["min_warc_ts"].startswith("timestamp")
+
+
+def test_time_travel_agg(spark, pages, tmp_path):
+    from kmers_spark.operators.delete import delete_keys
+
+    out = str(tmp_path / "snap")
+    encode_table(pages, out, num_buckets=8)
+    _m, v0 = manifest.load_with_version(out)
+    doomed = [r["url"] for r in
+              pages.select("url").distinct().limit(11).collect()]
+    delete_keys(spark, out, doomed)
+    now = agg_table(spark, out, [("count", "*")])
+    then = agg_table(spark, out, [("count", "*")], version=v0)
+    assert then["count_star"] == pages.count()
+    assert now["count_star"] == pages.count() - 11
