@@ -329,6 +329,12 @@ def main():
             s, peak["out"], ["zzz://absent.invalid/x"]).count())
         assert dec.lookup_keys(
             s, peak["out"], ["zzz://absent.invalid/x"]).count() == 0
+        # absent key INSIDE the stored key range: key-range pruning
+        # can't help, the per-bucket Bloom sidecar does (zero decodes)
+        inrange_absent = urls[0] + "!zz"
+        timed("lookup_keys_absent_inrange", lambda: dec.lookup_keys(
+            s, peak["out"], [inrange_absent]).count())
+        assert dec.lookup_keys(s, peak["out"], [inrange_absent]).count() == 0
 
         # mutation surface on the soon-to-be-discarded hashed store:
         # DELETE 1% of keys, then UPSERT a 1% re-crawl batch. Each is

@@ -320,7 +320,8 @@ STATS_SPILL_ENTRIES = 50_000
 def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
                    wave_dir: str | None = None,
                    key_ranges: dict[int, list] | None = None,
-                   spill_threshold: int | None = None) -> dict[str, Any]:
+                   spill_threshold: int | None = None,
+                   bloom_buckets: list[int] | None = None) -> dict[str, Any]:
     """Record per-bucket block stats, mark the buckets committed, and
     (Iceberg manifest-list style) register the wave's data directory —
     readers only ever see directories this list names, so a job killed
@@ -406,6 +407,15 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
             m.setdefault("wave_buckets", {})[wave_dir] = sorted(
                 int(b) for b in bucket_stats
             )
+            if bloom_buckets:
+                # which of this wave's buckets carry a key Bloom sidecar
+                # (kernels/bloom.py): lookup_keys prunes a bucket only
+                # when EVERY wave holding it is covered here — absence
+                # (pre-bloom snapshots, all-null key groups, streamed
+                # waves) degrades to no pruning, never to wrong answers
+                m.setdefault("bloom_buckets", {})[wave_dir] = sorted(
+                    int(b) for b in bloom_buckets
+                )
         return m
 
     return commit(out_dir, mutate)

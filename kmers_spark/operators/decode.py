@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import codecs, manifest
+from ..kernels import bloom as bloomkern
 from .encode import assert_utc_session, committed_wave_paths
 
 _SPARK_TYPE = manifest.SPARK_DDL_TYPES  # canonical copy lives in manifest
@@ -446,6 +447,60 @@ def _filters_expr(norm: list[tuple], schema: dict[str, str]):
     return functools.reduce(lambda a, b: a & b, conds)
 
 
+def _bloom_prune(out_dir: str, m: dict, key_col: str,
+                 bucket_keys: dict[int, list]) -> set[int]:
+    """Candidate buckets surviving the Bloom stage: a bucket is dropped
+    only when EVERY wave dir that may hold it has a manifest-registered
+    sidecar for it (bloom_buckets) and every probe key tests
+    definitely-absent in all of them. Any gap — pre-bloom snapshot,
+    streamed wave, unregistered wave, missing file — keeps the bucket
+    (conservative: Bloom absence may only ever ADD decode work)."""
+    import os
+
+    bb = m.get("bloom_buckets")
+    if not bb or "wave_dirs" not in m:
+        return set(bucket_keys)
+    wb = m.get("wave_buckets", {})
+    ktype = m["schema"].get(key_col)
+    keep: set[int] = set()
+    listings: dict[str, dict[int, list[str]]] = {}
+    for b, probes in bucket_keys.items():
+        if ktype == "int64":
+            typed = []
+            for k in probes:
+                try:
+                    typed.append(int(k))
+                except (TypeError, ValueError):
+                    pass  # can't be an int64 key: never present
+            if not typed:
+                continue  # no parseable probe: bucket can't match
+            probes = typed
+        maybe = False
+        for d in m["wave_dirs"]:
+            if d in wb and b not in set(wb[d]):
+                continue  # wave provably doesn't hold this bucket
+            if d not in bb or b not in set(bb[d]):
+                maybe = True  # wave may hold the bucket, no filter
+                break
+            listing = listings.get(d)
+            if listing is None:
+                listing = bloomkern.list_sidecars(
+                    os.path.join(out_dir, d, bloomkern.BLOOM_DIR)
+                )
+                listings[d] = listing
+            paths = listing.get(b)
+            if not paths:
+                maybe = True  # registered but unreadable: conservative
+                break
+            payload, bmeta = bloomkern.read_sidecar(paths[0])
+            if any(bloomkern.probe(payload, bmeta, k) for k in probes):
+                maybe = True
+                break
+        if maybe:
+            keep.add(b)
+    return keep
+
+
 def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame:
     """Point lookups against the COMPRESSED store: re-derive each key's
     bucket from the manifest (same salted hash the encode job used —
@@ -510,11 +565,16 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
                 return False  # can't be an int64 key at all
         return True
 
-    buckets = set()
+    bucket_keys: dict[int, list[str]] = {}
     for k in keys:
         for b in candidates(k):
             if may_hold(ranges.get(str(b)), k):
-                buckets.add(b)
+                bucket_keys.setdefault(int(b), []).append(k)
+    # key Bloom sidecars (kernels/bloom.py): drop every candidate
+    # bucket whose covering waves all carry a filter and every probe
+    # key tests definitely-absent — an absent key INSIDE a bucket's
+    # key range then costs a ~KB driver read instead of a bucket decode
+    buckets = _bloom_prune(out_dir, m, key_col, bucket_keys)
     out_schema = ", ".join(
         f"`{c}` {_SPARK_TYPE[t]}" for c, t in manifest.ordered_schema(m).items()
     )

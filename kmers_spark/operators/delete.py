@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import manifest
+from ..kernels import bloom as _bloomkern
 from . import partitioning
 from .encode import (
     BLOCK_SCHEMA,
@@ -93,7 +94,8 @@ def _empty_blocks_arrow():
 
 def _make_delete_fn_arrow(schema: dict[str, str], key: str,
                           overrides: dict[str, str] | None,
-                          sort_by: list[str] | None):
+                          sort_by: list[str] | None,
+                          bloom_dir: str | None = None):
     """Cogrouped (block rows of one bucket, doomed keys of that bucket)
     -> new block rows. Decode only happens when a doomed key actually
     hits the bucket; a candidate bucket with zero hits passes its block
@@ -162,14 +164,16 @@ def _make_delete_fn_arrow(schema: dict[str, str], key: str,
         # and key-range meta regenerate for the survivors. The filter
         # preserved row order and Arrow's sort is stable, so the
         # re-sort inside is a no-op on already-sorted survivors.
-        return make_encode_fn_arrow(sub, key, overrides, sort_by)(tbl)
+        return make_encode_fn_arrow(sub, key, overrides, sort_by,
+                                    bloom_dir=bloom_dir)(tbl)
 
     return fn
 
 
 def _make_delete_fn_pandas(schema: dict[str, str], key: str,
                            overrides: dict[str, str] | None,
-                           sort_by: list[str] | None):
+                           sort_by: list[str] | None,
+                           bloom_dir: str | None = None):
     """applyInPandas fallback of _make_delete_fn_arrow (same contract)."""
     import pandas as pd
 
@@ -216,7 +220,8 @@ def _make_delete_fn_pandas(schema: dict[str, str], key: str,
         pdf = pd.DataFrame(data)
         pdf["bucket"] = bucket_id
         sub = {c: t for c, t in schema.items() if c in data}
-        return make_encode_fn(sub, key, overrides, sort_by)(pdf)
+        return make_encode_fn(sub, key, overrides, sort_by,
+                              bloom_dir=bloom_dir)(pdf)
 
     return fn
 
@@ -402,19 +407,21 @@ def delete_keys(spark: SparkSession, out_dir: str,
         if m.get("bucket_scheme") == partitioning.RANGE_SCHEME and cl
         and cl != key_col else None
     )
+    new_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
+    bloom_dir = _bloomkern.stage_dir(new_dir)
     cg = rewrite.groupBy("bucket").cogroup(pairs.groupBy("bucket"))
     if hasattr(cg, "applyInArrow"):
         rewritten = cg.applyInArrow(
-            _make_delete_fn_arrow(schema_order, key_col, overrides, sort_by),
+            _make_delete_fn_arrow(schema_order, key_col, overrides, sort_by,
+                                  bloom_dir=bloom_dir),
             BLOCK_SCHEMA,
         )
     else:
         rewritten = cg.applyInPandas(
-            _make_delete_fn_pandas(schema_order, key_col, overrides, sort_by),
+            _make_delete_fn_pandas(schema_order, key_col, overrides, sort_by,
+                                   bloom_dir=bloom_dir),
             BLOCK_SCHEMA,
         )
-
-    new_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
     (
         # one partition per hash(bucket): every bucket's block rows land
         # whole in one file (decode_colocated's contract), same as
@@ -426,8 +433,19 @@ def delete_keys(spark: SparkSession, out_dir: str,
         .parquet(new_dir)
     )
 
+    _bloomkern.finalize(new_dir)
     fresh, key_ranges = collect_fresh_stats(spark, new_dir, affected, m, key_col)
     rows_after = sum(_rows_of(fresh[b]) for b in affected)
+
+    # Bloom sidecars: the re-encode kernel side-wrote fresh filters for
+    # buckets whose key set shrank; buckets whose rows are unchanged
+    # (zero-hit verbatim, or co-resident unaffected) keep exact old
+    # filters — copy those forward into the new wave
+    changed = {
+        b for b in affected
+        if _rows_of(fresh[b]) != _rows_of(old_stats.get(str(b), []))
+    }
+    new_bloom = _bloomkern.carry_forward(out_dir, m, retired, new_dir, changed)
 
     retired_set = set(retired)
     new_rel = _wave_rel(new_dir, out_dir)
@@ -495,6 +513,16 @@ def delete_keys(spark: SparkSession, out_dir: str,
                     kr[str(b)] = key_ranges[b]
                 else:  # bucket emptied, or range unknowable: no stale bound
                     kr.pop(str(b), None)
+        bbm = cur.get("bloom_buckets")
+        if bbm or new_bloom:
+            bbm = {k: v for k, v in (bbm or {}).items()
+                   if k not in retired_set}
+            if new_bloom:
+                bbm[new_rel] = new_bloom
+            if bbm:
+                cur["bloom_buckets"] = bbm
+            else:
+                cur.pop("bloom_buckets", None)
         return cur
 
     m2 = manifest.commit(out_dir, swap)

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import codecs, manifest, selector, zonemap
+from ..kernels import bloom as bloomkern
 from . import partitioning
 
 BLOCK_SCHEMA = (
@@ -61,7 +62,8 @@ def _raw_nbytes(series: pd.Series, typ: str) -> int:
 
 def make_encode_fn(schema: dict[str, str], key: str,
                    codec_overrides: dict[str, str] | None,
-                   sort_by: list[str] | None = None):
+                   sort_by: list[str] | None = None,
+                   bloom_dir: str | None = None):
     """Build the applyInPandas group encoder. Everything it captures is a
     small plain dict (cheap closure pickling).
 
@@ -129,6 +131,14 @@ def make_encode_fn(schema: dict[str, str], key: str,
                     "meta": json.dumps(meta, sort_keys=True),
                 }
             )
+        # key Bloom sidecar (kernels/bloom.py): written by this task in
+        # the same pass, regenerated by every bucket rewrite;
+        # lookup_keys probes it to skip decoding buckets that
+        # definitely lack a probe key
+        if bloom_dir is not None:
+            bl = bloomkern.build_for_key_pandas(pdf[key], schema[key])
+            if bl is not None:
+                bloomkern.write_sidecar(bloom_dir, bucket, *bl)
         return pd.DataFrame(out)
 
     return encode_group
@@ -136,7 +146,8 @@ def make_encode_fn(schema: dict[str, str], key: str,
 
 def make_encode_fn_arrow(schema: dict[str, str], key: str,
                          codec_overrides: dict[str, str] | None,
-                         sort_by: list[str] | None = None):
+                         sort_by: list[str] | None = None,
+                         bloom_dir: str | None = None):
     """Arrow-native group encoder (the hot path): rows stay in Arrow
     buffers end-to-end; sort/dictionary/token work happens in C++ and
     the bit-level kernels in numpy. ~10x less allocator traffic than the
@@ -204,6 +215,11 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
             rows["enc_nbytes"].append(len(payload))
             rows["payload"].append(payload)
             rows["meta"].append(json.dumps(meta, sort_keys=True))
+        # key Bloom sidecar — see make_encode_fn
+        if bloom_dir is not None:
+            bl = bloomkern.build_for_key_arrow(table.column(key), schema[key])
+            if bl is not None:
+                bloomkern.write_sidecar(bloom_dir, bucket, *bl)
         return pa.table(
             {
                 "bucket": pa.array(rows["bucket"], pa.int32()),
@@ -222,16 +238,19 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
 
 def encode_blocks_df(bucketed: DataFrame, schema: dict[str, str], key: str,
                      codec_overrides: dict[str, str] | None,
-                     sort_by: list[str] | None = None) -> DataFrame:
+                     sort_by: list[str] | None = None,
+                     bloom_dir: str | None = None) -> DataFrame:
     """groupBy(bucket) -> block rows, preferring the Arrow path."""
     grouped = bucketed.groupBy("bucket")
     if hasattr(grouped, "applyInArrow"):
         return grouped.applyInArrow(
-            make_encode_fn_arrow(schema, key, codec_overrides, sort_by=sort_by),
+            make_encode_fn_arrow(schema, key, codec_overrides,
+                                 sort_by=sort_by, bloom_dir=bloom_dir),
             BLOCK_SCHEMA,
         )
     return grouped.applyInPandas(
-        make_encode_fn(schema, key, codec_overrides, sort_by=sort_by),
+        make_encode_fn(schema, key, codec_overrides,
+                       sort_by=sort_by, bloom_dir=bloom_dir),
         BLOCK_SCHEMA,
     )
 
@@ -433,13 +452,19 @@ def encode_table(
             cl = m.get("cluster_by")
             if scheme == partitioning.RANGE_SCHEME and cl and cl != key:
                 sort_by = [cl, key]
-            blocks = encode_blocks_df(wave_df, schema, key, codec_overrides,
-                                      sort_by=sort_by)
             # Each wave lands in its own directory and only becomes
             # visible when the manifest commit below registers it
             # (Iceberg manifest-list discipline): a crash between write
             # and commit leaves an orphan dir that readers never see.
             wave_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
+            blocks = encode_blocks_df(
+                wave_df, schema, key, codec_overrides, sort_by=sort_by,
+                # key Bloom sidecars: staged by the encode tasks in a
+                # hidden sibling dir (tasks must not pre-create the
+                # wave dir — bloom.stage_dir), moved in after the
+                # write, registered at commit
+                bloom_dir=bloomkern.stage_dir(wave_dir),
+            )
             (
                 blocks.write.mode("error")
                 # bucket stays a regular column: parquet row-group stats
@@ -449,6 +474,7 @@ def encode_table(
                 .option("compression", "none")
                 .parquet(wave_dir)
             )
+            bloomkern.finalize(wave_dir)
             # read back the stats (not the payloads: column pruning is
             # cheap). Explicit schema: a wave of hash-empty buckets
             # writes a dir with no part files, which schema inference
@@ -502,6 +528,11 @@ def encode_table(
             m = manifest.commit_buckets(
                 out_dir, stats, wave_dir=_wave_rel(wave_dir, out_dir),
                 key_ranges=key_ranges,
+                # one listdir: which buckets the encode tasks wrote a
+                # Bloom sidecar for (all-null key groups have none)
+                bloom_buckets=sorted(bloomkern.list_sidecars(
+                    os.path.join(wave_dir, bloomkern.BLOOM_DIR)
+                )),
             )
     finally:
         if persisted:
@@ -622,6 +653,10 @@ def sweep_orphan_waves(out_dir: str, grace_sec: float = SWEEP_GRACE_SEC) -> None
         except OSError:
             continue  # vanished concurrently
         shutil.rmtree(p, ignore_errors=True)
+    # bloom staging dirs of crashed writes follow the same grace rule
+    bloomkern.sweep_stages(
+        root, {d.rsplit("/", 1)[-1] for d in committed}, grace_sec
+    )
 
 
 def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -708,6 +743,11 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
             f.flush()
             os.fsync(f.fileno())
 
+    # Bloom sidecars live inside wave dirs too; the rewrite moved
+    # payloads verbatim (key sets unchanged), so every retired filter
+    # stays exact — copy all of them into the new dir
+    new_bloom = bloomkern.carry_forward(out_dir, m, old, new_dir, set())
+
     def swap(m: dict | None) -> dict:
         if m is None:
             raise FileNotFoundError(f"no manifest in {out_dir}")
@@ -729,6 +769,15 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
                 m["stats_files"].append(new_stats_rel)
             if not m["stats_files"]:
                 del m["stats_files"]
+        bbm = m.get("bloom_buckets")
+        if bbm or new_bloom:
+            bbm = {k: v for k, v in (bbm or {}).items() if k not in old_set}
+            if new_bloom:
+                bbm[new_rel] = new_bloom
+            if bbm:
+                m["bloom_buckets"] = bbm
+            else:
+                m.pop("bloom_buckets", None)
         return m
 
     m = manifest.commit(out_dir, swap)

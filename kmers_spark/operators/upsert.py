@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import manifest
+from ..kernels import bloom as _bloomkern
 from . import partitioning
 from .delete import _empty_blocks_arrow, collect_fresh_stats
 from .encode import (
@@ -77,12 +78,14 @@ _BLOCK_COLS = [
 
 def _make_upsert_fn_arrow(schema: dict[str, str], key: str,
                           overrides: dict[str, str] | None,
-                          sort_by: list[str] | None):
+                          sort_by: list[str] | None,
+                          bloom_dir: str | None = None):
     """Cogrouped (block rows of one bucket, incoming rows of that
     bucket) -> new block rows. Existing rows whose key appears in the
     incoming batch are dropped; survivors and the batch concat and
     re-encode. A brand-new bucket arrives with an empty blocks side."""
-    encode_group = make_encode_fn_arrow(schema, key, overrides, sort_by)
+    encode_group = make_encode_fn_arrow(schema, key, overrides, sort_by,
+                                        bloom_dir=bloom_dir)
 
     def fn(blocks_tbl, rows_tbl):
         import json as _json
@@ -284,8 +287,11 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
         if m.get("bucket_scheme") == partitioning.RANGE_SCHEME and cl
         and cl != key_col else None
     )
+    new_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
+    bloom_dir = _bloomkern.stage_dir(new_dir)
     cg = rewrite.groupBy("bucket").cogroup(bdf.groupBy("bucket"))
-    fn = _make_upsert_fn_arrow(schema, key_col, overrides, sort_by)
+    fn = _make_upsert_fn_arrow(schema, key_col, overrides, sort_by,
+                               bloom_dir=bloom_dir)
     if hasattr(cg, "applyInArrow"):
         rewritten = cg.applyInArrow(fn, BLOCK_SCHEMA)
     else:  # pandas-era Spark: route the rows through Arrow ourselves
@@ -294,7 +300,6 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
             "(Spark >= 4.0)"
         )
 
-    new_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
     out = rewritten if verbatim is None else rewritten.unionByName(verbatim)
     (
         out.repartition(F.col("bucket"))
@@ -303,9 +308,19 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
         .parquet(new_dir)
     )
 
+    _bloomkern.finalize(new_dir)
     fresh, key_ranges = collect_fresh_stats(
         spark, new_dir, affected, m, key_col)
     rows_after = sum(_rows_of(fresh[b]) for b in affected)
+
+    # Bloom sidecars: fresh filters were side-written for re-encoded
+    # buckets; verbatim buckets' key sets are unchanged, so their old
+    # filters stay exact and are copied forward (delete_keys' rule)
+    changed = {
+        b for b in affected
+        if _rows_of(fresh[b]) != _rows_of(old_stats.get(str(b), []))
+    }
+    new_bloom = _bloomkern.carry_forward(out_dir, m, retired, new_dir, changed)
 
     retired_set = set(retired)
     new_rel = _wave_rel(new_dir, out_dir)
@@ -378,6 +393,16 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
                     kr[str(b)] = key_ranges[b]
                 else:
                     kr.pop(str(b), None)
+        bbm = cur.get("bloom_buckets")
+        if bbm or new_bloom:
+            bbm = {k: v for k, v in (bbm or {}).items()
+                   if k not in retired_set}
+            if new_bloom:
+                bbm[new_rel] = new_bloom
+            if bbm:
+                cur["bloom_buckets"] = bbm
+            else:
+                cur.pop("bloom_buckets", None)
         return cur
 
     m2 = manifest.commit(out_dir, swap)
