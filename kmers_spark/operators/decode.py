@@ -507,11 +507,14 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
     computed DRIVER-SIDE via the golden-tested xxhash64 mirror, so no
     Spark job runs before the decode itself), prune buckets whose
     recorded key range (Iceberg file-stats analogue, written at commit)
-    excludes every probe key that hashes to them, decode ONLY the
-    surviving buckets (the bucket predicate prunes parquet row groups,
-    test_plans.py), and filter to the requested keys. At 10^12 rows
-    this touches at most |keys| buckets out of num_buckets — and zero
-    buckets for absent keys outside the stored ranges."""
+    excludes every probe key that hashes to them, probe the per-bucket
+    key Bloom sidecars (kernels/bloom.py) to drop buckets where every
+    probe key is definitely absent, decode ONLY the surviving buckets
+    (the bucket predicate prunes parquet row groups, test_plans.py),
+    and filter to the requested keys. At 10^12 rows this touches at
+    most |keys| buckets out of num_buckets — and ZERO buckets for
+    absent keys, whether outside the stored ranges (range pruning) or
+    inside them (Bloom pruning, up to the ~1% false-positive rate)."""
     from . import partitioning
 
     m = manifest.load(out_dir)

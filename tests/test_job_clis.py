@@ -178,3 +178,37 @@ def test_upsert_job(cli_snapshot, spark, tmp_path):
     got = decode_table(spark, mine)
     assert got.count() == 1500
     assert got.filter(got.text.startswith("V2:")).count() == 25
+
+
+def test_agg_job(cli_snapshot, spark):
+    """jobs/agg.py: stats-only aggregates + a filtered run + validation."""
+    src, snap, _base = cli_snapshot
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    code, out = run_job(
+        "jobs/agg.py", "--snapshot", snap,
+        "--agg", "count:*", "--agg", "min:warc_ts", "--agg", "max:warc_ts",
+    )
+    assert code == 0, out
+    r = json.loads(out)
+    truth = spark.read.parquet(src).agg(
+        F.count(F.lit(1)), F.min("warc_ts"), F.max("warc_ts")
+    ).collect()[0]
+    assert r["count_star"] == truth[0]
+    assert r["min_warc_ts"] == str(truth[1])
+    assert r["max_warc_ts"] == str(truth[2])
+
+    mid = truth[1] + (truth[2] - truth[1]) / 2
+    code, out = run_job(
+        "jobs/agg.py", "--snapshot", snap, "--agg", "count:*",
+        "--filter", f"warc_ts:>=:{mid.isoformat()}",
+    )
+    assert code == 0, out
+    want = spark.read.parquet(src).filter(
+        F.col("warc_ts") >= F.lit(mid)).count()
+    assert json.loads(out)["count_star"] == want
+
+    code, _ = run_job("jobs/agg.py", "--snapshot", snap, "--agg", "bad")
+    assert code != 0
