@@ -609,6 +609,7 @@ try:  # writer API: Spark 4.0+
         stats: dict = field(default_factory=dict)       # bucket -> [block stats]
         key_ranges: dict = field(default_factory=dict)  # bucket -> [lo, hi]
         staged_file: str | None = None                  # hidden part file name
+        bloom_files: dict = field(default_factory=dict)  # bucket -> staged name
 
     def _encode_to_staged(iterator, table_schema, key, codec_overrides,
                           staging_dir: str) -> "_WaveCommit":
@@ -626,6 +627,7 @@ try:  # writer API: Spark 4.0+
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        from .kernels import bloom as bloomkern
         from .operators.encode import make_encode_fn_arrow
 
         fn = make_encode_fn_arrow(table_schema, key, codec_overrides)
@@ -661,6 +663,18 @@ try:  # writer API: Spark 4.0+
                     msg.key_ranges[int(b)] = [meta["key_min"], meta["key_max"]]
                 stats.append(s)
             msg.stats[int(b)] = stats
+            # key Bloom sidecar: staged hidden like the data file; the
+            # driver's commit moves claimed files into <wave>/_blooms
+            # and registers coverage — a replayed/aborted batch's
+            # staged blooms are cleaned with its data
+            bl = bloomkern.build_for_key_arrow(
+                sub.column(key), table_schema.get(key, "")
+            )
+            if bl is not None:
+                bname = (f".staged-bloom-b{int(b)}-"
+                         f"{uuid.uuid4().hex[:12]}")
+                bloomkern.write_named(staging_dir, bname, *bl)
+                msg.bloom_files[int(b)] = bname
         os.makedirs(staging_dir, exist_ok=True)
         staged = f".staged-{uuid.uuid4().hex[:12]}.parquet"
         pq.write_table(
@@ -669,6 +683,25 @@ try:  # writer API: Spark 4.0+
         )
         msg.staged_file = staged
         return msg
+
+    def _publish_staged_blooms(staging_dir: str, wave_dir: str,
+                               bloom_files: dict[int, str]) -> None:
+        """Move claimed staged bloom files into <wave_dir>/_blooms under
+        their canonical b<bucket>_<uuid>.bloom names."""
+        import os
+
+        from .kernels import bloom as bloomkern
+
+        if not bloom_files:
+            return
+        bdir = os.path.join(wave_dir, bloomkern.BLOOM_DIR)
+        os.makedirs(bdir, exist_ok=True)
+        for b, name in bloom_files.items():
+            suffix = name.rsplit("-", 1)[-1]
+            os.replace(
+                os.path.join(staging_dir, name),
+                os.path.join(bdir, f"b{int(b)}_{suffix}{bloomkern.SUFFIX}"),
+            )
 
     class KmersWriter(DataSourceArrowWriter):
         """df.write.format("kmers"): each task encodes whole buckets of
@@ -709,6 +742,7 @@ try:  # writer API: Spark 4.0+
             stats: dict[int, list] = {}
             key_ranges: dict[int, list] = {}
             staged: list[str] = []
+            bloom_files: dict[int, str] = {}
             for msg in messages:
                 if msg is None:
                     continue
@@ -723,6 +757,12 @@ try:  # writer API: Spark 4.0+
                         )
                     stats[int(b)] = s
                 key_ranges.update({int(b): r for b, r in msg.key_ranges.items()})
+                # getattr: commit messages from an older writer (or a
+                # test double) may predate the bloom field
+                bloom_files.update({
+                    int(b): n
+                    for b, n in getattr(msg, "bloom_files", {}).items()
+                })
             if not stats:
                 # every task saw zero rows: registering the (never
                 # created) wave dir would make ALL later decodes fail on
@@ -801,12 +841,14 @@ try:  # writer API: Spark 4.0+
                     os.path.join(wd, name),
                     os.path.join(wd, name.replace(".staged-", "part-", 1)),
                 )
+            _publish_staged_blooms(wd, wd, bloom_files)
             for name in os.listdir(wd):
                 if name.startswith(".staged-"):
                     os.unlink(os.path.join(wd, name))
             manifest.commit_buckets(
                 self.path, stats, wave_dir=f"blocks/{self.wave_name}",
                 key_ranges=key_ranges or None,
+                bloom_buckets=sorted(bloom_files),
             )
 
         def abort(self, messages) -> None:
@@ -873,6 +915,7 @@ try:  # writer API: Spark 4.0+
             stats: dict[int, list] = {}
             key_ranges: dict[int, list] = {}
             staged: list[str] = []
+            bloom_files: dict[int, str] = {}
             for msg in messages:
                 if msg is None:
                     continue
@@ -887,8 +930,14 @@ try:  # writer API: Spark 4.0+
                         )
                     stats[int(b)] = s
                 key_ranges.update({int(b): r for b, r in msg.key_ranges.items()})
+                # getattr: commit messages from an older writer (or a
+                # test double) may predate the bloom field
+                bloom_files.update({
+                    int(b): n
+                    for b, n in getattr(msg, "bloom_files", {}).items()
+                })
             if not stats:
-                self._clean_staged(staged)
+                self._clean_staged(staged + list(bloom_files.values()))
                 return  # empty batch: nothing to register
 
             def create_or_check(cur):
@@ -935,7 +984,8 @@ try:  # writer API: Spark 4.0+
             m = manifest.commit(self.path, create_or_check)
             known = m.get("stream_epochs", {}).get(self.stream_id, {})
             if manifest.is_replayed_epoch(known, batchId, self.stream_id):
-                self._clean_staged(staged)  # replayed batch: already in
+                # replayed batch: its rows are already in
+                self._clean_staged(staged + list(bloom_files.values()))
                 return
             # publish the wave BEFORE registering it (a crash in between
             # leaves an unregistered w_ dir for the orphan sweep)
@@ -947,10 +997,12 @@ try:  # writer API: Spark 4.0+
                     os.path.join(self._staging(), name),
                     os.path.join(wave_dir, name.replace(".staged-", "part-", 1)),
                 )
+            _publish_staged_blooms(self._staging(), wave_dir, bloom_files)
             wave_rel = f"blocks/{wave_name}"
             m = manifest.commit_wave_append(
                 self.path, stats, wave_rel, batchId,
                 key_ranges=key_ranges or None, stream_id=self.stream_id,
+                bloom_buckets=sorted(bloom_files),
             )
             if m.get("stream_epochs", {}).get(self.stream_id, {}) \
                     .get(str(batchId)) != wave_rel:
@@ -989,6 +1041,9 @@ try:  # writer API: Spark 4.0+
         def abort(self, messages, batchId) -> None:  # noqa: N803
             staged = [m.staged_file for m in messages
                       if m is not None and m.staged_file]
+            for m in messages:
+                if m is not None:
+                    staged.extend(getattr(m, "bloom_files", {}).values())
             self._clean_staged(staged)
 
     def _ds_writer(self, schema, overwrite):

@@ -16,11 +16,12 @@ Every writer that re-encodes a bucket (delete/upsert merge-on-write,
 rebuild_snapshot) regenerates its filter in the same pass; blooms of
 untouched buckets consolidated into a rewrite wave are copied forward
 driver-side (small metadata files, like the spilled-stats
-consolidation in compact_waves). The writeStream sink does NOT write
-blooms (its staging protocol would need bloom files in the
-exactly-once rename dance); a streamed store gains them when
-rebuild_snapshot compacts it. Readers treat a missing filter as
-"maybe present" — pre-bloom snapshots, streamed waves, and partial
+consolidation in compact_waves). The DataSource sinks (batch write
+AND the exactly-once writeStream sink) stage bloom files hidden
+alongside their data files and publish them at commit — a replayed or
+aborted micro-batch's staged blooms are cleaned with its data, so a
+generation's filter is visible iff the generation is. Readers treat a
+missing filter as "maybe present" — pre-bloom snapshots and partial
 coverage degrade to today's behavior, never to wrong answers.
 
 lookup_keys probes filters driver-side (a few KB per candidate
@@ -281,22 +282,30 @@ def sweep_stages(blocks_root: str, live_basenames: set[str],
             shutil.rmtree(p, ignore_errors=True)
 
 
-def write_sidecar(bloom_dir: str, bucket: int, payload: bytes,
-                  meta: dict) -> str:
-    """Atomic executor-side write: stage under a hidden temp name, then
-    same-dir rename — a listed sidecar is always complete. Returns the
-    final path. Format: u32 header length + JSON meta + raw bit array."""
-    os.makedirs(bloom_dir, exist_ok=True)
+def write_named(dir_: str, name: str, payload: bytes, meta: dict) -> str:
+    """Atomic write of a sidecar under an explicit name: stage under a
+    hidden temp name, then same-dir rename — a listed file is always
+    complete. Format: u32 header length + JSON meta + raw bit array."""
+    os.makedirs(dir_, exist_ok=True)
     header = json.dumps(meta, sort_keys=True).encode()
-    name = f"b{int(bucket)}_{uuid.uuid4().hex[:12]}{SUFFIX}"
-    tmp = os.path.join(bloom_dir, f".tmp-{name}")
+    tmp = os.path.join(dir_, f".tmp-{uuid.uuid4().hex[:8]}-{name.lstrip('.')}")
     with open(tmp, "wb") as f:
         f.write(struct.pack("<I", len(header)))
         f.write(header)
         f.write(payload)
-    final = os.path.join(bloom_dir, name)
+    final = os.path.join(dir_, name)
     os.replace(tmp, final)
     return final
+
+
+def sidecar_name(bucket: int) -> str:
+    return f"b{int(bucket)}_{uuid.uuid4().hex[:12]}{SUFFIX}"
+
+
+def write_sidecar(bloom_dir: str, bucket: int, payload: bytes,
+                  meta: dict) -> str:
+    """Executor-side write under the canonical b<bucket>_<uuid> name."""
+    return write_named(bloom_dir, sidecar_name(bucket), payload, meta)
 
 
 def read_sidecar(path: str) -> tuple[bytes, dict]:

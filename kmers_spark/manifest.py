@@ -424,7 +424,9 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
 def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
                        wave_dir: str, epoch: int,
                        key_ranges: dict[int, list] | None = None,
-                       stream_id: str = "stream") -> dict[str, Any]:
+                       stream_id: str = "stream",
+                       bloom_buckets: list[int] | None = None
+                       ) -> dict[str, Any]:
     """Streaming-append commit: register `wave_dir` as a NEW GENERATION
     of its buckets (a bucket may hold block rows in several waves; the
     colocated/scan readers decode each wave's file independently and the
@@ -474,6 +476,13 @@ def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
         m.setdefault("wave_buckets", {})[wave_dir] = sorted(
             int(b) for b in bucket_stats
         )
+        if bloom_buckets:
+            # per-generation Bloom coverage (see commit_buckets): a
+            # bucket is lookup-prunable only when EVERY generation
+            # holding it is covered
+            m.setdefault("bloom_buckets", {})[wave_dir] = sorted(
+                int(b) for b in bloom_buckets
+            )
         epochs[str(epoch)] = wave_dir
         # bounded epoch history per stream: the manifest is rewritten on
         # every commit, so a year of 1-minute batches must not carry

@@ -267,3 +267,64 @@ def test_sweep_reclaims_dead_staging(spark, pages, tmp_path):
     sweep_orphan_waves(out)
     assert not os.path.exists(stale)
     assert os.path.exists(live)
+
+
+# ------------------------------------------------------------------ sinks
+
+def test_stream_sink_registers_blooms_per_generation(
+        spark, pages, urls, tmp_path, monkeypatch):
+    """The exactly-once sink stages bloom files beside its data files;
+    each committed micro-batch registers its generation's coverage, so
+    a multi-generation streamed store still prunes absent keys."""
+    from kmers_spark import datasource
+    from kmers_spark.operators import partitioning
+
+    datasource.register(spark)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "snap", "ckpt"))
+    half1 = pages.filter(F.xxhash64("url") % 2 == 0)
+    half2 = pages.filter(F.xxhash64("url") % 2 != 0)
+
+    def run_sink():
+        sdf = spark.readStream.schema(pages.schema).parquet(src)
+        b = partitioning.with_bucket(sdf, 8, {}).repartition("bucket")
+        q = (b.writeStream.format("kmers")
+             .option("checkpointLocation", ckpt)
+             .option("numBuckets", "8")
+             .trigger(availableNow=True).start(out))
+        q.awaitTermination(120)
+
+    half1.write.parquet(src)
+    run_sink()
+    half2.write.mode("append").parquet(src)
+    run_sink()
+    m = manifest.load(out)
+    assert len(m["wave_dirs"]) == 2
+    assert set(m["bloom_buckets"]) == set(m["wave_dirs"])
+    # no staged bloom leftovers in the staging dir
+    staging = os.path.join(out, "blocks", ".stream-staging")
+    if os.path.isdir(staging):
+        assert not [n for n in os.listdir(staging)
+                    if n.startswith(".staged-bloom")]
+    calls = _spy_decode(monkeypatch)
+    assert lookup_keys(spark, out, [urls[100] + "!zz"]).count() == 0
+    assert calls == []  # both generations covered: fully pruned
+    assert lookup_keys(spark, out, [urls[100]]).count() == 1
+
+
+def test_batch_ds_writer_registers_blooms(spark, pages, urls, tmp_path,
+                                          monkeypatch):
+    from kmers_spark import datasource
+    from kmers_spark.operators import partitioning
+
+    datasource.register(spark)
+    out = str(tmp_path / "snap")
+    bdf = partitioning.with_bucket(pages, 8, {}).repartition("bucket")
+    (bdf.write.format("kmers").mode("append")
+     .option("numBuckets", "8").option("bucketScheme", "host_or_key")
+     .save(out))
+    m = manifest.load(out)
+    assert sorted(m["bloom_buckets"][m["wave_dirs"][0]]) == list(range(8))
+    calls = _spy_decode(monkeypatch)
+    assert lookup_keys(spark, out, [urls[100] + "!zz"]).count() == 0
+    assert calls == []
+    assert lookup_keys(spark, out, [urls[100]]).count() == 1

@@ -344,7 +344,9 @@ def test_writer_publishes_only_committed_attempts(spark, tmp_path):
     ).option("key", "url").option("numBuckets", "4").mode("append").save(out)
     wave_rel = manifest.load(out)["wave_dirs"][0]
     names = os.listdir(os.path.join(out, wave_rel))
-    assert names and all(n.startswith("part-") for n in names)
+    assert names and all(
+        n.startswith("part-") or n == "_blooms" for n in names
+    )  # _blooms: key Bloom sidecars, hidden from parquet listings
     assert dec.decode_table(spark, out).count() == 400
 
 
