@@ -336,3 +336,45 @@ def test_time_travel_agg(spark, pages, tmp_path):
     then = agg_table(spark, out, [("count", "*")], version=v0)
     assert then["count_star"] == pages.count()
     assert now["count_star"] == pages.count() - 11
+
+
+def test_streamed_store_agg(spark, tmp_path):
+    """Multi-generation (writeStream) stores aggregate from the same
+    merged stats stream: count spans generations; filters still
+    classify buckets with every generation's entries."""
+    from kmers_spark import datasource
+    from kmers_spark.operators import partitioning
+
+    datasource.register(spark)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "snap", "ckpt"))
+    df = pages_df(spark, 1000, seed=41, partitions=2).cache()
+    half1 = df.filter(F.xxhash64("url") % 2 == 0)
+    half2 = df.filter(F.xxhash64("url") % 2 != 0)
+
+    def run_sink():
+        sdf = spark.readStream.schema(df.schema).parquet(src)
+        b = partitioning.with_bucket(sdf, 4, {}).repartition("bucket")
+        q = (b.writeStream.format("kmers")
+             .option("checkpointLocation", ckpt)
+             .option("numBuckets", "4")
+             .trigger(availableNow=True).start(out))
+        q.awaitTermination(120)
+
+    half1.write.parquet(src)
+    run_sink()
+    half2.write.mode("append").parquet(src)
+    run_sink()
+    r = agg_table(spark, out, [
+        ("count", "*"), ("min", "warc_ts"), ("max", "warc_ts"),
+        ("count", "text")])
+    c, mn, mx, ct = _truth(df, [
+        F.count(F.lit(1)), F.min("warc_ts"), F.max("warc_ts"),
+        F.count("text")])
+    assert r == {"count_star": c, "min_warc_ts": mn, "max_warc_ts": mx,
+                 "count_text": ct}
+    lo, hi = _ts_window(df)
+    r2 = agg_table(spark, out, [("count", "*")],
+                   filters=[("warc_ts", ">=", lo), ("warc_ts", "<", hi)])
+    want = df.filter((F.col("warc_ts") >= F.lit(lo)) &
+                     (F.col("warc_ts") < F.lit(hi))).count()
+    assert r2["count_star"] == want
