@@ -378,3 +378,13 @@ def test_streamed_store_agg(spark, tmp_path):
     want = df.filter((F.col("warc_ts") >= F.lit(lo)) &
                      (F.col("warc_ts") < F.lit(hi))).count()
     assert r2["count_star"] == want
+
+
+def test_in_filter_containment(spark, pages, hash_store):
+    langs = [r["lang"] for r in
+             pages.select("lang").distinct().limit(2).collect()]
+    r = agg_table(spark, hash_store, [("count", "*"), ("min", "warc_ts")],
+                  filters=[("lang", "in", langs)])
+    fdf = pages.filter(F.col("lang").isin(langs))
+    c, mn = _truth(fdf, [F.count(F.lit(1)), F.min("warc_ts")])
+    assert r == {"count_star": c, "min_warc_ts": mn}
