@@ -659,6 +659,8 @@ try:  # writer API: Spark 4.0+
                     s["znull"] = meta["znull"]
                 if "zsum" in meta:
                     s["zsum"] = meta["zsum"]
+                if "znan" in meta:
+                    s["znan"] = meta["znan"]
                 if "key_min" in meta:
                     msg.key_ranges[int(b)] = [meta["key_min"], meta["key_max"]]
                 stats.append(s)

@@ -103,9 +103,12 @@ def pack(codes: np.ndarray, width: int) -> bytes:
 
 def _unpack_small(buf: bytes, width: int, n: int) -> np.ndarray:
     ngroups = (n + 7) // 8
+    nbytes = packed_nbytes(n, width)
     padded = np.zeros(ngroups * width + 8, np.uint8)
     raw = np.frombuffer(buf, dtype=np.uint8)
-    padded[: raw.shape[0]] = raw
+    # tolerate trailing slack in buf (the bit-matrix implementation
+    # always did; callers may hand a padded buffer)
+    padded[: min(raw.shape[0], nbytes)] = raw[:nbytes]
     lanes = np.lib.stride_tricks.as_strided(
         padded, shape=(ngroups, 8), strides=(width, 1)
     ).copy()  # overlapping READS are safe; copy for a contiguous view

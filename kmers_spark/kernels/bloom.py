@@ -369,6 +369,36 @@ def carry_forward(out_dir: str, m: dict, retired: list[str],
     return sorted(have | copied)
 
 
+def swap_registration(cur: dict, retired: set[str], new_rel: str,
+                      new_bloom: list[int]) -> None:
+    """Shared manifest-swap step for consolidating rewrites
+    (delete/upsert/compact): drop retired waves' bloom registrations,
+    register the new wave's. Mutates `cur` in place inside the
+    caller's CAS mutation."""
+    bbm = cur.get("bloom_buckets")
+    if bbm or new_bloom:
+        bbm = {k: v for k, v in (bbm or {}).items() if k not in retired}
+        if new_bloom:
+            bbm[new_rel] = new_bloom
+        if bbm:
+            cur["bloom_buckets"] = bbm
+        else:
+            cur.pop("bloom_buckets", None)
+
+
+def changed_buckets(affected, fresh: dict, old_stats: dict,
+                    rows_of) -> set[int]:
+    """Buckets whose row count changed across a rewrite — their key
+    sets differ, so their OLD filters must not be carried forward
+    (equal counts imply an unchanged key set on these paths: a
+    zero-hit delete passes through verbatim, and an equal-count upsert
+    replaced rows key-for-key — both keep the old filter exact)."""
+    return {
+        b for b in affected
+        if rows_of(fresh[b]) != rows_of(old_stats.get(str(b), []))
+    }
+
+
 def probe(payload: bytes, meta: dict, key) -> bool:
     """True = MAYBE present, False = definitely absent. `key` is a
     python str or int matching the store's key type."""

@@ -63,6 +63,27 @@ def _stats_value_to_py(v: Any, typ: str) -> Any:
     return v
 
 
+def _combine_extreme(fn: str, a, b):
+    """min/max combine with SQL/Spark NaN semantics (NaN is GREATER
+    than every other double; Python's min/max are order-dependent on
+    NaN and would silently drop it). Stats-side bounds are never NaN
+    (_json_safe_pair drops non-finite blocks to the decode path), so
+    only decoded partials can introduce one."""
+    import math
+
+    a_nan = isinstance(a, float) and math.isnan(a)
+    b_nan = isinstance(b, float) and math.isnan(b)
+    if fn == "max":
+        if a_nan or b_nan:
+            return float("nan")
+        return max(a, b)
+    if a_nan:
+        return b
+    if b_nan:
+        return a
+    return min(a, b)
+
+
 def _entries(stats: list[dict], col: str) -> list[dict]:
     return [s for s in stats if s["column"] == col]
 
@@ -88,6 +109,11 @@ def _bucket_contained(stats: list[dict], key: str,
             return False
         for s in ents:
             if s.get("znull") is None or s["znull"] != 0:
+                return False
+            if schema[col] == "double" and s.get("znan") != 0:
+                # NaN rows satisfy no comparison, but zone bounds are
+                # NaN-blind (Arrow min_max skips NaN): a block with
+                # NaNs is never provably all-matching
                 return False
             rng = (s["zmin"], s["zmax"]) if "zmin" in s and "zmax" in s \
                 else None
@@ -193,13 +219,36 @@ def agg_table(spark: SparkSession, out_dir: str,
         # stay entry-granular)
         if typ in _EXACT_BOUND_TYPES:
             best = None
+
+            def _take(v):
+                nonlocal best
+                best = v if best is None else _combine_extreme(fn, best, v)
+
             for b in contained:
                 for s in _entries(blocks.get(str(b), []), col):
+                    if typ == "double":
+                        # doubles need NaN accounting: bounds are
+                        # NaN-blind, SQL extremes are not (NaN is the
+                        # greatest double; min of only-NaNs is NaN)
+                        znull, znan = s.get("znull"), s.get("znan")
+                        if znull is None or znan is None:
+                            decode_of[i].add(b)  # pre-znan snapshot /
+                            # pandas-path block: NaNs unknowable
+                            continue
+                        live = int(s.get("n_rows", 0)) - znull
+                        if live == 0:
+                            continue
+                        if znan > 0:
+                            _take(float("nan"))
+                        if live - znan > 0:
+                            if "zmin" in s:
+                                _take(s["zmin"] if fn == "min"
+                                      else s["zmax"])
+                            else:  # finite rows without bounds: +/-inf
+                                decode_of[i].add(b)
+                        continue
                     if "zmin" in s and "zmax" in s:
-                        v = s["zmin"] if fn == "min" else s["zmax"]
-                        best = v if best is None else (
-                            min(best, v) if fn == "min" else max(best, v)
-                        )
+                        _take(s["zmin"] if fn == "min" else s["zmax"])
                     elif s.get("znull") == s.get("n_rows"):
                         pass
                     else:
@@ -281,8 +330,7 @@ def agg_table(spark: SparkSession, out_dir: str,
             elif results[i] is None:
                 results[i] = v
             else:
-                results[i] = min(results[i], v) if fn == "min" \
-                    else max(results[i], v)
+                results[i] = _combine_extreme(fn, results[i], v)
 
     out = {}
     for i, (fn, col) in enumerate(aggs):
@@ -302,9 +350,6 @@ def agg_table_df(spark: SparkSession, out_dir: str,
         raise FileNotFoundError(f"no manifest in {out_dir}")
     schema = manifest.ordered_schema(m)
     res = agg_table(spark, out_dir, aggs, filters=filters, version=version)
-    _SPARK_T = {"int64": "bigint", "double": "double", "string": "string",
-                "binary": "binary", "timestamp": "timestamp",
-                "timestamp_ntz": "timestamp_ntz"}
     fields = []
     for fn, col in aggs:
         name = "count_star" if col == "*" else f"{fn}_{col}"
@@ -312,8 +357,8 @@ def agg_table_df(spark: SparkSession, out_dir: str,
             t = "bigint"
         elif fn == "sum":
             t = "bigint" if schema[col] == "int64" else "double"
-        else:
-            t = _SPARK_T[schema[col]]
+        else:  # canonical map: keeps float_array etc. in sync
+            t = manifest.SPARK_DDL_TYPES[schema[col]]
         fields.append(f"`{name}` {t}")
     return spark.createDataFrame(
         [tuple(res["count_star" if c == "*" else f"{f}_{c}"]

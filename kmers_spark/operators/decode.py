@@ -461,6 +461,10 @@ def _bloom_prune(out_dir: str, m: dict, key_col: str,
     if not bb or "wave_dirs" not in m:
         return set(bucket_keys)
     wb = m.get("wave_buckets", {})
+    # hoist: the per-wave bucket lists are up to num_buckets long —
+    # materialize their sets once, not per (bucket, wave) iteration
+    wb_sets = {d: set(v) for d, v in wb.items()}
+    bb_sets = {d: set(v) for d, v in bb.items()}
     ktype = m["schema"].get(key_col)
     keep: set[int] = set()
     listings: dict[str, dict[int, list[str]]] = {}
@@ -477,9 +481,9 @@ def _bloom_prune(out_dir: str, m: dict, key_col: str,
             probes = typed
         maybe = False
         for d in m["wave_dirs"]:
-            if d in wb and b not in set(wb[d]):
+            if d in wb_sets and b not in wb_sets[d]:
                 continue  # wave provably doesn't hold this bucket
-            if d not in bb or b not in set(bb[d]):
+            if b not in bb_sets.get(d, ()):
                 maybe = True  # wave may hold the bucket, no filter
                 break
             listing = listings.get(d)

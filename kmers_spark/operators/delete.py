@@ -242,6 +242,7 @@ def collect_fresh_stats(spark: SparkSession, new_dir: str, affected: list,
             F.get_json_object(F.col("meta"), "$.zmax").alias("zmax"),
             F.get_json_object(F.col("meta"), "$.znull").alias("znull"),
             F.get_json_object(F.col("meta"), "$.zsum").alias("zsum"),
+            F.get_json_object(F.col("meta"), "$.znan").alias("znan"),
         )
         .collect()
     )
@@ -264,6 +265,8 @@ def collect_fresh_stats(spark: SparkSession, new_dir: str, affected: list,
             st["znull"] = int(r["znull"])
         if r["zsum"] is not None:
             st["zsum"] = int(r["zsum"])
+        if r["znan"] is not None:
+            st["znan"] = int(r["znan"])
         fresh.setdefault(int(r["bucket"]), []).append(st)
         if r["key_meta"] is not None:
             km = json.loads(r["key_meta"])
@@ -441,10 +444,7 @@ def delete_keys(spark: SparkSession, out_dir: str,
     # buckets whose key set shrank; buckets whose rows are unchanged
     # (zero-hit verbatim, or co-resident unaffected) keep exact old
     # filters — copy those forward into the new wave
-    changed = {
-        b for b in affected
-        if _rows_of(fresh[b]) != _rows_of(old_stats.get(str(b), []))
-    }
+    changed = _bloomkern.changed_buckets(affected, fresh, old_stats, _rows_of)
     new_bloom = _bloomkern.carry_forward(out_dir, m, retired, new_dir, changed)
 
     retired_set = set(retired)
@@ -513,16 +513,7 @@ def delete_keys(spark: SparkSession, out_dir: str,
                     kr[str(b)] = key_ranges[b]
                 else:  # bucket emptied, or range unknowable: no stale bound
                     kr.pop(str(b), None)
-        bbm = cur.get("bloom_buckets")
-        if bbm or new_bloom:
-            bbm = {k: v for k, v in (bbm or {}).items()
-                   if k not in retired_set}
-            if new_bloom:
-                bbm[new_rel] = new_bloom
-            if bbm:
-                cur["bloom_buckets"] = bbm
-            else:
-                cur.pop("bloom_buckets", None)
+        _bloomkern.swap_registration(cur, retired_set, new_rel, new_bloom)
         return cur
 
     m2 = manifest.commit(out_dir, swap)

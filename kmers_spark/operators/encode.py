@@ -93,10 +93,16 @@ def make_encode_fn(schema: dict[str, str], key: str,
                 meta = {**meta, "zmin": zb[0], "zmax": zb[1]}
             # null count + (overflow-safe) int sum: metadata-only
             # aggregates (agg.agg_table) answer count(col)/sum(col)
-            # from these without touching the payload
-            meta = {**meta, "znull": int(s.isna().sum())}
-            if typ == "int64" and zb is not None:
-                nn = len(s) - meta["znull"]
+            # from these without touching the payload. Pandas-path
+            # caveats (absent stats degrade agg_table to decode, never
+            # to wrong answers): doubles get no znull (pandas cannot
+            # tell a genuine NaN value from a null), and zsum requires
+            # an exact integer dtype (a nullable int64 delivered as
+            # float64 would round values >= 2^53 through the cast)
+            if typ != "double":
+                meta = {**meta, "znull": int(s.isna().sum())}
+            if typ == "int64" and zb is not None and s.dtype.kind == "i":
+                nn = len(s) - int(s.isna().sum())
                 if nn and max(abs(zb[0]), abs(zb[1])) * nn < 2**62:
                     meta = {**meta, "zsum": int(
                         s.dropna().to_numpy(dtype="int64").sum()
@@ -184,8 +190,17 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
             if zb is not None:
                 meta = {**meta, "zmin": zb[0], "zmax": zb[1]}
             # null count + (overflow-safe) int sum for metadata-only
-            # aggregates — see make_encode_fn
+            # aggregates — see make_encode_fn. Doubles also record a
+            # NaN count: Arrow's min_max SKIPS NaN, so zone bounds are
+            # NaN-blind (sound for pruning — NaN matches no comparison)
+            # but SQL max must return NaN when one exists, and a
+            # filter-contained block must not count NaN rows as
+            # matching; znan lets agg_table know without decoding
             meta = {**meta, "znull": arr.null_count}
+            if typ == "double":
+                meta = {**meta, "znan": int(
+                    pc.sum(pc.is_nan(arr)).as_py() or 0
+                )}
             if typ == "int64" and zb is not None:
                 nn = len(arr) - arr.null_count
                 if nn and max(abs(zb[0]), abs(zb[1])) * nn < 2**62:
@@ -492,6 +507,7 @@ def encode_table(
                     F.get_json_object(F.col("meta"), "$.zmax").alias("zmax"),
                     F.get_json_object(F.col("meta"), "$.znull").alias("znull"),
                     F.get_json_object(F.col("meta"), "$.zsum").alias("zsum"),
+                    F.get_json_object(F.col("meta"), "$.znan").alias("znan"),
                 )
                 .collect()
             )
@@ -520,6 +536,8 @@ def encode_table(
                     stat["znull"] = int(r["znull"])
                 if r["zsum"] is not None:
                     stat["zsum"] = int(r["zsum"])
+                if r["znan"] is not None:
+                    stat["znan"] = int(r["znan"])
                 stats.setdefault(int(r["bucket"]), []).append(stat)
                 if r["key_meta"] is not None:
                     km = json.loads(r["key_meta"])
@@ -769,15 +787,7 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
                 m["stats_files"].append(new_stats_rel)
             if not m["stats_files"]:
                 del m["stats_files"]
-        bbm = m.get("bloom_buckets")
-        if bbm or new_bloom:
-            bbm = {k: v for k, v in (bbm or {}).items() if k not in old_set}
-            if new_bloom:
-                bbm[new_rel] = new_bloom
-            if bbm:
-                m["bloom_buckets"] = bbm
-            else:
-                m.pop("bloom_buckets", None)
+        bloomkern.swap_registration(m, old_set, new_rel, new_bloom)
         return m
 
     m = manifest.commit(out_dir, swap)

@@ -316,10 +316,7 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
     # Bloom sidecars: fresh filters were side-written for re-encoded
     # buckets; verbatim buckets' key sets are unchanged, so their old
     # filters stay exact and are copied forward (delete_keys' rule)
-    changed = {
-        b for b in affected
-        if _rows_of(fresh[b]) != _rows_of(old_stats.get(str(b), []))
-    }
+    changed = _bloomkern.changed_buckets(affected, fresh, old_stats, _rows_of)
     new_bloom = _bloomkern.carry_forward(out_dir, m, retired, new_dir, changed)
 
     retired_set = set(retired)
@@ -393,16 +390,7 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
                     kr[str(b)] = key_ranges[b]
                 else:
                     kr.pop(str(b), None)
-        bbm = cur.get("bloom_buckets")
-        if bbm or new_bloom:
-            bbm = {k: v for k, v in (bbm or {}).items()
-                   if k not in retired_set}
-            if new_bloom:
-                bbm[new_rel] = new_bloom
-            if bbm:
-                cur["bloom_buckets"] = bbm
-            else:
-                cur.pop("bloom_buckets", None)
+        _bloomkern.swap_registration(cur, retired_set, new_rel, new_bloom)
         return cur
 
     m2 = manifest.commit(out_dir, swap)

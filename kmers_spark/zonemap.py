@@ -282,7 +282,14 @@ def arrow_mask(get_col, norm: list[tuple]):
         arr = get_col(col)
         if pa.types.is_timestamp(arr.type):
             arr = arr.cast(pa.int64())
-        if op == "in":
+        if pa.types.is_floating(arr.type):
+            # Spark SQL and DuckDB both order NaN as the GREATEST
+            # double (NaN >= x is true, NaN = NaN is true), while
+            # Arrow compares IEEE (all false). The kernel mask runs
+            # BEFORE the JVM residual filter, so it must replicate
+            # engine semantics or NaN rows vanish from the result.
+            m = _float_mask_arrow(arr, op, bv, pa, pc)
+        elif op == "in":
             m = pc.is_in(arr, value_set=pa.array(list(bv), type=arr.type))
         else:
             fn = {"=": pc.equal, "<": pc.less, "<=": pc.less_equal,
@@ -293,8 +300,48 @@ def arrow_mask(get_col, norm: list[tuple]):
     return mask
 
 
+def _float_mask_arrow(arr, op: str, bv, pa, pc):
+    """Float comparison mask with Spark/DuckDB NaN-greatest semantics."""
+    isnan = pc.fill_null(pc.is_nan(arr), False)
+
+    def finite_cmp(o, v):
+        fn = {"=": pc.equal, "<": pc.less, "<=": pc.less_equal,
+              ">": pc.greater, ">=": pc.greater_equal}[o]
+        return fn(arr, pa.scalar(v, type=arr.type))
+
+    if op == "in":
+        vals = [v for v in bv
+                if not (isinstance(v, float) and math.isnan(v))]
+        m = pc.is_in(arr, value_set=pa.array(vals, type=arr.type)) \
+            if vals else pc.and_(isnan, pc.invert(isnan))  # all-false
+        if len(vals) != len(list(bv)):  # a NaN member matches NaN rows
+            m = pc.or_(pc.fill_null(m, False), isnan)
+        return m
+    nan_lit = isinstance(bv, float) and math.isnan(bv)
+    if not nan_lit:
+        m = finite_cmp(op, bv)
+        if op in (">", ">="):  # NaN is greater than every finite value
+            m = pc.or_(pc.fill_null(m, False), isnan)
+        return m
+    # NaN literal: x > NaN never; x >= NaN / x = NaN only NaN rows;
+    # x < NaN every non-NaN row; x <= NaN every row
+    valid = pc.is_valid(arr)
+    if op == ">":
+        return pc.and_(isnan, pc.invert(isnan))  # all-false
+    if op in (">=", "="):
+        return isnan
+    if op == "<":
+        return pc.and_(valid, pc.invert(isnan))
+    return valid  # "<="
+
+
 def pandas_mask(get_col, norm: list[tuple], schema: dict[str, str]):
-    """numpy twin of arrow_mask for the pandas decode fallback path."""
+    """numpy twin of arrow_mask for the pandas decode fallback path.
+
+    Known limitation (legacy path only — every Spark 4 deployment takes
+    the Arrow kernels): pandas conflates null and NaN in float columns,
+    so this mask cannot replicate Spark's NaN-is-greatest comparison
+    semantics for doubles; NaN rows filter like nulls here."""
     import numpy as np
 
     mask = None
@@ -340,7 +387,11 @@ def prune_buckets(m: dict, filters: list[tuple],
         # overwriting would prune rows the earlier generations hold
         ranges: dict = {}
         n_seen: dict = {}
+        nanless: dict = {}  # double cols: every entry proves znan == 0
         for s in stats:
+            nanless[s["column"]] = (
+                nanless.get(s["column"], True) and s.get("znan") == 0
+            )
             if "zmin" not in s or "zmax" not in s:
                 # a generation without recorded bounds voids the
                 # column's range (its values are unbounded)
@@ -354,8 +405,24 @@ def prune_buckets(m: dict, filters: list[tuple],
                 ranges[s["column"]] = (min(lo, s["zmin"]), max(hi, s["zmax"]))
             elif cnt == 0:
                 ranges[s["column"]] = (s["zmin"], s["zmax"])
+        schema = m.get("schema", {})
         ok = True
         for col, op, bv, _orig in filters:
+            if schema.get(col) == "double":
+                # zone bounds are NaN-blind (Arrow min_max skips NaN)
+                # but Spark/DuckDB order NaN as the GREATEST double: a
+                # bucket that may hold NaN can match any >/>= predicate
+                # regardless of its finite bounds, and a NaN literal's
+                # match set is disjoint from what finite bounds can
+                # disprove — keep the bucket in both cases
+                if isinstance(bv, float) and math.isnan(bv):
+                    continue
+                if op == "in" and any(
+                    isinstance(v, float) and math.isnan(v) for v in bv
+                ):
+                    continue
+                if op in (">", ">=") and not nanless.get(col, False):
+                    continue
             if not may_match(ranges.get(col), op, bv):
                 ok = False
                 break

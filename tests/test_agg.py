@@ -388,3 +388,80 @@ def test_in_filter_containment(spark, pages, hash_store):
     fdf = pages.filter(F.col("lang").isin(langs))
     c, mn = _truth(fdf, [F.count(F.lit(1)), F.min("warc_ts")])
     assert r == {"count_star": c, "min_warc_ts": mn}
+
+
+def test_double_nan_max_semantics(spark, tmp_path):
+    """Spark/SQL treat NaN as GREATER than every double; the stats/
+    decoded combine must not drop a decoded NaN (Python's max is
+    order-dependent on NaN)."""
+    rows = ([(f"a{i:03d}", float(i)) for i in range(200)] +
+            [("nankey", float("nan"))] +
+            [(f"z{i:03d}", float(i)) for i in range(200)])
+    df = spark.createDataFrame(rows, "k string, d double")
+    out = str(tmp_path / "snap")
+    encode_table(df, out, key="k", num_buckets=4)
+    import math
+    r = agg_table(spark, out, [("max", "d"), ("min", "d")])
+    truth_max, truth_min = _truth(df, [F.max("d"), F.min("d")])
+    assert math.isnan(truth_max) and math.isnan(r["max_d"])
+    assert r["min_d"] == truth_min == 0.0
+
+
+def test_pandas_encoder_stats_honesty():
+    """The applyInPandas fallback must NOT record stats it cannot
+    compute exactly: no znull for doubles (pandas can't tell NaN from
+    null) and no zsum for float64-backed int columns (values >= 2^53
+    would round through the cast). Absent stats degrade agg_table to
+    decode — never to a wrong stats-first answer."""
+    import json as _json
+
+    import pandas as pd
+
+    from kmers_spark.operators.encode import make_encode_fn
+
+    pdf = pd.DataFrame({
+        "k": [f"k{i}" for i in range(10)],
+        "v": pd.array([2**60 + i for i in range(10)],
+                      dtype="float64"),  # float-backed "int64" column
+        "d": [float("nan"), 1.0] * 5,
+        "bucket": [0] * 10,
+    })
+    fn = make_encode_fn({"k": "string", "v": "int64", "d": "double"},
+                    "k", None)
+    out = fn(pdf)
+    metas = {r["column"]: _json.loads(r["meta"]) for _, r in out.iterrows()}
+    assert "zsum" not in metas["v"]  # inexact dtype: no recorded sum
+    assert "znull" not in metas["d"]  # NaN-vs-null ambiguity: no count
+    assert metas["k"]["znull"] == 0
+
+
+def test_double_filter_nan_semantics(spark, tmp_path):
+    """Spark SQL (and DuckDB) order NaN as the GREATEST double: NaN
+    rows MATCH >/>= predicates and fail </<=. Zone bounds are NaN-blind
+    (Arrow min_max skips NaN), so containment (znan), bucket pruning,
+    and the Arrow kernel mask all carry explicit NaN handling — the
+    engine must agree with Spark's own filter on every operator."""
+    rows = [(f"k{i:03d}", float(i % 50)) for i in range(300)]
+    rows += [(f"n{i:03d}", float("nan")) for i in range(40)]
+    # NOT cached: Spark's InMemoryRelation filters NaN IEEE-style
+    # (a known engine inconsistency), while uncached Spark and DuckDB
+    # are NaN-greatest — the canonical semantics this engine targets
+    df = spark.createDataFrame(rows, "k string, d double")
+    out = str(tmp_path / "snap")
+    encode_table(df, out, key="k", num_buckets=4)
+    for filt, cond in [
+        ([("d", ">=", 0.0)], F.col("d") >= 0.0),    # NaN rows match
+        ([("d", ">", 49.0)], F.col("d") > 49.0),    # only NaN rows
+        ([("d", "<", 10.0)], F.col("d") < 10.0),    # NaN rows fail
+        ([("d", "<=", 60.0)], F.col("d") <= 60.0),  # NaN rows fail
+    ]:
+        r = agg_table(spark, out, [("count", "*")], filters=filt)
+        want = df.filter(cond).count()
+        assert r["count_star"] == want, (filt, r, want)
+    # the scan path must agree too (same mask + pruning layers)
+    from kmers_spark.operators.decode import scan_table
+    assert scan_table(spark, out, [("d", ">", 49.0)]).count() ==         df.filter(F.col("d") > 49.0).count() == 40
+    # max over the filtered store: the only matching rows are NaN
+    import math
+    r2 = agg_table(spark, out, [("max", "d")])
+    assert math.isnan(r2["max_d"])

@@ -78,3 +78,17 @@ def test_lane_kernels_match_bitmatrix_oracle():
             assert np.array_equal(bp.unpack(got, width, n), codes)
             assert np.array_equal(
                 bp._unpack_bitmatrix(got, width, n), codes)
+
+
+def test_unpack_tolerates_trailing_slack():
+    """The bit-matrix implementation accepted buffers longer than
+    packed_nbytes (trailing padding); the lane kernels must too."""
+    import numpy as np
+
+    from kmers_spark.kernels import bitpack as bp
+
+    rng = np.random.default_rng(9)
+    for width in (3, 5, 7, 13, 17, 33, 57):
+        codes = rng.integers(0, 1 << width, size=101, dtype=np.uint64)
+        buf = bp.pack(codes, width) + b"\x00" * 37  # slack
+        assert np.array_equal(bp.unpack(buf, width, 101), codes)
