@@ -129,14 +129,35 @@ def agg_table(spark: SparkSession, out_dir: str,
     """Exact aggregates over the store with stats-first evaluation.
 
     `aggs` is a list of (fn, column) with fn in {"count", "min", "max",
-    "sum"}; column "*" is allowed for count. Returns {"fn_col": value}
-    ("count_star" for count(*)), with SQL semantics: count(col) skips
-    nulls, min/max skip nulls and return None on no rows, sum returns
-    None on no (non-null) rows. `filters` uses the scan_table triple
-    syntax, ANDed. `version` pins a time-travel read.
+    "sum", "avg"}; column "*" is allowed for count. Returns
+    {"fn_col": value} ("count_star" for count(*)), with SQL semantics:
+    count(col) skips nulls, min/max skip nulls and return None on no
+    rows, sum/avg return None on no (non-null) rows. avg is derived —
+    internally evaluated as sum(col)/count(col), so it inherits their
+    stats-first evaluation (metadata-only for unfiltered int64
+    columns). `filters` uses the scan_table triple syntax, ANDed.
+    `version` pins a time-travel read.
     """
     if not aggs:
         raise ValueError("aggs must not be empty")
+    if any(fn == "avg" for fn, _c in aggs):
+        inner = []
+        for fn, col in aggs:
+            if fn == "avg":
+                inner.extend([("sum", col), ("count", col)])
+            else:
+                inner.append((fn, col))
+        res = agg_table(spark, out_dir, inner, filters=filters,
+                        version=version)
+        out = {}
+        for fn, col in aggs:
+            if fn == "avg":
+                s, c = res[f"sum_{col}"], res[f"count_{col}"]
+                out[f"avg_{col}"] = None if not c or s is None else s / c
+            else:
+                out["count_star" if col == "*" else f"{fn}_{col}"] = \
+                    res["count_star" if col == "*" else f"{fn}_{col}"]
+        return out
     m, pin = (manifest.load_with_version(out_dir) if version is None
               else (manifest.load(out_dir, version=version), version))
     if m is None:
@@ -355,6 +376,8 @@ def agg_table_df(spark: SparkSession, out_dir: str,
         name = "count_star" if col == "*" else f"{fn}_{col}"
         if fn == "count":
             t = "bigint"
+        elif fn == "avg":
+            t = "double"
         elif fn == "sum":
             t = "bigint" if schema[col] == "int64" else "double"
         else:  # canonical map: keeps float_array etc. in sync

@@ -465,3 +465,22 @@ def test_double_filter_nan_semantics(spark, tmp_path):
     import math
     r2 = agg_table(spark, out, [("max", "d")])
     assert math.isnan(r2["max_d"])
+
+
+def test_avg_derived(spark, typed, monkeypatch):
+    df, out = typed
+    _no_decode(monkeypatch)  # int64 avg stays metadata-only
+    r = agg_table(spark, out, [("avg", "v"), ("count", "*")])
+    av, c = _truth(df, [F.avg("v"), F.count(F.lit(1))])
+    assert abs(r["avg_v"] - av) < 1e-9 and r["count_star"] == c
+    assert agg_table(spark, out, [("avg", "nil")]) == {"avg_nil": None}
+
+
+def test_avg_filtered_and_df(spark, typed):
+    df, out = typed
+    r = agg_table(spark, out, [("avg", "v")],
+                  filters=[("v", ">=", 0)])
+    want = df.filter(F.col("v") >= 0).agg(F.avg("v")).collect()[0][0]
+    assert abs(r["avg_v"] - want) < 1e-9
+    adf = agg_table_df(spark, out, [("avg", "v")])
+    assert dict(adf.dtypes)["avg_v"] == "double"
