@@ -286,7 +286,33 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_prune_roundtrip": _delete_prune_roundtrip,
         "upsert_merge_roundtrip": _upsert_merge_roundtrip,
         "agg_store_range": _agg_store_range,
+        "scan_bloom_eq": _scan_bloom_eq,
     }
+
+
+def _scan_bloom_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column Bloom sidecars (encode bloom_columns=, kernels/bloom.py):
+    equality probes on a high-cardinality NON-key column prune buckets
+    zone bounds never can on a hash-bucketed store (every bucket's
+    min/max spans the probe). The IN probe mixes min(user_id) with
+    min-1 (provably absent): present value decodes only its holding
+    buckets, the absent one costs a ~KB driver-side filter read.
+    Result contract is plain SQL, so the oracle is the same predicate.
+    Idempotent per sf_dir (encode resume no-ops)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kmers_spark.operators.decode import scan_table
+    from kmers_spark.operators.encode import encode_table
+
+    out = ("/tmp/kmers_scan_store_bloom_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    encode_table(df, out, key="event_id", num_buckets=8, detect_skew=False,
+                 bloom_columns=["user_id"])
+    lo = df.agg(F.min("user_id")).first()[0]
+    return scan_table(spark, out, [("user_id", "in", [lo, lo - 1])])
 
 
 def _agg_store_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,6 +898,11 @@ def extra_oracle_sql() -> dict[str, str]:
             "FROM documents WHERE n_chars >= 100 AND n_chars < 300"
         ),
         "codec_plain_doubles": "SELECT event_id, value FROM events",
+        "scan_bloom_eq": (
+            "SELECT * FROM events WHERE user_id IN "
+            "((SELECT min(user_id) FROM events), "
+            "(SELECT min(user_id) - 1 FROM events))"
+        ),
         "minhash_signatures": (
             f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}) "
             "SELECT doc_id, perm, min(md5(perm::VARCHAR || ':' || shingle)) AS sig "

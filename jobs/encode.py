@@ -42,6 +42,12 @@ def main() -> None:
         "pruning effective for range scans on COL)",
     )
     ap.add_argument(
+        "--bloom-column", action="append", default=[], metavar="COL",
+        help="build per-bucket Bloom sidecars over this non-key "
+        "string/int64 column (repeatable): scans with = / IN predicates "
+        "on it prune buckets driver-side where zone bounds can't",
+    )
+    ap.add_argument(
         "--codec", action="append", default=[], metavar="COL=CODEC",
         help="per-column codec override (repeatable), e.g. html=words_seg "
         "for scan-optimized segmented storage or text=fsst; unset columns "
@@ -71,6 +77,7 @@ def main() -> None:
         commit_every=args.commit_every,
         codec_overrides=overrides or None,
         cluster_by=args.cluster_by,
+        bloom_columns=args.bloom_column or None,
     )
     totals = {"raw": 0, "enc": 0}
     from kmers_spark import manifest

@@ -105,6 +105,11 @@ def plan_bucket_partitions(path: str, m: dict, buckets, cols: list[str],
         parts.append(InputPartition((
             bs, paths, {b: sorted(missing.get(b, ())) for b in bs}
         )))
+    if not parts:
+        # every bucket pruned (zone bounds / Bloom filters): Spark's
+        # Python DataSource requires >= 1 partition — ship one empty
+        # one (read() yields nothing for an empty path list)
+        parts.append(InputPartition(([], [], {})))
     return parts
 
 
@@ -231,6 +236,12 @@ class KmersReader(DataSourceReader):
             if norm
             else list(self.m.get("committed_buckets", []))
         )
+        if norm:
+            # column Bloom sidecars (encode bloom_columns=): driver-side
+            # equality-probe pruning, same layer scan_table applies
+            from .operators.decode import bloom_prune_filters
+
+            buckets = bloom_prune_filters(self.path, self.m, norm, buckets)
         return plan_bucket_partitions(self.path, self.m, buckets,
                                       list(self.full_schema), blocks=blocks,
                                       buckets_per_task=self.buckets_per_task)
@@ -245,6 +256,8 @@ class KmersReader(DataSourceReader):
 
         vals = partition.value
         bucket_list, paths, miss_map = vals[0], vals[1], vals[2]
+        if not paths:  # the all-pruned placeholder partition
+            return iter(())
         # stream partitions carry a 4th element with the manifest bits
         # read() needs (streamed flag, key, per-wave evolution
         # allowance): the STREAM reader instance is pickled to

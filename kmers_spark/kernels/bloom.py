@@ -29,6 +29,18 @@ bucket), dropping buckets where every probe key tests negative — an
 absent key INSIDE a bucket's recorded key range then costs a ~KB
 metadata read instead of a bucket decode.
 
+`encode_table(bloom_columns=[...])` extends the same machinery to
+NON-key string/int64 columns: per-bucket sidecars named
+c<bucket>_<colhex>_<uuid>.bloom, registered per wave under manifest
+`bloom_cols` ({column: [buckets]}), probed by scan_table /
+the DataSource / agg_table for `=` and `in` predicates — the pruning
+layer zone bounds cannot provide on high-cardinality equality probes
+(an exact URL is inside every bucket's min/max on a hash-bucketed
+store, but in only ~1 bucket's filter). Mutations regenerate rewritten
+buckets' column filters in the same kernel pass; upsert never carries
+an affected bucket's old column filter forward (equal-count upserts
+keep the key SET but may change every VALUE — see carry_forward).
+
 Hashing is engine-defined (recorded in the row's meta as `algo`), NOT
 Spark's xxhash64: it must run vectorized over Arrow string buffers in
 the encode kernel and per-key in pure Python at probe time. Scheme
@@ -308,6 +320,22 @@ def write_sidecar(bloom_dir: str, bucket: int, payload: bytes,
     return write_named(bloom_dir, sidecar_name(bucket), payload, meta)
 
 
+def col_sidecar_name(bucket: int, col: str) -> str:
+    """Sidecar name for a NON-key column filter (`bloom_columns=`):
+    the column name rides hex-encoded so parsing never fights the
+    underscores/uuid layout and arbitrary column names stay legal.
+    Starts with 'c', so list_sidecars (key filters, 'b' prefix)
+    ignores these and pre-column-bloom readers never misparse one."""
+    return (f"c{int(bucket)}_{col.encode('utf-8').hex()}_"
+            f"{uuid.uuid4().hex[:12]}{SUFFIX}")
+
+
+def write_col_sidecar(bloom_dir: str, bucket: int, col: str,
+                      payload: bytes, meta: dict) -> str:
+    return write_named(bloom_dir, col_sidecar_name(bucket, col),
+                       payload, {**meta, "column": col})
+
+
 def read_sidecar(path: str) -> tuple[bytes, dict]:
     with open(path, "rb") as f:
         (hlen,) = struct.unpack("<I", f.read(4))
@@ -335,18 +363,59 @@ def list_sidecars(bloom_dir: str) -> dict[int, list[str]]:
     return out
 
 
-def carry_forward(out_dir: str, m: dict, retired: list[str],
-                  new_dir: str, changed: set[int]) -> list[int]:
+def list_col_sidecars(bloom_dir: str) -> dict[str, dict[int, list[str]]]:
+    """{column: {bucket: [paths]}} of completed NON-key column sidecars
+    (c<bucket>_<colhex>_<uuid>.bloom). Unparseable names are skipped —
+    a reader never errors on foreign files in the dir."""
+    try:
+        names = os.listdir(bloom_dir)
+    except FileNotFoundError:
+        return {}
+    out: dict[str, dict[int, list[str]]] = {}
+    for n in names:
+        if not (n.startswith("c") and n.endswith(SUFFIX)):
+            continue
+        parts = n[1 : -len(SUFFIX)].split("_")
+        if len(parts) != 3:
+            continue
+        try:
+            b = int(parts[0])
+            col = bytes.fromhex(parts[1]).decode("utf-8")
+        except ValueError:
+            continue
+        out.setdefault(col, {}).setdefault(b, []).append(
+            os.path.join(bloom_dir, n)
+        )
+    return out
+
+
+def carry_forward(
+    out_dir: str, m: dict, retired: list[str], new_dir: str,
+    changed: set[int], changed_cols: set[int] | None = None,
+) -> tuple[list[int], dict[str, list[int]]]:
     """Consolidating rewrites (delete/upsert) retire whole wave dirs;
     buckets that passed through verbatim keep EXACTLY their old key
     set, so their old filters stay exact — copy them into the new
     wave's bloom dir (small driver-side metadata copies, the spilled-
     stats consolidation pattern). `changed` buckets (key set altered,
     fresh filter side-written by the re-encode kernel or intentionally
-    absent for an emptied bucket) are never copied. Returns the new
-    wave's full bloom-bucket list for the manifest swap."""
+    absent for an emptied bucket) are never copied.
+
+    `changed_cols` plays the same role for NON-key column sidecars
+    (bloom_cols registration) and may be WIDER than `changed`: an
+    equal-count upsert replaces rows key-for-key (old KEY filter stays
+    exact) but may change every non-key VALUE, so upsert passes its
+    whole affected set here — a stale value filter would prune rows
+    that exist. Defaults to `changed` (delete: verbatim pass-through
+    keeps all values, so count-unchanged buckets are exact for every
+    column).
+
+    Returns (key bloom-bucket list, {column: bucket list}) for the
+    manifest swap."""
     import shutil
 
+    if changed_cols is None:
+        changed_cols = changed
     bdir = os.path.join(new_dir, BLOOM_DIR)
     have = set(list_sidecars(bdir))
     bb = m.get("bloom_buckets") or {}
@@ -366,11 +435,34 @@ def carry_forward(out_dir: str, m: dict, retired: list[str],
             shutil.copy(paths[0],
                         os.path.join(bdir, os.path.basename(paths[0])))
             copied.add(b)
-    return sorted(have | copied)
+    # column sidecars: same copy rule against the bloom_cols registration
+    col_have = list_col_sidecars(bdir)
+    col_done: dict[str, set[int]] = {c: set(v) for c, v in col_have.items()}
+    bc = m.get("bloom_cols") or {}
+    for d in retired:
+        src_cols = None
+        for col, bkts in (bc.get(d) or {}).items():
+            for b in bkts:
+                b = int(b)
+                if b in col_done.get(col, ()) or b in changed_cols:
+                    continue
+                if src_cols is None:
+                    src_cols = list_col_sidecars(
+                        os.path.join(out_dir, d, BLOOM_DIR)
+                    )
+                paths = (src_cols.get(col) or {}).get(b)
+                if not paths:
+                    continue  # vanished: degrade to no filter
+                os.makedirs(bdir, exist_ok=True)
+                shutil.copy(paths[0],
+                            os.path.join(bdir, os.path.basename(paths[0])))
+                col_done.setdefault(col, set()).add(b)
+    return sorted(have | copied), {c: sorted(v) for c, v in col_done.items()}
 
 
 def swap_registration(cur: dict, retired: set[str], new_rel: str,
-                      new_bloom: list[int]) -> None:
+                      new_bloom: list[int],
+                      new_cols: dict[str, list[int]] | None = None) -> None:
     """Shared manifest-swap step for consolidating rewrites
     (delete/upsert/compact): drop retired waves' bloom registrations,
     register the new wave's. Mutates `cur` in place inside the
@@ -384,6 +476,15 @@ def swap_registration(cur: dict, retired: set[str], new_rel: str,
             cur["bloom_buckets"] = bbm
         else:
             cur.pop("bloom_buckets", None)
+    bcm = cur.get("bloom_cols")
+    if bcm or new_cols:
+        bcm = {k: v for k, v in (bcm or {}).items() if k not in retired}
+        if new_cols:
+            bcm[new_rel] = new_cols
+        if bcm:
+            cur["bloom_cols"] = bcm
+        else:
+            cur.pop("bloom_cols", None)
 
 
 def changed_buckets(affected, fresh: dict, old_stats: dict,

@@ -321,7 +321,9 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
                    wave_dir: str | None = None,
                    key_ranges: dict[int, list] | None = None,
                    spill_threshold: int | None = None,
-                   bloom_buckets: list[int] | None = None) -> dict[str, Any]:
+                   bloom_buckets: list[int] | None = None,
+                   bloom_cols: dict[str, list[int]] | None = None
+                   ) -> dict[str, Any]:
     """Record per-bucket block stats, mark the buckets committed, and
     (Iceberg manifest-list style) register the wave's data directory —
     readers only ever see directories this list names, so a job killed
@@ -416,6 +418,15 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
                 m.setdefault("bloom_buckets", {})[wave_dir] = sorted(
                     int(b) for b in bloom_buckets
                 )
+            if bloom_cols:
+                # NON-key column filters (encode bloom_columns=):
+                # {column: [buckets]} per wave — scan_table's equality
+                # probe prunes a bucket only when every wave holding it
+                # is covered for that column (same degradation rule)
+                m.setdefault("bloom_cols", {})[wave_dir] = {
+                    c: sorted(int(b) for b in v)
+                    for c, v in bloom_cols.items()
+                }
         return m
 
     return commit(out_dir, mutate)

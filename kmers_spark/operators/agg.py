@@ -45,7 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import manifest, zonemap
-from .decode import _filters_expr, decode_colocated, decode_table
+from .decode import (
+    _filters_expr,
+    bloom_prune_filters,
+    decode_colocated,
+    decode_table,
+)
 
 _AGG_FNS = ("count", "min", "max", "sum")
 _EXACT_BOUND_TYPES = ("int64", "timestamp", "timestamp_ntz", "double")
@@ -181,6 +186,11 @@ def agg_table(spark: SparkSession, out_dir: str,
     committed = list(m.get("committed_buckets", []))
     surviving = zonemap.prune_buckets(m, norm, blocks=blocks) if norm \
         else committed
+    if norm:
+        # column Bloom sidecars: a bucket whose filter proves an
+        # equality probe absent holds ZERO matching rows — dropping it
+        # is exact for every aggregate, same as zone-bound pruning
+        surviving = bloom_prune_filters(out_dir, m, norm, surviving)
     contained, straddling = [], []
     for b in surviving:
         bs = blocks.get(str(b), [])

@@ -324,7 +324,7 @@ def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
     `filters` is a list of (column, op, value) with op in zonemap.OPS
     (=, <, <=, >, >=, in), ANDed together — the DataFrame-source
     pushdown contract (Spark's own parquet filter API uses the same
-    triples). Pruning happens in three layers before any payload is
+    triples). Pruning happens in four layers before any payload is
     decompressed:
 
       1. DRIVER, zero Spark jobs: the manifest's per-(bucket, column)
@@ -335,7 +335,11 @@ def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
       2. Wave-dir pruning: surviving buckets select wave dirs via
          wave_buckets (whole directories of a 10^5-bucket snapshot
          never hit the file listing).
-      3. Parquet row-group stats on the bucket column inside the
+      3. Column Bloom sidecars (encode bloom_columns=): an `=`/`in`
+         probe on a filtered column drops buckets whose filters prove
+         the value absent — the layer zone bounds can't provide on
+         high-cardinality equality (still zero Spark jobs).
+      4. Parquet row-group stats on the bucket column inside the
          surviving dirs.
 
     The residual filter is then applied JVM-side on the decoded rows
@@ -382,6 +386,10 @@ def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
     buckets = zonemap.prune_buckets(
         m, norm, blocks=manifest.block_stats(out_dir, m)
     )
+    # 4th pruning layer, still zero Spark jobs: column Bloom sidecars
+    # (encode bloom_columns=) drop buckets where an equality probe
+    # tests definitely-absent — the case zone bounds can't prune
+    buckets = bloom_prune_filters(out_dir, m, norm, buckets)
     if not buckets:
         out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[schema[c]]}" for c in out_cols)
         return spark.createDataFrame([], out_schema)
@@ -447,35 +455,36 @@ def _filters_expr(norm: list[tuple], schema: dict[str, str]):
     return functools.reduce(lambda a, b: a & b, conds)
 
 
-def _bloom_prune(out_dir: str, m: dict, key_col: str,
-                 bucket_keys: dict[int, list]) -> set[int]:
-    """Candidate buckets surviving the Bloom stage: a bucket is dropped
+def _bloom_prune_generic(out_dir: str, m: dict, typ: str,
+                         bucket_probes: dict[int, list],
+                         reg_sets: dict[str, set[int]],
+                         lister) -> set[int]:
+    """Candidate buckets surviving a Bloom stage: a bucket is dropped
     only when EVERY wave dir that may hold it has a manifest-registered
-    sidecar for it (bloom_buckets) and every probe key tests
-    definitely-absent in all of them. Any gap — pre-bloom snapshot,
-    streamed wave, unregistered wave, missing file — keeps the bucket
-    (conservative: Bloom absence may only ever ADD decode work)."""
+    sidecar for it (`reg_sets`: {wave_rel: registered buckets}) and
+    every probe value tests definitely-absent in all of them. Any gap —
+    pre-bloom snapshot, streamed wave, unregistered wave, missing
+    file — keeps the bucket (conservative: Bloom absence may only ever
+    ADD decode work). `lister(abs_bloom_dir)` -> {bucket: [paths]} for
+    whichever filter family (key or one column) is being probed."""
     import os
 
-    bb = m.get("bloom_buckets")
-    if not bb or "wave_dirs" not in m:
-        return set(bucket_keys)
+    if not reg_sets or "wave_dirs" not in m:
+        return set(bucket_probes)
     wb = m.get("wave_buckets", {})
     # hoist: the per-wave bucket lists are up to num_buckets long —
     # materialize their sets once, not per (bucket, wave) iteration
     wb_sets = {d: set(v) for d, v in wb.items()}
-    bb_sets = {d: set(v) for d, v in bb.items()}
-    ktype = m["schema"].get(key_col)
     keep: set[int] = set()
     listings: dict[str, dict[int, list[str]]] = {}
-    for b, probes in bucket_keys.items():
-        if ktype == "int64":
+    for b, probes in bucket_probes.items():
+        if typ == "int64":
             typed = []
             for k in probes:
                 try:
                     typed.append(int(k))
                 except (TypeError, ValueError):
-                    pass  # can't be an int64 key: never present
+                    pass  # can't be an int64 value: never present
             if not typed:
                 continue  # no parseable probe: bucket can't match
             probes = typed
@@ -483,12 +492,12 @@ def _bloom_prune(out_dir: str, m: dict, key_col: str,
         for d in m["wave_dirs"]:
             if d in wb_sets and b not in wb_sets[d]:
                 continue  # wave provably doesn't hold this bucket
-            if b not in bb_sets.get(d, ()):
+            if b not in reg_sets.get(d, ()):
                 maybe = True  # wave may hold the bucket, no filter
                 break
             listing = listings.get(d)
             if listing is None:
-                listing = bloomkern.list_sidecars(
+                listing = lister(
                     os.path.join(out_dir, d, bloomkern.BLOOM_DIR)
                 )
                 listings[d] = listing
@@ -503,6 +512,63 @@ def _bloom_prune(out_dir: str, m: dict, key_col: str,
         if maybe:
             keep.add(b)
     return keep
+
+
+def _bloom_prune(out_dir: str, m: dict, key_col: str,
+                 bucket_keys: dict[int, list]) -> set[int]:
+    """Key-filter stage of lookup_keys — see _bloom_prune_generic."""
+    bb = m.get("bloom_buckets")
+    if not bb:
+        return set(bucket_keys)
+    return _bloom_prune_generic(
+        out_dir, m, m["schema"].get(key_col), bucket_keys,
+        {d: set(v) for d, v in bb.items()}, bloomkern.list_sidecars,
+    )
+
+
+def bloom_prune_filters(out_dir: str, m: dict, norm: list[tuple],
+                        buckets: list[int]) -> list[int]:
+    """Column-filter stage of scan_table: for each `=` / `in` predicate
+    on a column with registered Bloom sidecars (encode bloom_columns=),
+    drop surviving buckets where every probe value tests definitely-
+    absent in every wave's filter. This is the pruning layer zone
+    bounds can't provide on high-cardinality equality probes (an exact
+    URL is inside every bucket's min/max on a hash-bucketed store, but
+    in only ~1 bucket's filter). Probes use the normalized BOUND
+    values (ints already coerced; strings ride untruncated — only zone
+    BOUNDS truncate, filters hash exact values)."""
+    bc = m.get("bloom_cols")
+    if not bc or not buckets:
+        return buckets
+    surviving = set(buckets)
+    for col, op, bv, _value in norm:
+        if op not in ("=", "in") or not surviving:
+            continue
+        typ = m["schema"].get(col)
+        if typ not in ("string", "int64"):
+            continue
+        if not any(col in (reg or {}) for reg in bc.values()):
+            continue  # column never filtered anywhere: skip the listdirs
+        probes = [p for p in (bv if op == "in" else [bv]) if p is not None]
+        if not probes:
+            continue  # NULL never equals anything; leave it to the mask
+        if typ == "string" and not all(
+            isinstance(p, (str, bytes)) for p in probes
+        ):
+            # a non-string literal on a string column goes through
+            # Spark's cast rules, which the filter can't mirror — keep
+            continue
+        reg_sets = {d: set((reg or {}).get(col, ()))
+                    for d, reg in bc.items()}
+
+        def lister(abs_dir: str, _c: str = col) -> dict[int, list[str]]:
+            return bloomkern.list_col_sidecars(abs_dir).get(_c, {})
+
+        surviving = _bloom_prune_generic(
+            out_dir, m, typ, {b: probes for b in surviving},
+            reg_sets, lister,
+        )
+    return sorted(surviving)
 
 
 def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame:

@@ -95,7 +95,8 @@ def _empty_blocks_arrow():
 def _make_delete_fn_arrow(schema: dict[str, str], key: str,
                           overrides: dict[str, str] | None,
                           sort_by: list[str] | None,
-                          bloom_dir: str | None = None):
+                          bloom_dir: str | None = None,
+                          bloom_cols: list[str] | None = None):
     """Cogrouped (block rows of one bucket, doomed keys of that bucket)
     -> new block rows. Decode only happens when a doomed key actually
     hits the bucket; a candidate bucket with zero hits passes its block
@@ -165,7 +166,8 @@ def _make_delete_fn_arrow(schema: dict[str, str], key: str,
         # preserved row order and Arrow's sort is stable, so the
         # re-sort inside is a no-op on already-sorted survivors.
         return make_encode_fn_arrow(sub, key, overrides, sort_by,
-                                    bloom_dir=bloom_dir)(tbl)
+                                    bloom_dir=bloom_dir,
+                                    bloom_cols=bloom_cols)(tbl)
 
     return fn
 
@@ -173,7 +175,8 @@ def _make_delete_fn_arrow(schema: dict[str, str], key: str,
 def _make_delete_fn_pandas(schema: dict[str, str], key: str,
                            overrides: dict[str, str] | None,
                            sort_by: list[str] | None,
-                           bloom_dir: str | None = None):
+                           bloom_dir: str | None = None,
+                           bloom_cols: list[str] | None = None):
     """applyInPandas fallback of _make_delete_fn_arrow (same contract)."""
     import pandas as pd
 
@@ -221,7 +224,8 @@ def _make_delete_fn_pandas(schema: dict[str, str], key: str,
         pdf["bucket"] = bucket_id
         sub = {c: t for c, t in schema.items() if c in data}
         return make_encode_fn(sub, key, overrides, sort_by,
-                              bloom_dir=bloom_dir)(pdf)
+                              bloom_dir=bloom_dir,
+                              bloom_cols=bloom_cols)(pdf)
 
     return fn
 
@@ -416,13 +420,15 @@ def delete_keys(spark: SparkSession, out_dir: str,
     if hasattr(cg, "applyInArrow"):
         rewritten = cg.applyInArrow(
             _make_delete_fn_arrow(schema_order, key_col, overrides, sort_by,
-                                  bloom_dir=bloom_dir),
+                                  bloom_dir=bloom_dir,
+                                  bloom_cols=m.get("bloom_columns")),
             BLOCK_SCHEMA,
         )
     else:
         rewritten = cg.applyInPandas(
             _make_delete_fn_pandas(schema_order, key_col, overrides, sort_by,
-                                   bloom_dir=bloom_dir),
+                                   bloom_dir=bloom_dir,
+                                   bloom_cols=m.get("bloom_columns")),
             BLOCK_SCHEMA,
         )
     (
@@ -445,7 +451,11 @@ def delete_keys(spark: SparkSession, out_dir: str,
     # (zero-hit verbatim, or co-resident unaffected) keep exact old
     # filters — copy those forward into the new wave
     changed = _bloomkern.changed_buckets(affected, fresh, old_stats, _rows_of)
-    new_bloom = _bloomkern.carry_forward(out_dir, m, retired, new_dir, changed)
+    # delete never alters values of surviving rows: a count-unchanged
+    # bucket passed through payload-verbatim, so its COLUMN filters are
+    # exact too — changed_cols defaults to `changed`
+    new_bloom, new_bloom_cols = _bloomkern.carry_forward(
+        out_dir, m, retired, new_dir, changed)
 
     retired_set = set(retired)
     new_rel = _wave_rel(new_dir, out_dir)
@@ -513,7 +523,8 @@ def delete_keys(spark: SparkSession, out_dir: str,
                     kr[str(b)] = key_ranges[b]
                 else:  # bucket emptied, or range unknowable: no stale bound
                     kr.pop(str(b), None)
-        _bloomkern.swap_registration(cur, retired_set, new_rel, new_bloom)
+        _bloomkern.swap_registration(cur, retired_set, new_rel, new_bloom,
+                                     new_bloom_cols)
         return cur
 
     m2 = manifest.commit(out_dir, swap)

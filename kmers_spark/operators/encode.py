@@ -63,7 +63,8 @@ def _raw_nbytes(series: pd.Series, typ: str) -> int:
 def make_encode_fn(schema: dict[str, str], key: str,
                    codec_overrides: dict[str, str] | None,
                    sort_by: list[str] | None = None,
-                   bloom_dir: str | None = None):
+                   bloom_dir: str | None = None,
+                   bloom_cols: list[str] | None = None):
     """Build the applyInPandas group encoder. Everything it captures is a
     small plain dict (cheap closure pickling).
 
@@ -145,6 +146,16 @@ def make_encode_fn(schema: dict[str, str], key: str,
             bl = bloomkern.build_for_key_pandas(pdf[key], schema[key])
             if bl is not None:
                 bloomkern.write_sidecar(bloom_dir, bucket, *bl)
+            # bloom_columns= sidecars: equality-scan pruning on non-key
+            # columns (decode.bloom_prune_filters). A column absent from
+            # this rewrite's sub-schema (evolved gap) is skipped —
+            # readers treat the missing filter as maybe-present.
+            for c in bloom_cols or ():
+                if c == key or c not in schema or c not in pdf.columns:
+                    continue
+                bl = bloomkern.build_for_key_pandas(pdf[c], schema[c])
+                if bl is not None:
+                    bloomkern.write_col_sidecar(bloom_dir, bucket, c, *bl)
         return pd.DataFrame(out)
 
     return encode_group
@@ -153,7 +164,8 @@ def make_encode_fn(schema: dict[str, str], key: str,
 def make_encode_fn_arrow(schema: dict[str, str], key: str,
                          codec_overrides: dict[str, str] | None,
                          sort_by: list[str] | None = None,
-                         bloom_dir: str | None = None):
+                         bloom_dir: str | None = None,
+                         bloom_cols: list[str] | None = None):
     """Arrow-native group encoder (the hot path): rows stay in Arrow
     buffers end-to-end; sort/dictionary/token work happens in C++ and
     the bit-level kernels in numpy. ~10x less allocator traffic than the
@@ -235,6 +247,12 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
             bl = bloomkern.build_for_key_arrow(table.column(key), schema[key])
             if bl is not None:
                 bloomkern.write_sidecar(bloom_dir, bucket, *bl)
+            for c in bloom_cols or ():  # bloom_columns= — see make_encode_fn
+                if c == key or c not in schema or c not in table.column_names:
+                    continue
+                bl = bloomkern.build_for_key_arrow(table.column(c), schema[c])
+                if bl is not None:
+                    bloomkern.write_col_sidecar(bloom_dir, bucket, c, *bl)
         return pa.table(
             {
                 "bucket": pa.array(rows["bucket"], pa.int32()),
@@ -254,18 +272,21 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
 def encode_blocks_df(bucketed: DataFrame, schema: dict[str, str], key: str,
                      codec_overrides: dict[str, str] | None,
                      sort_by: list[str] | None = None,
-                     bloom_dir: str | None = None) -> DataFrame:
+                     bloom_dir: str | None = None,
+                     bloom_cols: list[str] | None = None) -> DataFrame:
     """groupBy(bucket) -> block rows, preferring the Arrow path."""
     grouped = bucketed.groupBy("bucket")
     if hasattr(grouped, "applyInArrow"):
         return grouped.applyInArrow(
             make_encode_fn_arrow(schema, key, codec_overrides,
-                                 sort_by=sort_by, bloom_dir=bloom_dir),
+                                 sort_by=sort_by, bloom_dir=bloom_dir,
+                                 bloom_cols=bloom_cols),
             BLOCK_SCHEMA,
         )
     return grouped.applyInPandas(
         make_encode_fn(schema, key, codec_overrides,
-                       sort_by=sort_by, bloom_dir=bloom_dir),
+                       sort_by=sort_by, bloom_dir=bloom_dir,
+                       bloom_cols=bloom_cols),
         BLOCK_SCHEMA,
     )
 
@@ -290,8 +311,20 @@ def encode_table(
     fail_buckets_over: int | None = None,
     commit_every: int | None = None,
     cluster_by: str | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> dict:
     """Run the encode job; returns the updated manifest dict.
+
+    `bloom_columns=[cols]` builds per-bucket Bloom sidecars over the
+    named NON-key columns (string/int64) in the same encode pass —
+    `scan_table` then drops buckets where an equality/IN probe on such
+    a column tests definitely-absent, the layer that pays when zone
+    bounds can't: a high-cardinality value (an exact URL, a content
+    hash) is IN every bucket's min/max range on a hash-bucketed store,
+    but in only ~1 bucket's filter. Part of the snapshot config
+    (mutations regenerate the filters for rewritten buckets); pre-
+    bloom snapshots and gaps degrade to no pruning, never wrong
+    answers.
 
     `cluster_by=<col>` switches bucketing from the salted host hash to
     RANGE bucketing on that column: equal-frequency boundaries are
@@ -326,6 +359,22 @@ def encode_table(
 
     if cluster_by is not None and cluster_by not in schema:
         raise KeyError(f"cluster_by column {cluster_by!r} not in input schema")
+
+    if bloom_columns is not None:
+        for c in bloom_columns:
+            if c not in schema:
+                raise KeyError(f"bloom column {c!r} not in input schema")
+            if c == key:
+                raise ValueError(
+                    f"bloom column {c!r} is the key column — the key "
+                    "always gets a Bloom sidecar; drop it from bloom_columns"
+                )
+            if schema[c] not in ("string", "int64"):
+                raise ValueError(
+                    f"bloom column {c!r} has type {schema[c]!r}; Bloom "
+                    "sidecars support string and int64 columns"
+                )
+        bloom_columns = sorted(set(bloom_columns))
 
     m = manifest.load(out_dir)
     if m is None or not resume:
@@ -388,6 +437,13 @@ def encode_table(
                     )
             cur["hot_keys"] = hot
             cur["codec_overrides"] = codec_overrides or {}
+            if not cur.get("committed_buckets"):
+                # empty-store reconfig (resume=False path above raised
+                # if anything was committed): bloom config may change
+                if bloom_columns:
+                    cur["bloom_columns"] = bloom_columns
+                else:
+                    cur.pop("bloom_columns", None)
             return cur
 
         m = manifest.commit(out_dir, create_or_config)
@@ -417,6 +473,16 @@ def encode_table(
             f"cluster_by={cluster_by!r} but snapshot {out_dir} was created "
             f"with scheme={scheme!r} cluster_by={m.get('cluster_by')!r}; "
             "bucketing is part of the snapshot format"
+        )
+    # bloom config is part of the snapshot format: a resumed wave with
+    # different filters would leave the registration lying about
+    # coverage. Resume reads the RECORDED config (param omitted is fine).
+    eff_bloom_cols = m.get("bloom_columns")
+    if bloom_columns is not None and bloom_columns != (eff_bloom_cols or []):
+        raise ValueError(
+            f"bloom_columns={bloom_columns!r} but snapshot {out_dir} "
+            f"records bloom_columns={eff_bloom_cols!r}; the filter set is "
+            "part of the snapshot format (re-create or rebuild to change it)"
         )
     if scheme == partitioning.RANGE_SCHEME:
         # boundaries come from the MANIFEST (not this call's sample):
@@ -479,6 +545,7 @@ def encode_table(
                 # wave dir — bloom.stage_dir), moved in after the
                 # write, registered at commit
                 bloom_dir=bloomkern.stage_dir(wave_dir),
+                bloom_cols=eff_bloom_cols,
             )
             (
                 blocks.write.mode("error")
@@ -543,14 +610,19 @@ def encode_table(
                     km = json.loads(r["key_meta"])
                     if "key_min" in km:
                         key_ranges[int(r["bucket"])] = [km["key_min"], km["key_max"]]
+            bloom_listing_dir = os.path.join(wave_dir, bloomkern.BLOOM_DIR)
             m = manifest.commit_buckets(
                 out_dir, stats, wave_dir=_wave_rel(wave_dir, out_dir),
                 key_ranges=key_ranges,
                 # one listdir: which buckets the encode tasks wrote a
                 # Bloom sidecar for (all-null key groups have none)
-                bloom_buckets=sorted(bloomkern.list_sidecars(
-                    os.path.join(wave_dir, bloomkern.BLOOM_DIR)
-                )),
+                bloom_buckets=sorted(bloomkern.list_sidecars(bloom_listing_dir)),
+                bloom_cols={
+                    c: sorted(bkts)
+                    for c, bkts in bloomkern.list_col_sidecars(
+                        bloom_listing_dir
+                    ).items()
+                } or None,
             )
     finally:
         if persisted:
@@ -762,9 +834,11 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
             os.fsync(f.fileno())
 
     # Bloom sidecars live inside wave dirs too; the rewrite moved
-    # payloads verbatim (key sets unchanged), so every retired filter
-    # stays exact — copy all of them into the new dir
-    new_bloom = bloomkern.carry_forward(out_dir, m, old, new_dir, set())
+    # payloads verbatim (key sets AND values unchanged), so every
+    # retired filter — key and column — stays exact: copy them all
+    new_bloom, new_bloom_cols = bloomkern.carry_forward(
+        out_dir, m, old, new_dir, set()
+    )
 
     def swap(m: dict | None) -> dict:
         if m is None:
@@ -787,7 +861,8 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
                 m["stats_files"].append(new_stats_rel)
             if not m["stats_files"]:
                 del m["stats_files"]
-        bloomkern.swap_registration(m, old_set, new_rel, new_bloom)
+        bloomkern.swap_registration(m, old_set, new_rel, new_bloom,
+                                    new_bloom_cols)
         return m
 
     m = manifest.commit(out_dir, swap)
@@ -811,7 +886,8 @@ def rebuild_snapshot(spark: SparkSession, src_dir: str, dst_dir: str, *,
                      num_buckets: int | None = None,
                      cluster_by: str | None = None,
                      codec_overrides: dict[str, str] | None = None,
-                     commit_every: int | None = None) -> dict:
+                     commit_every: int | None = None,
+                     bloom_columns: list[str] | None = None) -> dict:
     """Maintenance: decode `src_dir` and encode it into a FRESH batch
     snapshot at `dst_dir` (Iceberg rewrite-with-transform, not the
     payload-verbatim compact_waves). This is:
@@ -856,6 +932,11 @@ def rebuild_snapshot(spark: SparkSession, src_dir: str, dst_dir: str, *,
         m_src.get("bucket_scheme") == partitioning.RANGE_SCHEME
     ):
         cluster_by = m_src.get("cluster_by")
+    if bloom_columns is None:
+        # bloom_columns= is snapshot config like the two above: a
+        # compaction must not silently drop the column filters a
+        # source's scans rely on
+        bloom_columns = m_src.get("bloom_columns") or None
     df = decode_colocated(spark, src_dir)
     return encode_table(
         df, dst_dir,
@@ -866,6 +947,7 @@ def rebuild_snapshot(spark: SparkSession, src_dir: str, dst_dir: str, *,
         detect_skew=cluster_by is None,
         cluster_by=cluster_by,
         commit_every=commit_every,
+        bloom_columns=bloom_columns,
     )
 
 

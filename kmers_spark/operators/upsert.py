@@ -79,13 +79,15 @@ _BLOCK_COLS = [
 def _make_upsert_fn_arrow(schema: dict[str, str], key: str,
                           overrides: dict[str, str] | None,
                           sort_by: list[str] | None,
-                          bloom_dir: str | None = None):
+                          bloom_dir: str | None = None,
+                          bloom_cols: list[str] | None = None):
     """Cogrouped (block rows of one bucket, incoming rows of that
     bucket) -> new block rows. Existing rows whose key appears in the
     incoming batch are dropped; survivors and the batch concat and
     re-encode. A brand-new bucket arrives with an empty blocks side."""
     encode_group = make_encode_fn_arrow(schema, key, overrides, sort_by,
-                                        bloom_dir=bloom_dir)
+                                        bloom_dir=bloom_dir,
+                                        bloom_cols=bloom_cols)
 
     def fn(blocks_tbl, rows_tbl):
         import json as _json
@@ -291,7 +293,8 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
     bloom_dir = _bloomkern.stage_dir(new_dir)
     cg = rewrite.groupBy("bucket").cogroup(bdf.groupBy("bucket"))
     fn = _make_upsert_fn_arrow(schema, key_col, overrides, sort_by,
-                               bloom_dir=bloom_dir)
+                               bloom_dir=bloom_dir,
+                               bloom_cols=m.get("bloom_columns"))
     if hasattr(cg, "applyInArrow"):
         rewritten = cg.applyInArrow(fn, BLOCK_SCHEMA)
     else:  # pandas-era Spark: route the rows through Arrow ourselves
@@ -317,7 +320,14 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
     # buckets; verbatim buckets' key sets are unchanged, so their old
     # filters stay exact and are copied forward (delete_keys' rule)
     changed = _bloomkern.changed_buckets(affected, fresh, old_stats, _rows_of)
-    new_bloom = _bloomkern.carry_forward(out_dir, m, retired, new_dir, changed)
+    # COLUMN filters: an equal-count upsert replaces rows key-for-key —
+    # the key set (and so the key filter) is unchanged, but non-key
+    # VALUES may differ, so no affected bucket's old column filter may
+    # be carried (the kernel side-wrote fresh ones for every bucket it
+    # re-encoded; a missing one degrades to no pruning, never staleness)
+    new_bloom, new_bloom_cols = _bloomkern.carry_forward(
+        out_dir, m, retired, new_dir, changed,
+        changed_cols={int(b) for b in affected})
 
     retired_set = set(retired)
     new_rel = _wave_rel(new_dir, out_dir)
@@ -390,7 +400,8 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
                     kr[str(b)] = key_ranges[b]
                 else:
                     kr.pop(str(b), None)
-        _bloomkern.swap_registration(cur, retired_set, new_rel, new_bloom)
+        _bloomkern.swap_registration(cur, retired_set, new_rel, new_bloom,
+                                     new_bloom_cols)
         return cur
 
     m2 = manifest.commit(out_dir, swap)
