@@ -287,7 +287,29 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge_roundtrip": _upsert_merge_roundtrip,
         "agg_store_range": _agg_store_range,
         "scan_bloom_eq": _scan_bloom_eq,
+        "topk_latest_events": _topk_latest_events,
     }
+
+
+def _topk_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT pushdown (operators/topk.py): the latest 500
+    events from a ts-range-clustered store. The manifest's zone stats
+    pick the minimal boundary suffix of buckets that provably holds the
+    top-k (driver-side, zero Spark jobs); only those decode, then
+    Spark's TakeOrderedAndProject finishes — "latest N of a 100 TB
+    crawl" reads ~1 bucket. Shares _scan_clustered_range's cached store
+    (same config, resume no-ops). Oracle: plain ORDER BY/LIMIT with a
+    unique tiebreak."""
+    import hashlib
+
+    from kmers_spark.operators.encode import encode_table
+    from kmers_spark.operators.topk import topk_table
+
+    out = ("/tmp/kmers_scan_store_rng_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    encode_table(df, out, key="event_id", num_buckets=16, cluster_by="ts")
+    return topk_table(spark, out, ["ts", "event_id"], 500)
 
 
 def _scan_bloom_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,6 +924,11 @@ def extra_oracle_sql() -> dict[str, str]:
             "SELECT * FROM events WHERE user_id IN "
             "((SELECT min(user_id) FROM events), "
             "(SELECT min(user_id) - 1 FROM events))"
+        ),
+        "topk_latest_events": (
+            "SELECT * FROM events "
+            "ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST "
+            "LIMIT 500"
         ),
         "minhash_signatures": (
             f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}) "

@@ -306,6 +306,26 @@ def main():
             filters=ts_filters)))
         assert ares["r"]["count_star"] > 0
 
+        # ORDER BY ... LIMIT pushdown on the same stores: the clustered
+        # store answers "latest 1000" from the top boundary bucket(s);
+        # the hashed store can't prove a suffix and scans everything
+        from kmers_spark.operators.topk import topk_table
+
+        runs_tc, runs_th = [], []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            topk_table(s, rng_out, ["warc_ts", "url"], 1000).write.format(
+                "noop").mode("overwrite").save()
+            runs_tc.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            topk_table(s, peak["out"], ["warc_ts", "url"], 1000).write.format(
+                "noop").mode("overwrite").save()
+            runs_th.append(round(time.perf_counter() - t0, 3))
+        timings["topk_latest_clustered"] = min(runs_tc)
+        timings["topk_latest_hashed"] = min(runs_th)
+        query_runs["topk_latest_clustered"] = runs_tc
+        query_runs["topk_latest_hashed"] = runs_th
+
         m_rng, m_hash = mf.load(rng_out), mf.load(peak["out"])
         norm = zonemap.normalize_filters(ts_filters, m_rng["schema"])
         kept_rng = len(zonemap.prune_buckets(
