@@ -360,7 +360,8 @@ def _agg_store_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_table_df(
         spark, out,
         [("count", "*"), ("count", "text"), ("min", "n_chars"),
-         ("max", "n_chars"), ("sum", "n_chars"), ("avg", "n_chars")],
+         ("max", "n_chars"), ("sum", "n_chars"), ("avg", "n_chars"),
+         ("count_distinct", "doc_id")],
         filters=[("n_chars", ">=", 100), ("n_chars", "<", 300)],
     )
 
@@ -916,7 +917,8 @@ def extra_oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS count_star, count(text) AS count_text, "
             "min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_n_chars, "
-            "avg(n_chars) AS avg_n_chars "
+            "avg(n_chars) AS avg_n_chars, "
+            "count(DISTINCT doc_id) AS count_distinct_doc_id "
             "FROM documents WHERE n_chars >= 100 AND n_chars < 300"
         ),
         "codec_plain_doubles": "SELECT event_id, value FROM events",

@@ -52,7 +52,7 @@ from .decode import (
     decode_table,
 )
 
-_AGG_FNS = ("count", "min", "max", "sum")
+_AGG_FNS = ("count", "min", "max", "sum", "count_distinct")
 _EXACT_BOUND_TYPES = ("int64", "timestamp", "timestamp_ntz", "double")
 
 
@@ -134,7 +134,15 @@ def agg_table(spark: SparkSession, out_dir: str,
     """Exact aggregates over the store with stats-first evaluation.
 
     `aggs` is a list of (fn, column) with fn in {"count", "min", "max",
-    "sum", "avg"}; column "*" is allowed for count. Returns
+    "sum", "avg", "count_distinct"}; column "*" is allowed for count.
+    count_distinct over the KEY column is answered from per-block zndv
+    stats when the bucket scheme maps each key to exactly one bucket
+    (hash/salted schemes — the salt is derived from the key itself —
+    and range stores clustered ON the key, whose heavy-value overflow
+    also salts by key hash): distinct sets are bucket-disjoint, so
+    per-bucket counts ADD. Non-key columns, external/streamed stores,
+    and range-on-other-column stores decode (one job, still
+    zone/Bloom-pruned under filters). Returns
     {"fn_col": value} ("count_star" for count(*)), with SQL semantics:
     count(col) skips nulls, min/max skip nulls and return None on no
     rows, sum/avg return None on no (non-null) rows. avg is derived —
@@ -225,6 +233,38 @@ def agg_table(spark: SparkSession, out_dir: str,
                     total += sum(
                         int(s["n_rows"]) - int(s["znull"]) for s in ents
                     )
+            results[i] = total
+            continue
+        if fn == "count_distinct":
+            from . import partitioning
+
+            scheme = m.get("bucket_scheme", partitioning.LEGACY_SCHEME)
+            # keys are bucket-disjoint (per-bucket distinct counts ADD)
+            # only when the scheme derives the bucket from the key:
+            # hash/salted (salt = xxhash64(key) % n), or range clustered
+            # ON the key (overflow ties also salt by key hash). A
+            # streamed store holds several generations of a bucket whose
+            # key sets overlap, so its per-entry counts never add.
+            key_disjoint = (
+                col == key
+                and not m.get("streamed")
+                and scheme != partitioning.EXTERNAL_SCHEME
+                and (scheme != partitioning.RANGE_SCHEME
+                     or m.get("cluster_by") == key)
+            )
+            results[i] = 0
+            if not key_disjoint:
+                decode_of[i].update(contained)  # one job, whole survivor
+                continue                        # set: exact by itself
+            total = 0
+            for b in contained:
+                ents = _entries(blocks.get(str(b), []), col)
+                if not ents:
+                    continue  # committed-empty bucket
+                if len(ents) != 1 or ents[0].get("zndv") is None:
+                    decode_of[i].add(b)  # pre-zndv snapshot: decode it
+                else:
+                    total += int(ents[0]["zndv"])
             results[i] = total
             continue
         if fn == "sum":
@@ -352,7 +392,9 @@ def agg_table(spark: SparkSession, out_dir: str,
         for i in idxs:
             fn, col = aggs[i]
             v = row[f"a{i}"]
-            if fn == "count":
+            if fn in ("count", "count_distinct"):
+                # count_distinct partials add because the stats path
+                # only ever splits buckets when keys are bucket-disjoint
                 results[i] = (results[i] or 0) + int(v)
             elif v is None:
                 pass
@@ -384,7 +426,7 @@ def agg_table_df(spark: SparkSession, out_dir: str,
     fields = []
     for fn, col in aggs:
         name = "count_star" if col == "*" else f"{fn}_{col}"
-        if fn == "count":
+        if fn in ("count", "count_distinct"):
             t = "bigint"
         elif fn == "avg":
             t = "double"

@@ -247,6 +247,7 @@ def collect_fresh_stats(spark: SparkSession, new_dir: str, affected: list,
             F.get_json_object(F.col("meta"), "$.znull").alias("znull"),
             F.get_json_object(F.col("meta"), "$.zsum").alias("zsum"),
             F.get_json_object(F.col("meta"), "$.znan").alias("znan"),
+            F.get_json_object(F.col("meta"), "$.zndv").alias("zndv"),
         )
         .collect()
     )
@@ -271,6 +272,8 @@ def collect_fresh_stats(spark: SparkSession, new_dir: str, affected: list,
             st["zsum"] = int(r["zsum"])
         if r["znan"] is not None:
             st["znan"] = int(r["znan"])
+        if r["zndv"] is not None:
+            st["zndv"] = int(r["zndv"])
         fresh.setdefault(int(r["bucket"]), []).append(st)
         if r["key_meta"] is not None:
             km = json.loads(r["key_meta"])

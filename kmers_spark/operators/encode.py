@@ -108,6 +108,9 @@ def make_encode_fn(schema: dict[str, str], key: str,
                     meta = {**meta, "zsum": int(
                         s.dropna().to_numpy(dtype="int64").sum()
                     )}
+            if col == key:
+                # distinct-key count — see make_encode_fn_arrow
+                meta = {**meta, "zndv": int(s.nunique())}
             if col == key and len(s) and typ in ("string", "int64"):
                 # Iceberg file-stats analogue: the block's key range rides
                 # in the key column's meta and lands in the manifest at
@@ -217,6 +220,14 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
                 nn = len(arr) - arr.null_count
                 if nn and max(abs(zb[0]), abs(zb[1])) * nn < 2**62:
                     meta = {**meta, "zsum": int(pc.sum(arr).as_py())}
+            if col == key:
+                # exact distinct-key count of the block: bucket schemes
+                # map a key to ONE bucket, so agg_table can answer
+                # count(DISTINCT key) by summing these across buckets
+                # without decoding (operators/agg.py eligibility rules)
+                meta = {**meta, "zndv": int(
+                    pc.count_distinct(arr, mode="only_valid").as_py() or 0
+                )}
             if col == key and len(arr) and typ in ("string", "int64"):
                 # key range for manifest pruning: non-null min/max
                 # (order-independent — sort_by may not lead with the
@@ -575,6 +586,7 @@ def encode_table(
                     F.get_json_object(F.col("meta"), "$.znull").alias("znull"),
                     F.get_json_object(F.col("meta"), "$.zsum").alias("zsum"),
                     F.get_json_object(F.col("meta"), "$.znan").alias("znan"),
+                    F.get_json_object(F.col("meta"), "$.zndv").alias("zndv"),
                 )
                 .collect()
             )
@@ -605,6 +617,8 @@ def encode_table(
                     stat["zsum"] = int(r["zsum"])
                 if r["znan"] is not None:
                     stat["znan"] = int(r["znan"])
+                if r["zndv"] is not None:
+                    stat["zndv"] = int(r["zndv"])
                 stats.setdefault(int(r["bucket"]), []).append(stat)
                 if r["key_meta"] is not None:
                     km = json.loads(r["key_meta"])

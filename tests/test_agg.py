@@ -484,3 +484,104 @@ def test_avg_filtered_and_df(spark, typed):
     assert abs(r["avg_v"] - want) < 1e-9
     adf = agg_table_df(spark, out, [("avg", "v")])
     assert dict(adf.dtypes)["avg_v"] == "double"
+
+
+# --------------------------------------------------------- count_distinct
+
+@pytest.fixture(scope="module")
+def multiset(spark, tmp_path_factory):
+    """duplicate keys (3 rows per key value) so count_distinct(key)
+    differs from count(*) on every path."""
+    df = spark.range(900).select(
+        F.concat(F.lit("u"), (F.col("id") % 300).cast("string")).alias("url"),
+        (F.col("id") % 11).alias("grp"),
+        F.col("id").alias("seq"),
+    ).cache()
+    out = str(tmp_path_factory.mktemp("agg_cd") / "snap")
+    encode_table(df, out, key="url", num_buckets=8, detect_skew=False)
+    return df, out
+
+
+def test_count_distinct_key_no_jobs(spark, multiset, monkeypatch):
+    df, out = multiset
+    _no_decode(monkeypatch)
+    r = agg_table(spark, out, [("count_distinct", "url"), ("count", "*")])
+    assert r == {"count_distinct_url": 300, "count_star": 900}
+
+
+def test_count_distinct_range_on_key_no_jobs(spark, multiset,
+                                             tmp_path, monkeypatch):
+    df, _ = multiset
+    out = str(tmp_path / "rngkey")
+    encode_table(df, out, key="url", num_buckets=8, cluster_by="url",
+                 detect_skew=False)
+    _no_decode(monkeypatch)
+    r = agg_table(spark, out, [("count_distinct", "url")])
+    assert r["count_distinct_url"] == 300
+
+
+def test_count_distinct_range_other_column_decodes(spark, multiset,
+                                                   tmp_path):
+    # range clustered on a NON-key column scatters a duplicated key
+    # across buckets: per-bucket counts would overcount, so this path
+    # must decode (correctness over speed)
+    df, _ = multiset
+    out = str(tmp_path / "rngother")
+    encode_table(df, out, key="url", num_buckets=8, cluster_by="seq",
+                 detect_skew=False)
+    r = agg_table(spark, out, [("count_distinct", "url")])
+    assert r["count_distinct_url"] == 300
+
+
+def test_count_distinct_nonkey_column(spark, multiset):
+    df, out = multiset
+    r = agg_table(spark, out, [("count_distinct", "grp")])
+    assert r["count_distinct_grp"] == 11
+
+
+def test_count_distinct_filtered(spark, multiset, monkeypatch):
+    df, out = multiset
+    seen = _capture_buckets(monkeypatch)
+    r = agg_table(spark, out, [("count_distinct", "url")],
+                  filters=[("grp", ">=", 5)])
+    truth = df.filter(F.col("grp") >= 5).select(
+        F.count_distinct("url")).collect()[0][0]
+    assert r["count_distinct_url"] == truth
+
+
+def test_count_distinct_pre_zndv_falls_back(spark, multiset, tmp_path):
+    from kmers_spark import manifest
+
+    df, _ = multiset
+    out = str(tmp_path / "prezndv")
+    encode_table(df, out, key="url", num_buckets=4, detect_skew=False)
+
+    def strip(m):
+        for blocks in m["blocks"].values():
+            for s in blocks:
+                s.pop("zndv", None)
+        return m
+
+    manifest.commit(out, strip)
+    r = agg_table(spark, out, [("count_distinct", "url")])
+    assert r["count_distinct_url"] == 300
+
+
+def test_count_distinct_after_mutations(spark, multiset, tmp_path,
+                                        monkeypatch):
+    from kmers_spark.operators.delete import delete_keys
+    from kmers_spark.operators.upsert import upsert_table
+
+    df, _ = multiset
+    out = str(tmp_path / "mut")
+    encode_table(df, out, key="url", num_buckets=8, detect_skew=False)
+    delete_keys(spark, out, [f"u{i}" for i in range(0, 300, 3)])
+    survivors = df.filter(~F.col("url").isin(
+        [f"u{i}" for i in range(0, 300, 3)]))
+    batch = spark.createDataFrame(
+        [("brand-new-key", 99, 10_000)], "url string, grp bigint, seq bigint")
+    upsert_table(spark, out, batch)
+    _no_decode(monkeypatch)  # rewrites regenerated zndv: still 0 jobs
+    r = agg_table(spark, out, [("count_distinct", "url"), ("count", "*")])
+    assert r["count_distinct_url"] == 200 + 1
+    assert r["count_star"] == survivors.count() + 1
