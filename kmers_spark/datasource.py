@@ -573,6 +573,35 @@ def _declared_scheme(options) -> str | None:
     return raw
 
 
+def _parse_bloom_columns(options, table_schema: dict, key: str,
+                         path: str) -> list[str] | None:
+    """.option("bloomColumns", "a,b"): build per-bucket column Bloom
+    sidecars (kernels/bloom.py) in the sink's encode pass. Unset ->
+    inherit the snapshot's recorded bloom_columns (a sink appending to
+    a filtered store must not silently create coverage gaps); no
+    snapshot -> none."""
+    raw = options.get("bloomcolumns") or options.get("bloom_columns")
+    if not raw:
+        from . import manifest
+
+        m = manifest.load(path)
+        return (m or {}).get("bloom_columns") or None
+    cols = sorted({c.strip() for c in raw.split(",") if c.strip()})
+    for c in cols:
+        if c not in table_schema:
+            raise ValueError(
+                f"bloomColumns column {c!r} not in the written columns")
+        if c == key:
+            raise ValueError(
+                f"bloomColumns column {c!r} is the key column — the key "
+                "always gets a Bloom sidecar")
+        if table_schema[c] not in ("string", "int64"):
+            raise ValueError(
+                f"bloomColumns column {c!r} has type {table_schema[c]!r}; "
+                "Bloom sidecars support string and int64 columns")
+    return cols
+
+
 def _writer(options, schema, overwrite: bool) -> "KmersWriter":
     from . import selector
 
@@ -609,6 +638,7 @@ def _writer(options, schema, overwrite: bool) -> "KmersWriter":
         wave_name=f"w_{uuid.uuid4().hex[:12]}",
         snapshot_id=options.get("snapshot_id", "snap-ds"),
         bucket_scheme=_declared_scheme(options),
+        bloom_columns=_parse_bloom_columns(options, table_schema, key, path),
     )
 
 
@@ -623,9 +653,11 @@ try:  # writer API: Spark 4.0+
         key_ranges: dict = field(default_factory=dict)  # bucket -> [lo, hi]
         staged_file: str | None = None                  # hidden part file name
         bloom_files: dict = field(default_factory=dict)  # bucket -> staged name
+        col_bloom_files: dict = field(default_factory=dict)  # bucket -> {col: staged name}
 
     def _encode_to_staged(iterator, table_schema, key, codec_overrides,
-                          staging_dir: str) -> "_WaveCommit":
+                          staging_dir: str,
+                          bloom_cols=None) -> "_WaveCommit":
         """Task side of both sinks (batch + stream): encode this
         partition's whole buckets into ONE hidden staged parquet file
         under `staging_dir`; the driver's commit publishes only the
@@ -674,6 +706,8 @@ try:  # writer API: Spark 4.0+
                     s["zsum"] = meta["zsum"]
                 if "znan" in meta:
                     s["znan"] = meta["znan"]
+                if "zndv" in meta:
+                    s["zndv"] = meta["zndv"]
                 if "key_min" in meta:
                     msg.key_ranges[int(b)] = [meta["key_min"], meta["key_max"]]
                 stats.append(s)
@@ -690,6 +724,18 @@ try:  # writer API: Spark 4.0+
                          f"{uuid.uuid4().hex[:12]}")
                 bloomkern.write_named(staging_dir, bname, *bl)
                 msg.bloom_files[int(b)] = bname
+            for c in bloom_cols or ():  # bloomColumns= column filters
+                if c == key or c not in table_schema:
+                    continue
+                bl = bloomkern.build_for_key_arrow(
+                    sub.column(c), table_schema.get(c, "")
+                )
+                if bl is not None:
+                    bname = (f".staged-cbloom-b{int(b)}-"
+                             f"{c.encode('utf-8').hex()}-"
+                             f"{uuid.uuid4().hex[:12]}")
+                    bloomkern.write_named(staging_dir, bname, *bl)
+                    msg.col_bloom_files.setdefault(int(b), {})[c] = bname
         os.makedirs(staging_dir, exist_ok=True)
         staged = f".staged-{uuid.uuid4().hex[:12]}.parquet"
         pq.write_table(
@@ -700,14 +746,16 @@ try:  # writer API: Spark 4.0+
         return msg
 
     def _publish_staged_blooms(staging_dir: str, wave_dir: str,
-                               bloom_files: dict[int, str]) -> None:
+                               bloom_files: dict[int, str],
+                               col_bloom_files: dict | None = None) -> None:
         """Move claimed staged bloom files into <wave_dir>/_blooms under
-        their canonical b<bucket>_<uuid>.bloom names."""
+        their canonical b<bucket>_<uuid>.bloom (key) and
+        c<bucket>_<colhex>_<uuid>.bloom (column) names."""
         import os
 
         from .kernels import bloom as bloomkern
 
-        if not bloom_files:
+        if not bloom_files and not col_bloom_files:
             return
         bdir = os.path.join(wave_dir, bloomkern.BLOOM_DIR)
         os.makedirs(bdir, exist_ok=True)
@@ -717,6 +765,14 @@ try:  # writer API: Spark 4.0+
                 os.path.join(staging_dir, name),
                 os.path.join(bdir, f"b{int(b)}_{suffix}{bloomkern.SUFFIX}"),
             )
+        for b, cols in (col_bloom_files or {}).items():
+            for c, name in cols.items():
+                suffix = name.rsplit("-", 1)[-1]
+                os.replace(
+                    os.path.join(staging_dir, name),
+                    os.path.join(bdir, f"c{int(b)}_{c.encode().hex()}_"
+                                       f"{suffix}{bloomkern.SUFFIX}"),
+                )
 
     class KmersWriter(DataSourceArrowWriter):
         """df.write.format("kmers"): each task encodes whole buckets of
@@ -729,7 +785,7 @@ try:  # writer API: Spark 4.0+
 
         def __init__(self, path, key, num_buckets, table_schema, overwrite,
                      codec_overrides, wave_name, snapshot_id,
-                     bucket_scheme=None):
+                     bucket_scheme=None, bloom_columns=None):
             self.path = path
             self.key = key
             self.num_buckets = num_buckets
@@ -739,13 +795,15 @@ try:  # writer API: Spark 4.0+
             self.wave_name = wave_name
             self.snapshot_id = snapshot_id
             self.bucket_scheme = bucket_scheme
+            self.bloom_columns = bloom_columns
 
         def _wave_dir(self) -> str:
             return f"{self.path}/blocks/{self.wave_name}"
 
         def write(self, iterator):
             return _encode_to_staged(iterator, self.table_schema, self.key,
-                                     self.codec_overrides, self._wave_dir())
+                                     self.codec_overrides, self._wave_dir(),
+                                     bloom_cols=self.bloom_columns)
 
         def commit(self, messages) -> None:
             import os
@@ -758,6 +816,7 @@ try:  # writer API: Spark 4.0+
             key_ranges: dict[int, list] = {}
             staged: list[str] = []
             bloom_files: dict[int, str] = {}
+            col_bloom_files: dict[int, dict] = {}
             for msg in messages:
                 if msg is None:
                     continue
@@ -777,6 +836,10 @@ try:  # writer API: Spark 4.0+
                 bloom_files.update({
                     int(b): n
                     for b, n in getattr(msg, "bloom_files", {}).items()
+                })
+                col_bloom_files.update({
+                    int(b): dict(cols)
+                    for b, cols in getattr(msg, "col_bloom_files", {}).items()
                 })
             if not stats:
                 # every task saw zero rows: registering the (never
@@ -834,6 +897,8 @@ try:  # writer API: Spark 4.0+
                                           or partitioning.EXTERNAL_SCHEME),
                         "codec_overrides": self.codec_overrides or {},
                         "created_unix": int(time.time()),
+                        **({"bloom_columns": self.bloom_columns}
+                           if self.bloom_columns else {}),
                     }
                 if self.overwrite and cur.get("committed_buckets"):
                     raise ValueError(
@@ -856,14 +921,19 @@ try:  # writer API: Spark 4.0+
                     os.path.join(wd, name),
                     os.path.join(wd, name.replace(".staged-", "part-", 1)),
                 )
-            _publish_staged_blooms(wd, wd, bloom_files)
+            _publish_staged_blooms(wd, wd, bloom_files, col_bloom_files)
             for name in os.listdir(wd):
                 if name.startswith(".staged-"):
                     os.unlink(os.path.join(wd, name))
+            col_reg: dict[str, list[int]] = {}
+            for b, cols in col_bloom_files.items():
+                for c in cols:
+                    col_reg.setdefault(c, []).append(int(b))
             manifest.commit_buckets(
                 self.path, stats, wave_dir=f"blocks/{self.wave_name}",
                 key_ranges=key_ranges or None,
                 bloom_buckets=sorted(bloom_files),
+                bloom_cols={c: sorted(v) for c, v in col_reg.items()} or None,
             )
 
         def abort(self, messages) -> None:
@@ -889,7 +959,7 @@ try:  # writer API: Spark 4.0+
 
         def __init__(self, path, key, num_buckets, table_schema,
                      codec_overrides, snapshot_id, stream_id="stream",
-                     bucket_scheme=None):
+                     bucket_scheme=None, bloom_columns=None):
             self.path = path
             self.key = key
             self.num_buckets = num_buckets
@@ -897,6 +967,7 @@ try:  # writer API: Spark 4.0+
             self.codec_overrides = codec_overrides
             self.snapshot_id = snapshot_id
             self.bucket_scheme = bucket_scheme
+            self.bloom_columns = bloom_columns
             # option("streamId"): namespaces batchIds (the Kafka
             # transactional.id pattern) — restarts of the SAME logical
             # query keep their id (replay detection), a NEW query
@@ -908,7 +979,8 @@ try:  # writer API: Spark 4.0+
 
         def write(self, iterator):
             return _encode_to_staged(iterator, self.table_schema, self.key,
-                                     self.codec_overrides, self._staging())
+                                     self.codec_overrides, self._staging(),
+                                     bloom_cols=self.bloom_columns)
 
         def _clean_staged(self, staged: list[str]) -> None:
             import os
@@ -931,6 +1003,7 @@ try:  # writer API: Spark 4.0+
             key_ranges: dict[int, list] = {}
             staged: list[str] = []
             bloom_files: dict[int, str] = {}
+            col_bloom_files: dict[int, dict] = {}
             for msg in messages:
                 if msg is None:
                     continue
@@ -951,8 +1024,15 @@ try:  # writer API: Spark 4.0+
                     int(b): n
                     for b, n in getattr(msg, "bloom_files", {}).items()
                 })
+                col_bloom_files.update({
+                    int(b): dict(cols)
+                    for b, cols in getattr(msg, "col_bloom_files", {}).items()
+                })
+            all_staged_blooms = list(bloom_files.values()) + [
+                n for cols in col_bloom_files.values() for n in cols.values()
+            ]
             if not stats:
-                self._clean_staged(staged + list(bloom_files.values()))
+                self._clean_staged(staged + all_staged_blooms)
                 return  # empty batch: nothing to register
 
             def create_or_check(cur):
@@ -986,6 +1066,8 @@ try:  # writer API: Spark 4.0+
                         "codec_overrides": self.codec_overrides or {},
                         "streamed": True,
                         "created_unix": int(time.time()),
+                        **({"bloom_columns": self.bloom_columns}
+                           if self.bloom_columns else {}),
                     }
                 if self.num_buckets and cur["num_buckets"] != self.num_buckets:
                     raise ValueError(
@@ -1000,7 +1082,7 @@ try:  # writer API: Spark 4.0+
             known = m.get("stream_epochs", {}).get(self.stream_id, {})
             if manifest.is_replayed_epoch(known, batchId, self.stream_id):
                 # replayed batch: its rows are already in
-                self._clean_staged(staged + list(bloom_files.values()))
+                self._clean_staged(staged + all_staged_blooms)
                 return
             # publish the wave BEFORE registering it (a crash in between
             # leaves an unregistered w_ dir for the orphan sweep)
@@ -1012,12 +1094,18 @@ try:  # writer API: Spark 4.0+
                     os.path.join(self._staging(), name),
                     os.path.join(wave_dir, name.replace(".staged-", "part-", 1)),
                 )
-            _publish_staged_blooms(self._staging(), wave_dir, bloom_files)
+            _publish_staged_blooms(self._staging(), wave_dir, bloom_files,
+                                   col_bloom_files)
             wave_rel = f"blocks/{wave_name}"
+            col_reg: dict[str, list[int]] = {}
+            for b, cols in col_bloom_files.items():
+                for c in cols:
+                    col_reg.setdefault(c, []).append(int(b))
             m = manifest.commit_wave_append(
                 self.path, stats, wave_rel, batchId,
                 key_ranges=key_ranges or None, stream_id=self.stream_id,
                 bloom_buckets=sorted(bloom_files),
+                bloom_cols={c: sorted(v) for c, v in col_reg.items()} or None,
             )
             if m.get("stream_epochs", {}).get(self.stream_id, {}) \
                     .get(str(batchId)) != wave_rel:
@@ -1059,6 +1147,10 @@ try:  # writer API: Spark 4.0+
             for m in messages:
                 if m is not None:
                     staged.extend(getattr(m, "bloom_files", {}).values())
+                    staged.extend(
+                        n for cols in getattr(m, "col_bloom_files", {}).values()
+                        for n in cols.values()
+                    )
             self._clean_staged(staged)
 
     def _ds_writer(self, schema, overwrite):
@@ -1106,6 +1198,8 @@ try:  # writer API: Spark 4.0+
             stream_id=self.options.get("streamid",
                                        self.options.get("stream_id", "stream")),
             bucket_scheme=_declared_scheme(self.options),
+            bloom_columns=_parse_bloom_columns(
+                self.options, table_schema, key, path),
         )
 
     KmersDataSource.writer = _ds_writer

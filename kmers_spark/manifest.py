@@ -436,7 +436,8 @@ def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
                        wave_dir: str, epoch: int,
                        key_ranges: dict[int, list] | None = None,
                        stream_id: str = "stream",
-                       bloom_buckets: list[int] | None = None
+                       bloom_buckets: list[int] | None = None,
+                       bloom_cols: dict[str, list[int]] | None = None
                        ) -> dict[str, Any]:
     """Streaming-append commit: register `wave_dir` as a NEW GENERATION
     of its buckets (a bucket may hold block rows in several waves; the
@@ -494,6 +495,11 @@ def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
             m.setdefault("bloom_buckets", {})[wave_dir] = sorted(
                 int(b) for b in bloom_buckets
             )
+        if bloom_cols:
+            # per-generation COLUMN filter coverage (see commit_buckets)
+            m.setdefault("bloom_cols", {})[wave_dir] = {
+                c: sorted(int(b) for b in v) for c, v in bloom_cols.items()
+            }
         epochs[str(epoch)] = wave_dir
         # bounded epoch history per stream: the manifest is rewritten on
         # every commit, so a year of 1-minute batches must not carry

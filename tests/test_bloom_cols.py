@@ -254,3 +254,75 @@ def test_rebuild_inherits_bloom_columns(spark, store, tmp_path, monkeypatch):
     assert calls == []
     got = scan_table(spark, dst, [("host", "=", "host-0123")]).collect()
     assert [r["k"] for r in got] == ["k-0123"]
+
+
+# --------------------------------------------------------------- sinks
+
+def test_batch_sink_bloom_columns(spark, docs, tmp_path, monkeypatch):
+    from kmers_spark import datasource, manifest
+    from kmers_spark.operators import partitioning
+
+    datasource.register(spark)
+    out = str(tmp_path / "sink")
+    bucketed = partitioning.with_bucket(docs, 6, {}, url_col="k") \
+        .repartition("bucket")
+    (
+        bucketed.write.format("kmers")
+        .option("key", "k").option("numBuckets", "6")
+        .option("bloomColumns", "host,n")
+        .mode("append").save(out)
+    )
+    m = manifest.load(out)
+    assert m["bloom_columns"] == ["host", "n"]
+    wave = m["wave_dirs"][0]
+    assert sorted(m["bloom_cols"][wave]) == ["host", "n"]
+    assert len(m["bloom_cols"][wave]["host"]) == 6
+    calls = _spy_decode(monkeypatch)
+    assert scan_table(spark, out, [("host", "=", "host-0500!x")]).count() == 0
+    assert calls == []  # pruned without decoding on an EXTERNAL store
+    got = scan_table(spark, out, [("host", "=", "host-0042")]).collect()
+    assert [r["k"] for r in got] == ["k-0042"]
+    # option validation
+    with pytest.raises(Exception, match="key column"):
+        (bucketed.write.format("kmers").option("key", "k")
+         .option("numBuckets", "6").option("bloomColumns", "k")
+         .mode("append").save(str(tmp_path / "bad")))
+
+
+def test_stream_sink_bloom_columns(spark, docs, tmp_path, monkeypatch):
+    from kmers_spark import datasource, manifest
+    from kmers_spark.operators import partitioning
+
+    datasource.register(spark)
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    docs.write.parquet(src)
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+    bucketed = partitioning.with_bucket(sdf, 4, {}, url_col="k") \
+        .repartition("bucket")
+    q = (
+        bucketed.writeStream.format("kmers")
+        .option("checkpointLocation", ckpt)
+        .option("key", "k").option("numBuckets", "4")
+        .option("bloomColumns", "host")
+        .trigger(availableNow=True).start(out)
+    )
+    q.awaitTermination(120)
+    m = manifest.load(out)
+    assert m["streamed"] is True and m["bloom_columns"] == ["host"]
+    wave = m["wave_dirs"][0]
+    assert len(m["bloom_cols"][wave]["host"]) == 4
+    # no staging leftovers
+    import os
+
+    leftovers = [n for n in os.listdir(os.path.join(out, "blocks"))
+                 if n.startswith(".stream-staging")
+                 and os.listdir(os.path.join(out, "blocks", n))]
+    assert not leftovers or not any(
+        f.startswith(".staged-cbloom") for d in leftovers
+        for f in os.listdir(os.path.join(out, "blocks", d)))
+    calls = _spy_decode(monkeypatch)
+    assert scan_table(spark, out, [("host", "=", "host-0500!x")]).count() == 0
+    assert calls == []
+    got = scan_table(spark, out, [("host", "=", "host-0077")]).collect()
+    assert [r["k"] for r in got] == ["k-0077"]
