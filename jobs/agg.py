@@ -26,7 +26,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--snapshot", required=True)
     ap.add_argument("--agg", action="append", required=True,
-                    help="FN:COLUMN with FN in count|min|max|sum|avg|count_distinct; "
+                    help="FN:COLUMN with FN in count|min|max|sum|avg|"
+                    "count_distinct|approx_count_distinct; "
                     "count:* for row count (repeatable)")
     ap.add_argument("--filter", action="append", default=[],
                     help="COL:OP:VALUE, ANDed (same syntax as decode)")

@@ -48,6 +48,13 @@ def main() -> None:
         "on it prune buckets driver-side where zone bounds can't",
     )
     ap.add_argument(
+        "--ndv-column", action="append", default=[], metavar="COL",
+        help="record per-block HLL distinct sketches over this "
+        "string/int64 column (repeatable): agg --agg "
+        "approx_count_distinct:COL then answers from metadata with "
+        "zero Spark jobs on any bucket scheme (~3.2%% stderr)",
+    )
+    ap.add_argument(
         "--codec", action="append", default=[], metavar="COL=CODEC",
         help="per-column codec override (repeatable), e.g. html=words_seg "
         "for scan-optimized segmented storage or text=fsst; unset columns "
@@ -78,6 +85,7 @@ def main() -> None:
         codec_overrides=overrides or None,
         cluster_by=args.cluster_by,
         bloom_columns=args.bloom_column or None,
+        ndv_columns=args.ndv_column or None,
     )
     totals = {"raw": 0, "enc": 0}
     from kmers_spark import manifest

@@ -602,6 +602,33 @@ def _parse_bloom_columns(options, table_schema: dict, key: str,
     return cols
 
 
+def _parse_ndv_columns(options, table_schema: dict,
+                       path: str) -> list[str] | None:
+    """.option("ndvColumns", "a,b"): record per-block HLL distinct
+    sketches (kernels/sketch.py) in the sink's encode pass —
+    agg_table's approx_count_distinct then runs stats-only over sink
+    stores, including streamed generations (register union is
+    overlap-insensitive). Unset -> inherit the snapshot's recorded
+    ndv_columns (appends must not create coverage gaps that silently
+    demote the aggregate to a decode)."""
+    raw = options.get("ndvcolumns") or options.get("ndv_columns")
+    if not raw:
+        from . import manifest
+
+        m = manifest.load(path)
+        return (m or {}).get("ndv_columns") or None
+    cols = sorted({c.strip() for c in raw.split(",") if c.strip()})
+    for c in cols:
+        if c not in table_schema:
+            raise ValueError(
+                f"ndvColumns column {c!r} not in the written columns")
+        if table_schema[c] not in ("string", "int64"):
+            raise ValueError(
+                f"ndvColumns column {c!r} has type {table_schema[c]!r}; "
+                "distinct sketches support string and int64 columns")
+    return cols
+
+
 def _writer(options, schema, overwrite: bool) -> "KmersWriter":
     from . import selector
 
@@ -639,6 +666,7 @@ def _writer(options, schema, overwrite: bool) -> "KmersWriter":
         snapshot_id=options.get("snapshot_id", "snap-ds"),
         bucket_scheme=_declared_scheme(options),
         bloom_columns=_parse_bloom_columns(options, table_schema, key, path),
+        ndv_columns=_parse_ndv_columns(options, table_schema, path),
     )
 
 
@@ -657,7 +685,7 @@ try:  # writer API: Spark 4.0+
 
     def _encode_to_staged(iterator, table_schema, key, codec_overrides,
                           staging_dir: str,
-                          bloom_cols=None) -> "_WaveCommit":
+                          bloom_cols=None, ndv_cols=None) -> "_WaveCommit":
         """Task side of both sinks (batch + stream): encode this
         partition's whole buckets into ONE hidden staged parquet file
         under `staging_dir`; the driver's commit publishes only the
@@ -675,7 +703,8 @@ try:  # writer API: Spark 4.0+
         from .kernels import bloom as bloomkern
         from .operators.encode import make_encode_fn_arrow
 
-        fn = make_encode_fn_arrow(table_schema, key, codec_overrides)
+        fn = make_encode_fn_arrow(table_schema, key, codec_overrides,
+                                  ndv_cols=ndv_cols)
         tables = [pa.Table.from_batches([b]) for b in iterator]
         msg = _WaveCommit()
         if not tables:
@@ -708,6 +737,8 @@ try:  # writer API: Spark 4.0+
                     s["znan"] = meta["znan"]
                 if "zndv" in meta:
                     s["zndv"] = meta["zndv"]
+                if "zhll" in meta:
+                    s["zhll"] = meta["zhll"]
                 if "key_min" in meta:
                     msg.key_ranges[int(b)] = [meta["key_min"], meta["key_max"]]
                 stats.append(s)
@@ -785,7 +816,8 @@ try:  # writer API: Spark 4.0+
 
         def __init__(self, path, key, num_buckets, table_schema, overwrite,
                      codec_overrides, wave_name, snapshot_id,
-                     bucket_scheme=None, bloom_columns=None):
+                     bucket_scheme=None, bloom_columns=None,
+                     ndv_columns=None):
             self.path = path
             self.key = key
             self.num_buckets = num_buckets
@@ -796,6 +828,7 @@ try:  # writer API: Spark 4.0+
             self.snapshot_id = snapshot_id
             self.bucket_scheme = bucket_scheme
             self.bloom_columns = bloom_columns
+            self.ndv_columns = ndv_columns
 
         def _wave_dir(self) -> str:
             return f"{self.path}/blocks/{self.wave_name}"
@@ -803,7 +836,8 @@ try:  # writer API: Spark 4.0+
         def write(self, iterator):
             return _encode_to_staged(iterator, self.table_schema, self.key,
                                      self.codec_overrides, self._wave_dir(),
-                                     bloom_cols=self.bloom_columns)
+                                     bloom_cols=self.bloom_columns,
+                                     ndv_cols=self.ndv_columns)
 
         def commit(self, messages) -> None:
             import os
@@ -899,6 +933,8 @@ try:  # writer API: Spark 4.0+
                         "created_unix": int(time.time()),
                         **({"bloom_columns": self.bloom_columns}
                            if self.bloom_columns else {}),
+                        **({"ndv_columns": self.ndv_columns}
+                           if self.ndv_columns else {}),
                     }
                 if self.overwrite and cur.get("committed_buckets"):
                     raise ValueError(
@@ -959,7 +995,8 @@ try:  # writer API: Spark 4.0+
 
         def __init__(self, path, key, num_buckets, table_schema,
                      codec_overrides, snapshot_id, stream_id="stream",
-                     bucket_scheme=None, bloom_columns=None):
+                     bucket_scheme=None, bloom_columns=None,
+                     ndv_columns=None):
             self.path = path
             self.key = key
             self.num_buckets = num_buckets
@@ -968,6 +1005,7 @@ try:  # writer API: Spark 4.0+
             self.snapshot_id = snapshot_id
             self.bucket_scheme = bucket_scheme
             self.bloom_columns = bloom_columns
+            self.ndv_columns = ndv_columns
             # option("streamId"): namespaces batchIds (the Kafka
             # transactional.id pattern) — restarts of the SAME logical
             # query keep their id (replay detection), a NEW query
@@ -980,7 +1018,8 @@ try:  # writer API: Spark 4.0+
         def write(self, iterator):
             return _encode_to_staged(iterator, self.table_schema, self.key,
                                      self.codec_overrides, self._staging(),
-                                     bloom_cols=self.bloom_columns)
+                                     bloom_cols=self.bloom_columns,
+                                     ndv_cols=self.ndv_columns)
 
         def _clean_staged(self, staged: list[str]) -> None:
             import os
@@ -1068,6 +1107,8 @@ try:  # writer API: Spark 4.0+
                         "created_unix": int(time.time()),
                         **({"bloom_columns": self.bloom_columns}
                            if self.bloom_columns else {}),
+                        **({"ndv_columns": self.ndv_columns}
+                           if self.ndv_columns else {}),
                     }
                 if self.num_buckets and cur["num_buckets"] != self.num_buckets:
                     raise ValueError(
@@ -1200,6 +1241,7 @@ try:  # writer API: Spark 4.0+
             bucket_scheme=_declared_scheme(self.options),
             bloom_columns=_parse_bloom_columns(
                 self.options, table_schema, key, path),
+            ndv_columns=_parse_ndv_columns(self.options, table_schema, path),
         )
 
     KmersDataSource.writer = _ds_writer

@@ -315,6 +315,19 @@ BLOCK_STATS_NAME = "_block_stats.json"
 # unreadable until the manifest registers the wave, swept with an
 # orphaned wave dir.
 STATS_SPILL_ENTRIES = 50_000
+# byte-aware companion trigger: entries carrying HLL distinct sketches
+# (`zhll`, kernels/sketch.py, <=1.4 KB each) weigh ~50x a plain stat
+# entry, so a sketched store would bloat every manifest rewrite long
+# before the entry-count threshold fires — spill once the inline
+# sketch payload alone crosses this
+STATS_SPILL_BYTES = 2 << 20
+
+
+def _zhll_bytes(stats_by_bucket: dict) -> int:
+    return sum(
+        len(s.get("zhll") or "")
+        for v in stats_by_bucket.values() for s in v
+    )
 
 
 def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
@@ -344,15 +357,18 @@ def commit_buckets(out_dir: str, bucket_stats: dict[int, list[dict]],
     them out of the root."""
     thr = STATS_SPILL_ENTRIES if spill_threshold is None else spill_threshold
     n_entries = sum(len(v) for v in bucket_stats.values())
+    n_bytes = _zhll_bytes(bucket_stats)
     migrated: dict[str, list] = {}
     if wave_dir is not None:
         cur = load(out_dir) or {}
         inline = cur.get("blocks", {})
         inline_entries = sum(len(v) for v in inline.values()) + len(inline)
-        if n_entries + len(bucket_stats) + inline_entries > thr:
+        if (n_entries + len(bucket_stats) + inline_entries > thr
+                or n_bytes + _zhll_bytes(inline) > STATS_SPILL_BYTES):
             migrated = dict(inline)  # absorb the root's inline stats too
     spill = bool(migrated) or (
-        wave_dir is not None and n_entries + len(bucket_stats) > thr
+        wave_dir is not None and (n_entries + len(bucket_stats) > thr
+                                  or n_bytes > STATS_SPILL_BYTES)
     )
     if spill:
         payload = dict(migrated)

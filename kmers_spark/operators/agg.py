@@ -52,7 +52,8 @@ from .decode import (
     decode_table,
 )
 
-_AGG_FNS = ("count", "min", "max", "sum", "count_distinct")
+_AGG_FNS = ("count", "min", "max", "sum", "count_distinct",
+            "approx_count_distinct")
 _EXACT_BOUND_TYPES = ("int64", "timestamp", "timestamp_ntz", "double")
 
 
@@ -127,6 +128,36 @@ def _bucket_contained(stats: list[dict], key: str,
     return True
 
 
+def _hll_registers_df(df: DataFrame, col: str, typ: str):
+    """HLL registers over a DataFrame column, built with the engine's
+    OWN sketch kernel (NOT Spark's approx_count_distinct, which is a
+    different sketch and would break the merged-estimate determinism):
+    one mapInArrow pass emits per-partition registers (1 KB each), the
+    driver max-merges. Nulls are dropped JVM-side so int64 batches
+    reach Arrow exact (a null-bearing long column would round through
+    float64 at 2^53)."""
+    import numpy as np
+
+    from ..kernels import sketch as sketchkern
+
+    src = df.select(col).where(F.col(col).isNotNull())
+
+    def build(batches):
+        import pyarrow as pa
+
+        regs = None
+        for batch in batches:
+            r = sketchkern.hll_build_arrow(batch.column(0), typ)
+            if r is not None:
+                regs = r if regs is None else sketchkern.merge([regs, r])
+        if regs is not None:
+            yield pa.record_batch([pa.array([regs.tobytes()])], ["regs"])
+
+    rows = src.mapInArrow(build, "regs binary").collect()
+    parts = [np.frombuffer(r["regs"], np.uint8) for r in rows]
+    return sketchkern.merge(parts) if parts else None
+
+
 def agg_table(spark: SparkSession, out_dir: str,
               aggs: list[tuple[str, str]],
               filters: list[tuple] | None = None,
@@ -142,7 +173,14 @@ def agg_table(spark: SparkSession, out_dir: str,
     also salts by key hash): distinct sets are bucket-disjoint, so
     per-bucket counts ADD. Non-key columns, external/streamed stores,
     and range-on-other-column stores decode (one job, still
-    zone/Bloom-pruned under filters). Returns
+    zone/Bloom-pruned under filters). approx_count_distinct (~3.2%
+    stderr, deterministic) max-merges the per-block HLL sketches
+    `encode_table(ndv_columns=[...])` records — register union is
+    overlap-insensitive, so it runs with zero Spark jobs on exactly the
+    layouts exact zndv counts cannot serve (non-key columns, streamed
+    generations, range-on-other, external sink buckets); unsketched
+    buckets decode through the same hash kernel, leaving the estimate
+    identical to a single pass over the value set. Returns
     {"fn_col": value} ("count_star" for count(*)), with SQL semantics:
     count(col) skips nulls, min/max skip nulls and return None on no
     rows, sum/avg return None on no (non-null) rows. avg is derived —
@@ -189,6 +227,13 @@ def agg_table(spark: SparkSession, out_dir: str,
             "int64", "double"
         ):
             raise TypeError(f"sum over {schema[col]} column {col!r}")
+        if fn == "approx_count_distinct" and schema[col] not in (
+            "string", "int64"
+        ):
+            raise TypeError(
+                f"approx_count_distinct over {schema[col]} column {col!r} "
+                "(distinct sketches support string and int64)"
+            )
     norm = zonemap.normalize_filters(filters or [], schema)
     blocks = manifest.block_stats(out_dir, m)
     committed = list(m.get("committed_buckets", []))
@@ -266,6 +311,59 @@ def agg_table(spark: SparkSession, out_dir: str,
                 else:
                     total += int(ents[0]["zndv"])
             results[i] = total
+            continue
+        if fn == "approx_count_distinct":
+            # HLL union (kernels/sketch.py): register-max is overlap-
+            # insensitive, so per-block sketches merge across ANY
+            # layout — streamed generations, range-on-other, external
+            # sink buckets — where exact zndv counts can never add.
+            # Buckets without full sketch coverage decode and their
+            # values hash through the SAME kernel, so the estimate is
+            # identical to a single pass over the value set whatever
+            # mix of stats and decode answered it (sketch.py invariant;
+            # re-covering a sketched value via decode cannot move a
+            # union). Contained buckets' sketches are exact for the
+            # filtered set (every row matches); straddlers decode with
+            # the filters applied.
+            from ..kernels import sketch as sketchkern
+
+            decode_of[i] = set()  # this branch runs its own decode —
+            # the generic pass would re-aggregate with Spark's
+            # different sketch
+            merged = None
+            hll_decode: set[int] = set(straddling)
+            for b in contained:
+                ents = _entries(blocks.get(str(b), []), col)
+                for s in ents:
+                    regs = (sketchkern.unpack(s["zhll"])
+                            if s.get("zhll") is not None else None)
+                    if regs is not None:
+                        merged = regs if merged is None else \
+                            sketchkern.merge([merged, regs])
+                    elif s.get("znull") != s.get("n_rows"):
+                        # live rows without a sketch (pre-ndv snapshot,
+                        # column not in ndv_columns, foreign algo):
+                        # decode the bucket — still pruned, never wrong
+                        hll_decode.add(b)
+            if hll_decode:
+                need = sorted({col} | {c for c, _o, _b, _v in norm})
+                bsel = sorted(hll_decode)
+                if version is None:
+                    df = decode_colocated(spark, out_dir, columns=need,
+                                          filters=filters, buckets=bsel,
+                                          snapshot=m)
+                else:
+                    df = decode_table(spark, out_dir, buckets=bsel,
+                                      columns=need, version=pin or None,
+                                      filters=filters)
+                if norm:
+                    df = df.filter(_filters_expr(norm, schema))
+                decoded = _hll_registers_df(df, col, schema[col])
+                if decoded is not None:
+                    merged = decoded if merged is None else \
+                        sketchkern.merge([merged, decoded])
+            results[i] = 0 if merged is None else \
+                int(round(sketchkern.estimate(merged)))
             continue
         if fn == "sum":
             total, saw = 0, False
@@ -426,7 +524,7 @@ def agg_table_df(spark: SparkSession, out_dir: str,
     fields = []
     for fn, col in aggs:
         name = "count_star" if col == "*" else f"{fn}_{col}"
-        if fn in ("count", "count_distinct"):
+        if fn in ("count", "count_distinct", "approx_count_distinct"):
             t = "bigint"
         elif fn == "avg":
             t = "double"

@@ -96,7 +96,8 @@ def _make_delete_fn_arrow(schema: dict[str, str], key: str,
                           overrides: dict[str, str] | None,
                           sort_by: list[str] | None,
                           bloom_dir: str | None = None,
-                          bloom_cols: list[str] | None = None):
+                          bloom_cols: list[str] | None = None,
+                          ndv_cols: list[str] | None = None):
     """Cogrouped (block rows of one bucket, doomed keys of that bucket)
     -> new block rows. Decode only happens when a doomed key actually
     hits the bucket; a candidate bucket with zero hits passes its block
@@ -167,7 +168,8 @@ def _make_delete_fn_arrow(schema: dict[str, str], key: str,
         # re-sort inside is a no-op on already-sorted survivors.
         return make_encode_fn_arrow(sub, key, overrides, sort_by,
                                     bloom_dir=bloom_dir,
-                                    bloom_cols=bloom_cols)(tbl)
+                                    bloom_cols=bloom_cols,
+                                    ndv_cols=ndv_cols)(tbl)
 
     return fn
 
@@ -176,7 +178,8 @@ def _make_delete_fn_pandas(schema: dict[str, str], key: str,
                            overrides: dict[str, str] | None,
                            sort_by: list[str] | None,
                            bloom_dir: str | None = None,
-                           bloom_cols: list[str] | None = None):
+                           bloom_cols: list[str] | None = None,
+                           ndv_cols: list[str] | None = None):
     """applyInPandas fallback of _make_delete_fn_arrow (same contract)."""
     import pandas as pd
 
@@ -225,7 +228,8 @@ def _make_delete_fn_pandas(schema: dict[str, str], key: str,
         sub = {c: t for c, t in schema.items() if c in data}
         return make_encode_fn(sub, key, overrides, sort_by,
                               bloom_dir=bloom_dir,
-                              bloom_cols=bloom_cols)(pdf)
+                              bloom_cols=bloom_cols,
+                              ndv_cols=ndv_cols)(pdf)
 
     return fn
 
@@ -248,6 +252,7 @@ def collect_fresh_stats(spark: SparkSession, new_dir: str, affected: list,
             F.get_json_object(F.col("meta"), "$.zsum").alias("zsum"),
             F.get_json_object(F.col("meta"), "$.znan").alias("znan"),
             F.get_json_object(F.col("meta"), "$.zndv").alias("zndv"),
+            F.get_json_object(F.col("meta"), "$.zhll").alias("zhll"),
         )
         .collect()
     )
@@ -274,6 +279,8 @@ def collect_fresh_stats(spark: SparkSession, new_dir: str, affected: list,
             st["znan"] = int(r["znan"])
         if r["zndv"] is not None:
             st["zndv"] = int(r["zndv"])
+        if r["zhll"] is not None:
+            st["zhll"] = r["zhll"]
         fresh.setdefault(int(r["bucket"]), []).append(st)
         if r["key_meta"] is not None:
             km = json.loads(r["key_meta"])
@@ -424,14 +431,16 @@ def delete_keys(spark: SparkSession, out_dir: str,
         rewritten = cg.applyInArrow(
             _make_delete_fn_arrow(schema_order, key_col, overrides, sort_by,
                                   bloom_dir=bloom_dir,
-                                  bloom_cols=m.get("bloom_columns")),
+                                  bloom_cols=m.get("bloom_columns"),
+                                  ndv_cols=m.get("ndv_columns")),
             BLOCK_SCHEMA,
         )
     else:
         rewritten = cg.applyInPandas(
             _make_delete_fn_pandas(schema_order, key_col, overrides, sort_by,
                                    bloom_dir=bloom_dir,
-                                   bloom_cols=m.get("bloom_columns")),
+                                   bloom_cols=m.get("bloom_columns"),
+                                   ndv_cols=m.get("ndv_columns")),
             BLOCK_SCHEMA,
         )
     (

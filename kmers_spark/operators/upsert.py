@@ -80,14 +80,16 @@ def _make_upsert_fn_arrow(schema: dict[str, str], key: str,
                           overrides: dict[str, str] | None,
                           sort_by: list[str] | None,
                           bloom_dir: str | None = None,
-                          bloom_cols: list[str] | None = None):
+                          bloom_cols: list[str] | None = None,
+                          ndv_cols: list[str] | None = None):
     """Cogrouped (block rows of one bucket, incoming rows of that
     bucket) -> new block rows. Existing rows whose key appears in the
     incoming batch are dropped; survivors and the batch concat and
     re-encode. A brand-new bucket arrives with an empty blocks side."""
     encode_group = make_encode_fn_arrow(schema, key, overrides, sort_by,
                                         bloom_dir=bloom_dir,
-                                        bloom_cols=bloom_cols)
+                                        bloom_cols=bloom_cols,
+                                        ndv_cols=ndv_cols)
 
     def fn(blocks_tbl, rows_tbl):
         import json as _json
@@ -294,7 +296,8 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
     cg = rewrite.groupBy("bucket").cogroup(bdf.groupBy("bucket"))
     fn = _make_upsert_fn_arrow(schema, key_col, overrides, sort_by,
                                bloom_dir=bloom_dir,
-                               bloom_cols=m.get("bloom_columns"))
+                               bloom_cols=m.get("bloom_columns"),
+                               ndv_cols=m.get("ndv_columns"))
     if hasattr(cg, "applyInArrow"):
         rewritten = cg.applyInArrow(fn, BLOCK_SCHEMA)
     else:  # pandas-era Spark: route the rows through Arrow ourselves
