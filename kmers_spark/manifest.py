@@ -470,7 +470,36 @@ def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
     checkpoint — e.g. restarted after schema evolution) restarts at 0;
     it must write under a new stream_id, while restarts of the same
     query keep theirs. Returns the manifest; the caller detects a
-    replay by m["stream_epochs"][stream_id][str(epoch)] != its wave_dir."""
+    replay by m["stream_epochs"][stream_id][str(epoch)] != its wave_dir.
+
+    Stats growth is bounded like commit_buckets': once the root's
+    inline stats cross the entry threshold (or the byte threshold the
+    `zhll` sketches weigh against), every subsequent generation's stats
+    spill to `<wave_dir>/_block_stats.json` and the root gains one path
+    string per batch instead of O(buckets × columns × sketch bytes) —
+    a year of 1-minute micro-batches leaves the inline stats frozen at
+    the flip point. Readers merge via block_stats, which EXTENDS a
+    bucket's entry list across sources (generations of one bucket span
+    the root plus several wave files). The pre-flip inline entries are
+    never migrated: unlike commit_buckets' commit-once buckets, a
+    concurrent stream commit may be extending the same bucket's inline
+    list, and removal-by-key under CAS retry would drop its entries."""
+    thr = STATS_SPILL_ENTRIES
+    cur = load(out_dir)
+    inline = (cur or {}).get("blocks", {})
+    n_entries = sum(len(v) for v in bucket_stats.values())
+    spill = cur is not None and (
+        n_entries + sum(len(v) for v in inline.values()) + len(inline) > thr
+        or _zhll_bytes(bucket_stats) + _zhll_bytes(inline) > STATS_SPILL_BYTES
+    )
+    if spill:
+        path = os.path.join(out_dir, wave_dir, BLOCK_STATS_NAME)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({str(b): v for b, v in bucket_stats.items()}, f,
+                      sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
 
     def mutate(m: dict[str, Any] | None) -> dict[str, Any]:
         if m is None:
@@ -483,8 +512,13 @@ def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
         # generations (whole-bucket groupBy without a file key,
         # compaction's single-file-per-bucket rewrite) check this
         m["streamed"] = True
+        if spill:
+            m.setdefault("stats_files", []).append(
+                f"{wave_dir}/{BLOCK_STATS_NAME}"
+            )
         for b, stats in bucket_stats.items():
-            m["blocks"].setdefault(str(b), []).extend(stats)
+            if not spill:
+                m["blocks"].setdefault(str(b), []).extend(stats)
             if int(b) not in m["committed_buckets"]:
                 m["committed_buckets"].append(int(b))
         m["committed_buckets"] = sorted(m["committed_buckets"])
@@ -638,6 +672,7 @@ def block_stats(out_dir: str, m: dict[str, Any],
     (other buckets' stats are absent from the result, not empty)."""
     out = dict(m.get("blocks", {}))
     rels = m.get("stats_files", [])
+    merged: set[str] = set()  # buckets needing a copied (extended) list
     if buckets is not None:
         want = {int(b) for b in buckets}
         wb = m.get("wave_buckets", {})
@@ -651,12 +686,27 @@ def block_stats(out_dir: str, m: dict[str, Any],
     for rel in rels:
         try:
             with open(os.path.join(out_dir, rel)) as f:
-                out.update(json.load(f))
+                payload = json.load(f)
         except FileNotFoundError:
             raise FileNotFoundError(
                 f"manifest references missing stats file {rel} in {out_dir} "
                 "(wave dir reclaimed under a live reader?)"
             )
+        # EXTEND, never replace: batch sources are bucket-disjoint
+        # (commit-once; mutations keep a bucket in exactly one place),
+        # so extend ≡ the old replace there — but STREAMED stores spill
+        # per-wave generation stats (commit_wave_append) and a bucket's
+        # entries then span the root inline plus several wave files;
+        # replacing would hide earlier generations from pruning/aggs
+        for b, entries in payload.items():
+            if b in out:
+                if b not in merged:  # copy-on-extend: m's list untouched
+                    out[b] = list(out[b])
+                    merged.add(b)
+                out[b].extend(entries)
+            else:
+                out[b] = entries
+                merged.add(b)
     return out
 
 

@@ -196,3 +196,138 @@ def test_lookup_opens_only_surviving_waves_spill_files(spark, tmp_path,
     # unrestricted decode still merges ALL spill files
     blocks_all = manifest.block_stats(out, manifest.load(out))
     assert len(blocks_all) == 8
+
+
+# ----------------------------------------------- streamed-store spill
+
+def _stream_docs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.format_string("k-%05d", F.col("id")).alias("url"),
+        F.format_string("h-%03d", (F.col("id") % 83)).alias("host"),
+        F.col("id").alias("seq"),
+    )
+
+
+def _run_sink(spark, src, out, ck, num_buckets=4, opts=None):
+    from kmers_spark import datasource
+    from kmers_spark.operators import partitioning
+
+    datasource.register(spark)
+    sdf = spark.readStream.schema("url string, host string, seq bigint") \
+        .parquet(src)
+    b = partitioning.with_bucket(sdf, num_buckets, {}, url_col="url") \
+        .repartition("bucket")
+    w = (b.writeStream.format("kmers").option("checkpointLocation", ck)
+         .option("key", "url").option("numBuckets", str(num_buckets)))
+    for k, v in (opts or {}).items():
+        w = w.option(k, v)
+    q = w.trigger(availableNow=True).start(out)
+    q.awaitTermination(120)
+
+
+def test_streamed_commit_spills_past_threshold(spark, tmp_path,
+                                               monkeypatch):
+    """commit_wave_append: once root inline stats cross the threshold,
+    each new generation's stats land in <wave>/_block_stats.json and
+    the root freezes — the manifest stops growing per micro-batch."""
+    src = str(tmp_path / "src")
+    out, ck = str(tmp_path / "snap"), str(tmp_path / "ck")
+    _stream_docs(spark, 0, 900).write.mode("append").parquet(src)
+    _run_sink(spark, src, out, ck)  # generation 1: inline (no spill)
+    m1 = manifest.load(out)
+    assert m1["streamed"] and not m1.get("stats_files")
+    inline_before = json.dumps(m1["blocks"], sort_keys=True)
+
+    # generations 2..3 committed directly (the sink's commit runs in a
+    # separate Python runner, so thresholds are exercised in-process)
+    monkeypatch.setattr(manifest, "STATS_SPILL_ENTRIES", 1)
+    for epoch, wave in ((1, "w_spill_a"), (2, "w_spill_b")):
+        wave_rel = f"blocks/{wave}"
+        os.makedirs(os.path.join(out, wave_rel), exist_ok=True)
+        stats = {0: [{"column": "url", "codec": "fsst", "n_rows": 0,
+                      "raw_nbytes": 0, "enc_nbytes": 0}]}
+        m = manifest.commit_wave_append(out, stats, wave_rel, epoch)
+        assert f"{wave_rel}/{manifest.BLOCK_STATS_NAME}" in m["stats_files"]
+    m = manifest.load(out)
+    # root inline stats byte-identical to before the spilled commits
+    assert json.dumps(m["blocks"], sort_keys=True) == inline_before
+    # block_stats EXTENDS bucket 0 across root + both spill files
+    merged = manifest.block_stats(out, m)
+    base = manifest.block_stats(out, m1)
+    assert len(merged["0"]) == len(base["0"]) + 2
+    # and m's own inline lists were not mutated by the merge
+    assert len(m["blocks"]["0"]) == len(base["0"])
+
+
+def test_streamed_spilled_store_reads_identically(spark, tmp_path):
+    """Read-side contract: a streamed store whose generation stats sit
+    in per-wave spill files answers every surface identically to the
+    same store with inline stats — scan, filtered scan, lookup, the
+    DataSource, aggregates (incl. sketch-served approx)."""
+    from kmers_spark.operators.agg import agg_table
+
+    src = str(tmp_path / "src")
+    out, ck = str(tmp_path / "snap"), str(tmp_path / "ck")
+    _stream_docs(spark, 0, 900).write.mode("append").parquet(src)
+    _run_sink(spark, src, out, ck, opts={"ndvColumns": "host"})
+    _stream_docs(spark, 600, 1500).write.mode("append").parquet(src)
+    _run_sink(spark, src, out, ck, opts={"ndvColumns": "host"})
+
+    m = manifest.load(out)
+    assert len(m["wave_dirs"]) == 2 and not m.get("stats_files")
+
+    def snapshot_answers():
+        got = {}
+        got["scan"] = sorted(
+            r["url"] for r in scan_table(
+                spark, out, [("seq", ">=", 700), ("seq", "<", 1100)]
+            ).collect())
+        got["lookup"] = sorted(
+            r["url"] for r in lookup_keys(
+                spark, out, ["k-00007", "k-01400"]).collect())
+        got["agg"] = agg_table(
+            spark, out, [("count", "*"),
+                         ("approx_count_distinct", "host"),
+                         ("min", "seq"), ("max", "seq")])
+        df = (spark.read.format("kmers").load(out)
+              .filter(F.col("seq") < 100))
+        got["ds"] = df.count()
+        return got
+
+    before = snapshot_answers()
+
+    # relocate each wave's inline stat entries into per-wave spill
+    # files — byte-for-byte what commit_wave_append writes past the
+    # threshold (entries keep their wave order within a bucket)
+    m = manifest.load(out)
+    per_wave: dict[str, dict] = {w: {} for w in m["wave_dirs"]}
+    wb = m["wave_buckets"]
+    for b, entries in m["blocks"].items():
+        # generations appended in wave order; split by each wave's
+        # bucket membership (a bucket may miss from a wave)
+        holders = [w for w in m["wave_dirs"] if int(b) in wb[w]]
+        per_col: dict[str, int] = {}
+        split: dict[str, list] = {w: [] for w in holders}
+        for e in entries:
+            i = per_col.get(e["column"], 0)
+            per_col[e["column"]] = i + 1
+            split[holders[i]].append(e)
+        for w, ents in split.items():
+            if ents:
+                per_wave[w][b] = ents
+
+    def relocate(cur):
+        cur["blocks"] = {}
+        cur["stats_files"] = [
+            f"{w}/{manifest.BLOCK_STATS_NAME}" for w in cur["wave_dirs"]
+        ]
+        return cur
+
+    for w, payload in per_wave.items():
+        with open(os.path.join(out, w, manifest.BLOCK_STATS_NAME), "w") as f:
+            json.dump(payload, f, sort_keys=True)
+    manifest.commit(out, relocate)
+    m2 = manifest.load(out)
+    assert m2["blocks"] == {} and len(m2["stats_files"]) == 2
+
+    assert snapshot_answers() == before
