@@ -288,8 +288,38 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_store_range": _agg_store_range,
         "agg_approx_ndv": _agg_approx_ndv,
         "scan_bloom_eq": _scan_bloom_eq,
+        "scan_zorder_2d": _scan_zorder_2d,
         "topk_latest_events": _topk_latest_events,
     }
+
+
+def _scan_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (encode cluster_by=[a, b]): per-column
+    equal-frequency cells bit-interleaved into a z-value, buckets cut
+    on its quantiles — per-block zone bounds become tight on BOTH
+    cluster columns, so this 2-D window (a time range AND a user-id
+    band) prunes buckets on either predicate. A single-column range
+    store serves only its own column and a hash store neither; at
+    100 TB this is the layout for 'this week, these users' scans.
+    Result contract is plain SQL, so the oracle is the same predicate.
+    Idempotent per sf_dir (encode resume no-ops)."""
+    import datetime
+    import hashlib
+
+    from kmers_spark.operators.decode import scan_table
+    from kmers_spark.operators.encode import encode_table
+
+    out = ("/tmp/kmers_scan_store_z2d_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    encode_table(df, out, key="event_id", num_buckets=32,
+                 cluster_by=["ts", "user_id"])
+    return scan_table(
+        spark, out,
+        [("ts", ">=", datetime.datetime(2024, 1, 10)),
+         ("ts", "<", datetime.datetime(2024, 1, 20)),
+         ("user_id", ">=", 40), ("user_id", "<", 50)],
+    )
 
 
 def _topk_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,6 +999,11 @@ def extra_oracle_sql() -> dict[str, str]:
             "SELECT * FROM events WHERE user_id IN "
             "((SELECT min(user_id) FROM events), "
             "(SELECT min(user_id) - 1 FROM events))"
+        ),
+        "scan_zorder_2d": (
+            "SELECT * FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP "
+            "'2024-01-20' AND user_id >= 40 AND user_id < 50"
         ),
         "topk_latest_events": (
             "SELECT * FROM events "

@@ -334,6 +334,46 @@ def main():
             m_hash, norm, blocks=mf.block_stats(peak["out"], m_hash)))
         # rng_out deliberately kept: resume-idempotent cache for later runs
 
+        # Z-order 2-D window ("this ts window, Polish pages only"): the
+        # ts-range store prunes only the time axis — lang='pl' is inside
+        # every bucket's lang bounds — while zorder(warc_ts, lang)
+        # prunes both. Same cache/resume discipline as rng_out.
+        z_out = f"/tmp/kmers_bench_z2d_{PAGES_ROWS}_{N_BUCKETS}_{fp}"
+        timed("encode_pages_zorder", lambda: enc.encode_table(
+            s.read.parquet(str(CACHE)), z_out, num_buckets=N_BUCKETS,
+            detect_skew=False, cluster_by=["warc_ts", "lang"],
+            snapshot_id="bench_z2d",
+        ), n=1)
+        # a WIDE time window (30%) + the selective lang: the shape where
+        # single-column ts clustering stops helping (it keeps ~30% of
+        # buckets and lang='pl' is inside every one's lang bounds) but
+        # the z-layout's lang bits keep pruning
+        filters_2d = [
+            ("warc_ts", ">=", mm["lo"] + span * 0.35),
+            ("warc_ts", "<", mm["lo"] + span * 0.65),
+            ("lang", "=", "pl"),
+        ]
+        runs_z, runs_r2 = [], []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            dec.scan_table(s, z_out, filters_2d).write.format("noop").mode(
+                "overwrite").save()
+            runs_z.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            dec.scan_table(s, rng_out, filters_2d).write.format("noop").mode(
+                "overwrite").save()
+            runs_r2.append(round(time.perf_counter() - t0, 3))
+        timings["scan_2d_zorder"] = min(runs_z)
+        timings["scan_2d_range_ts"] = min(runs_r2)
+        query_runs["scan_2d_zorder"] = runs_z
+        query_runs["scan_2d_range_ts"] = runs_r2
+        m_z = mf.load(z_out)
+        norm_2d = zonemap.normalize_filters(filters_2d, m_z["schema"])
+        kept_z2d = len(zonemap.prune_buckets(
+            m_z, norm_2d, blocks=mf.block_stats(z_out, m_z)))
+        kept_rng2d = len(zonemap.prune_buckets(
+            m_rng, norm_2d, blocks=mf.block_stats(rng_out, m_rng)))
+
         # point lookups on the compressed store: 3 present keys (bucket +
         # key-range pruning decode only their buckets) and 1 absent key
         # outside every range (zero buckets decoded, no Spark job for
@@ -427,6 +467,11 @@ def main():
                 "clustered_scan": {
                     "buckets_kept_clustered": kept_rng,
                     "buckets_kept_hashed": kept_hash,
+                    "num_buckets": N_BUCKETS,
+                },
+                "zorder_scan": {
+                    "buckets_kept_zorder": kept_z2d,
+                    "buckets_kept_range_ts": kept_rng2d,
                     "num_buckets": N_BUCKETS,
                 },
                 "host_state": {"start": host_start, "end": hostcheck.probe()},

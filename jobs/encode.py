@@ -36,10 +36,13 @@ def main() -> None:
         "wave so a killed job loses at most one wave (default: all at once)",
     )
     ap.add_argument(
-        "--cluster-by", default=None, metavar="COL",
+        "--cluster-by", action="append", default=None, metavar="COL",
         help="range-bucket by this column instead of the salted host hash "
         "(equal-frequency boundaries sampled at creation; makes zone-map "
-        "pruning effective for range scans on COL)",
+        "pruning effective for range scans on COL). Given TWICE, the "
+        "store is Z-ORDER clustered on both columns: per-column cell "
+        "quantiles bit-interleave into a z-value, buckets cut on its "
+        "distribution — range scans then prune on EITHER column",
     )
     ap.add_argument(
         "--bloom-column", action="append", default=[], metavar="COL",

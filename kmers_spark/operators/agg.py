@@ -293,9 +293,16 @@ def agg_table(spark: SparkSession, out_dir: str,
             key_disjoint = (
                 col == key
                 and not m.get("streamed")
-                and scheme != partitioning.EXTERNAL_SCHEME
-                and (scheme != partitioning.RANGE_SCHEME
-                     or m.get("cluster_by") == key)
+                and (
+                    # explicit allowlist, NOT a denylist: a scheme this
+                    # code has never seen (zorder derives buckets from
+                    # the cluster columns, external from nothing the
+                    # engine saw) must fall to the exact decode path
+                    scheme in (partitioning.BUCKET_SCHEME,
+                               partitioning.LEGACY_SCHEME)
+                    or (scheme == partitioning.RANGE_SCHEME
+                        and m.get("cluster_by") == key)
+                )
             )
             results[i] = 0
             if not key_disjoint:

@@ -424,6 +424,8 @@ def delete_keys(spark: SparkSession, out_dir: str,
         if m.get("bucket_scheme") == partitioning.RANGE_SCHEME and cl
         and cl != key_col else None
     )
+    if m.get("bucket_scheme") == partitioning.ZORDER_SCHEME and cl:
+        sort_by = [c for c in cl if c != key_col] + [key_col]
     new_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
     bloom_dir = _bloomkern.stage_dir(new_dir)
     cg = rewrite.groupBy("bucket").cogroup(pairs.groupBy("bucket"))

@@ -400,6 +400,25 @@ def encode_table(
     schema = {f.name: selector.spark_type_name(f.dataType) for f in df.schema.fields}
     assert_utc_session(spark, schema)
 
+    # cluster_by=[a, b] (2+ columns) switches to the zorder scheme;
+    # a 1-element list is the plain range scheme
+    zorder_cols: list[str] | None = None
+    if isinstance(cluster_by, (list, tuple)):
+        cluster_by = list(cluster_by)
+        if len(cluster_by) == 0:
+            cluster_by = None
+        elif len(cluster_by) == 1:
+            cluster_by = cluster_by[0]
+        else:
+            zorder_cols = cluster_by
+            cluster_by = None
+    if zorder_cols is not None:
+        if len(zorder_cols) != len(set(zorder_cols)):
+            raise ValueError(f"cluster_by={zorder_cols!r} repeats a column")
+        for c in zorder_cols:
+            if c not in schema:
+                raise KeyError(
+                    f"cluster_by column {c!r} not in input schema")
     if cluster_by is not None and cluster_by not in schema:
         raise KeyError(f"cluster_by column {cluster_by!r} not in input schema")
 
@@ -437,7 +456,7 @@ def encode_table(
         # salting: equal-frequency boundaries bound skew by construction.
         hot = (
             partitioning.detect_hot_keys(df, num_buckets, key, sample_fraction=0.05)
-            if detect_skew and cluster_by is None
+            if detect_skew and cluster_by is None and zorder_cols is None
             else {}
         )
         boundaries = (
@@ -446,6 +465,14 @@ def encode_table(
             )
             if cluster_by is not None
             else None
+        )
+        z_cells, z_bounds = (
+            partitioning.zorder_boundaries(
+                df, zorder_cols, [schema[c] for c in zorder_cols],
+                num_buckets,
+            )
+            if zorder_cols is not None
+            else (None, None)
         )
 
         def create_or_config(cur: dict | None) -> dict:
@@ -471,6 +498,8 @@ def encode_table(
                     # scheme wrote the committed blocks.
                     "bucket_scheme": (
                         partitioning.RANGE_SCHEME if cluster_by is not None
+                        else partitioning.ZORDER_SCHEME
+                        if zorder_cols is not None
                         else partitioning.BUCKET_SCHEME
                     ),
                     "created_unix": int(time.time()),
@@ -478,6 +507,10 @@ def encode_table(
                 if cluster_by is not None:
                     cur["cluster_by"] = cluster_by
                     cur["range_boundaries"] = boundaries
+                if zorder_cols is not None:
+                    cur["cluster_by"] = list(zorder_cols)
+                    cur["zorder_cells"] = z_cells
+                    cur["zorder_boundaries"] = z_bounds
             elif cur["num_buckets"] != num_buckets or cur["schema"] != schema:
                 raise ValueError("existing manifest is incompatible with this job config")
             elif not resume:
@@ -532,6 +565,15 @@ def encode_table(
             f"with scheme={scheme!r} cluster_by={m.get('cluster_by')!r}; "
             "bucketing is part of the snapshot format"
         )
+    if zorder_cols is not None and (
+        scheme != partitioning.ZORDER_SCHEME
+        or m.get("cluster_by") != zorder_cols
+    ):
+        raise ValueError(
+            f"cluster_by={zorder_cols!r} but snapshot {out_dir} was created "
+            f"with scheme={scheme!r} cluster_by={m.get('cluster_by')!r}; "
+            "bucketing is part of the snapshot format"
+        )
     # bloom config is part of the snapshot format: a resumed wave with
     # different filters would leave the registration lying about
     # coverage. Resume reads the RECORDED config (param omitted is fine).
@@ -558,6 +600,12 @@ def encode_table(
         bucketed = partitioning.with_bucket_range(
             df, m["cluster_by"], schema[m["cluster_by"]],
             m["range_boundaries"], key=key,
+        )
+    elif scheme == partitioning.ZORDER_SCHEME:
+        zc = m["cluster_by"]
+        bucketed = partitioning.with_bucket_zorder(
+            df, zc, [schema[c] for c in zc],
+            m["zorder_cells"], m["zorder_boundaries"], key=key,
         )
     elif scheme == partitioning.EXTERNAL_SCHEME:
         # DataSource-sink store with caller-assigned buckets: encode
@@ -601,6 +649,12 @@ def encode_table(
             cl = m.get("cluster_by")
             if scheme == partitioning.RANGE_SCHEME and cl and cl != key:
                 sort_by = [cl, key]
+            elif scheme == partitioning.ZORDER_SCHEME and cl:
+                # lexicographic (a, b, key) inside each bucket: not a
+                # true z-sort, but a bucket spans few cells per
+                # dimension, so runs stay contiguous enough for
+                # segmented codecs to skip on either leading column
+                sort_by = [c for c in cl if c != key] + [key]
             # Each wave lands in its own directory and only becomes
             # visible when the manifest commit below registers it
             # (Iceberg manifest-list discipline): a crash between write
@@ -1005,7 +1059,8 @@ def rebuild_snapshot(spark: SparkSession, src_dir: str, dst_dir: str, *,
     if codec_overrides is None:
         codec_overrides = m_src.get("codec_overrides") or None
     if cluster_by is None and (
-        m_src.get("bucket_scheme") == partitioning.RANGE_SCHEME
+        m_src.get("bucket_scheme") in (partitioning.RANGE_SCHEME,
+                                       partitioning.ZORDER_SCHEME)
     ):
         cluster_by = m_src.get("cluster_by")
     if bloom_columns is None:

@@ -29,6 +29,12 @@ _HOST_RE = re.compile(HOST_PATTERN)
 BUCKET_SCHEME = "host_or_key"          # written into new manifests
 LEGACY_SCHEME = "host_only"            # pre-scheme snapshots
 RANGE_SCHEME = "range"                 # cluster_by= snapshots
+ZORDER_SCHEME = "zorder"               # cluster_by=[a, b] snapshots:
+#   rows quantized per column into equal-frequency cells, cell indexes
+#   bit-interleaved into a z-value, buckets cut at equal-frequency
+#   z-boundaries — each bucket is a compact z-range, so per-block zone
+#   bounds become tight on EVERY cluster column at once and range scans
+#   prune on either dimension (the Databricks/Iceberg Z-ORDER layout)
 EXTERNAL_SCHEME = "external"           # caller-bucketed (DataSource sinks):
 #   the writer never verified which rule produced the bucket column, so
 #   point lookups must not re-derive a bucket from any hash — they fall
@@ -343,6 +349,123 @@ def with_bucket_range(df: DataFrame, col: str, typ: str,
             ),
         )
     return df.withColumn("bucket", _salted(_searchsorted(F.col(col))))
+
+
+# ---------------------------------------------------------------- zorder
+
+# cells per cluster column: 8 bits each keeps the interleaved z-value a
+# small exact int (2 cols -> 16-bit z) and the per-column cell
+# assignment a pure JVM array-filter expression (255 boundaries <<
+# RANGE_EXPR_MAX). 256 equal-frequency cells per dimension is plenty of
+# resolution for any practical bucket count: buckets are cut from the
+# z-distribution, and each holds a compact z-range spanning ~
+# (65536 / num_buckets) cells.
+ZORDER_BITS = 8
+ZORDER_CELLS = 1 << ZORDER_BITS
+
+
+def _spread_table(k: int) -> list[int]:
+    """spread[x] = the 8-bit value x with its bits re-spaced k apart
+    (bit i -> bit i*k) — interleaving k columns is then
+    sum(spread[cell_j] << j). Pure int table, shipped as an array
+    literal so the whole z computation stays JVM-side."""
+    out = []
+    for x in range(ZORDER_CELLS):
+        v = 0
+        for i in range(ZORDER_BITS):
+            if (x >> i) & 1:
+                v |= 1 << (i * k)
+        out.append(v)
+    return out
+
+
+def _cell_expr(col: str, typ: str, cell_bounds: list):
+    """Equal-frequency cell index of `col` (count of cell boundaries <=
+    value) as a JVM expression — the same rule as with_bucket_range's
+    expression path, NULL (and NaN doubles) pinned to cell 0."""
+    v = F.col(col) if typ != "string" else \
+        F.substring(F.col(col), 1, RANGE_STR_BOUND)
+    if typ.startswith("timestamp"):
+        v = F.col(col)
+    arr = F.array(*[_bound_lit(b, typ) for b in cell_bounds])
+    expr = F.size(F.filter(arr, lambda b: b <= v)).cast("long")
+    cond = F.col(col).isNull()
+    if typ == "double":
+        cond = cond | F.isnan(F.col(col))
+    return F.when(cond, F.lit(0).cast("long")).otherwise(expr)
+
+
+def zorder_value_expr(cols: list[str], typs: list[str],
+                      cells: dict[str, list]):
+    """int64 z-value of a row: per-column equal-frequency cell index,
+    bits interleaved across columns. Entirely JVM expressions (two
+    array-filter counts + two table lookups for the 2-column case) —
+    no UDF, no shuffle."""
+    k = len(cols)
+    tab = _spread_table(k)
+    z = F.lit(0).cast("long")
+    spread_arr = F.array(*[F.lit(v).cast("long") for v in tab])
+    for j, (c, t) in enumerate(zip(cols, typs)):
+        cell = _cell_expr(c, t, cells[c])
+        z = z + F.shiftleft(F.element_at(spread_arr, (cell + 1).cast("int")),
+                            j).cast("long")
+    return z
+
+
+def zorder_boundaries(df: DataFrame, cols: list[str], typs: list[str],
+                      num_buckets: int) -> tuple[dict[str, list], list]:
+    """(per-column cell boundaries, z-value bucket boundaries) for a
+    zorder layout — sampled once at table creation, recorded in the
+    manifest, reused exactly by every resume/mutation (same
+    determinism contract as the range scheme's boundaries). Cost: one
+    GK-sketch pass per column for the cells plus one for the z cuts —
+    constant driver cost at any table size."""
+    cells = {
+        c: range_boundaries(df, c, t, ZORDER_CELLS)
+        for c, t in zip(cols, typs)
+    }
+    zdf = df.withColumn("_z", zorder_value_expr(cols, typs, cells)) \
+        .select("_z")
+    zb = range_boundaries(zdf, "_z", "int64", num_buckets)
+    return cells, zb
+
+
+def with_bucket_zorder(df: DataFrame, cols: list[str], typs: list[str],
+                       cells: dict[str, list], z_bounds: list,
+                       key: str | None = None) -> DataFrame:
+    """Add a `bucket` column by z-value range assignment. Reuses the
+    range scheme's assignment kernel on the computed z column —
+    including its heavy-z-value overflow salting by xxhash64(key), so a
+    cell combination wider than one bucket still splits."""
+    zdf = df.withColumn("_z", zorder_value_expr(cols, typs, cells))
+    return with_bucket_range(zdf, "_z", "int64", z_bounds, key=key) \
+        .drop("_z")
+
+
+def zorder_bucket_for_row(values: list, typs: list[str],
+                          cells: dict[str, list], cols: list[str],
+                          z_bounds: list) -> int:
+    """Driver-side mirror of with_bucket_zorder for ONE row (golden
+    cross-check for the expression; heavy-value salt excluded — pass
+    rows off heavy z boundaries when asserting equality)."""
+    import bisect
+    import math
+
+    from .. import zonemap
+
+    k = len(cols)
+    tab = _spread_table(k)
+    z = 0
+    for j, (v, c, t) in enumerate(zip(values, cols, typs)):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            cell = 0
+        else:
+            bv = zonemap.to_bound_space(v, t)
+            if t == "string":
+                bv = bv[:RANGE_STR_BOUND]
+            cell = bisect.bisect_right(cells[c], bv)
+        z += tab[cell] << j
+    return bisect.bisect_right(z_bounds, z)
 
 
 def range_bucket_for_value(value, boundaries: list, typ: str) -> int:

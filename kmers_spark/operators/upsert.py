@@ -177,6 +177,12 @@ def _place(df: DataFrame, m: dict, key_col: str) -> DataFrame:
         return partitioning.with_bucket_range(
             df, cl, m["schema"][cl], m["range_boundaries"], key=key_col
         )
+    if scheme == partitioning.ZORDER_SCHEME:
+        zc = m["cluster_by"]
+        return partitioning.with_bucket_zorder(
+            df, zc, [m["schema"][c] for c in zc],
+            m["zorder_cells"], m["zorder_boundaries"], key=key_col
+        )
     raise ValueError(
         f"snapshot records bucket_scheme={scheme!r}: no rule can place "
         "new rows (sink-created store?) — rebuild_snapshot into a "
@@ -218,18 +224,22 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
                 "buckets_rewritten": [], "waves_rewritten": [],
                 "manifest": m}
     cl = m.get("cluster_by")
-    if m.get("bucket_scheme") == partitioning.RANGE_SCHEME and cl != key_col:
-        # placement follows the incoming row's OWN cluster value, but a
-        # re-crawled key's OLD rows may sit in a different bucket (their
-        # old cluster value). Those buckets get key-only probe rows —
-        # delete's key-range candidate rule — so the kernel purges the
-        # key there without inserting anything.
+    scheme = m.get("bucket_scheme")
+    if (scheme == partitioning.RANGE_SCHEME and cl != key_col) or \
+            scheme == partitioning.ZORDER_SCHEME:
+        # placement follows the incoming row's OWN cluster value(s),
+        # but a re-crawled key's OLD rows may sit in a different bucket
+        # (their old cluster values — a zorder bucket is a function of
+        # every cluster column, so this holds even when the key is one
+        # of them). Those buckets get key-only probe rows — delete's
+        # key-range candidate rule — so the kernel purges the key there
+        # without inserting anything.
         from .delete import _candidate_pairs
 
         ktype = schema[key_col]
         if ktype not in ("string", "int64"):
             raise ValueError(
-                f"upsert on a range store clustered on {cl!r} needs a "
+                f"upsert on a store clustered on {cl!r} needs a "
                 f"string or int64 key to locate old rows; {key_col!r} "
                 f"is {ktype!r}"
             )
@@ -291,6 +301,8 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
         if m.get("bucket_scheme") == partitioning.RANGE_SCHEME and cl
         and cl != key_col else None
     )
+    if m.get("bucket_scheme") == partitioning.ZORDER_SCHEME and cl:
+        sort_by = [c for c in cl if c != key_col] + [key_col]
     new_dir = f"{_blocks_path(out_dir)}/{_wave_name()}"
     bloom_dir = _bloomkern.stage_dir(new_dir)
     cg = rewrite.groupBy("bucket").cogroup(bdf.groupBy("bucket"))
