@@ -286,6 +286,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_prune_roundtrip": _delete_prune_roundtrip,
         "upsert_merge_roundtrip": _upsert_merge_roundtrip,
         "agg_store_range": _agg_store_range,
+        "agg_group_by_lang": _agg_group_by_lang,
         "agg_approx_ndv": _agg_approx_ndv,
         "scan_bloom_eq": _scan_bloom_eq,
         "scan_zorder_2d": _scan_zorder_2d,
@@ -394,6 +395,31 @@ def _agg_store_range(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("max", "n_chars"), ("sum", "n_chars"), ("avg", "n_chars"),
          ("count_distinct", "doc_id")],
         filters=[("n_chars", ">=", 100), ("n_chars", "<", 300)],
+    )
+
+
+def _agg_group_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY pushdown (agg_table_grouped): documents range-clustered
+    BY the group column, so every bucket is single-group and the whole
+    rollup — count/sum/min/max/avg per language — answers from manifest
+    stats with ZERO decode (tests pin the no-decode claim; at 10^12
+    rows "how much text per language" becomes a manifest walk).
+    Straddling layouts decode only group+agg columns. Oracle: the plain
+    SQL GROUP BY. Idempotent per sf_dir (encode resume no-ops)."""
+    import hashlib
+
+    from kmers_spark.operators.agg import agg_table_grouped
+    from kmers_spark.operators.encode import encode_table
+
+    out = ("/tmp/kmers_gagg_store_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    encode_table(df, out, key="doc_id", num_buckets=8, detect_skew=False,
+                 cluster_by="lang")
+    return agg_table_grouped(
+        spark, out, ["lang"],
+        [("count", "*"), ("sum", "n_chars"), ("min", "n_chars"),
+         ("max", "n_chars"), ("avg", "n_chars")],
     )
 
 
@@ -988,6 +1014,12 @@ def extra_oracle_sql() -> dict[str, str]:
             "avg(n_chars) AS avg_n_chars, "
             "count(DISTINCT doc_id) AS count_distinct_doc_id "
             "FROM documents WHERE n_chars >= 100 AND n_chars < 300"
+        ),
+        "agg_group_by_lang": (
+            "SELECT lang, count(*) AS count_star, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_n_chars, "
+            "min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars, "
+            "avg(n_chars) AS avg_n_chars FROM documents GROUP BY lang"
         ),
         "agg_approx_ndv": (
             "SELECT count(DISTINCT lang) AS approx_ndv_lang, "

@@ -31,6 +31,11 @@ def main() -> None:
                     "count:* for row count (repeatable)")
     ap.add_argument("--filter", action="append", default=[],
                     help="COL:OP:VALUE, ANDed (same syntax as decode)")
+    ap.add_argument("--group-by", action="append", default=[],
+                    metavar="COL",
+                    help="GROUP BY these columns (repeatable); grouped "
+                    "fns: count/min/max/sum/avg — on a store clustered "
+                    "by the group column the rollup is stats-only")
     ap.add_argument("--version", type=int, default=None,
                     help="time-travel: aggregate manifest version N")
     args = ap.parse_args()
@@ -55,6 +60,15 @@ def main() -> None:
         filters = zonemap.parse_cli_filters(
             args.filter, manifest.ordered_schema(m)
         )
+    if args.group_by:
+        from kmers_spark.operators.agg import agg_table_grouped
+
+        rows = agg_table_grouped(spark, args.snapshot, args.group_by, aggs,
+                                 filters=filters,
+                                 version=args.version).collect()
+        print(json.dumps([r.asDict() for r in rows], default=str,
+                         sort_keys=True))
+        return
     res = agg_table(spark, args.snapshot, aggs, filters=filters,
                     version=args.version)
     print(json.dumps(res, default=str, sort_keys=True))

@@ -517,6 +517,237 @@ def agg_table(spark: SparkSession, out_dir: str,
     return out
 
 
+def agg_table_grouped(spark: SparkSession, out_dir: str,
+                      group_by: list[str],
+                      aggs: list[tuple[str, str]],
+                      filters: list[tuple] | None = None,
+                      version: int | None = None) -> DataFrame:
+    """GROUP BY pushdown over the compressed store; returns a DataFrame
+    of group_by columns + one column per agg (fn_col / count_star).
+
+    Two-stage evaluation, all pruning layers applied first:
+
+      * SINGLE-GROUP buckets — every generation's stats for every group
+        column show zmin == zmax (one value), zero nulls, full row
+        coverage — contribute per-group partials straight from stats
+        (count from n_rows/znull, sum from zsum, min/max from bounds).
+        On a store range-clustered or z-ordered BY the group columns
+        most buckets are single-group, so "GROUP BY lang" over 10^12
+        rows degenerates to a manifest walk plus a decode of only the
+        straddling buckets. All-or-nothing per bucket: a bucket whose
+        stats can't prove EVERY agg decodes whole (no partial mixing to
+        reason about).
+      * everything else decodes ONLY group + agg + filter columns
+        (late materialization) and aggregates in Spark.
+
+    Partials merge by a second groupBy (counts/sums add, extremes
+    combine; null partials from all-null decoded groups drop out under
+    SQL skip-null semantics). Supported fns: count/min/max/sum/avg
+    (avg derived from sum+count so it merges exactly);
+    count_distinct/approx_count_distinct are per-group set operations
+    the per-block stats cannot split — use the ungrouped forms with a
+    group filter, or decode.
+
+    NaN rule: a double agg column's bucket with znan > 0 (or pre-znan
+    stats) decodes — grouped extremes follow the same NaN-greatest SQL
+    semantics the ungrouped path implements.
+    """
+    if not group_by:
+        raise ValueError("group_by must not be empty")
+    if not aggs:
+        raise ValueError("aggs must not be empty")
+    m, pin = (manifest.load_with_version(out_dir) if version is None
+              else (manifest.load(out_dir, version=version), version))
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {out_dir}")
+    schema = manifest.ordered_schema(m)
+    key = m["key"]
+    for g in group_by:
+        if g not in schema:
+            raise KeyError(f"group column {g!r} not in snapshot schema")
+        if schema[g] == "binary":
+            raise TypeError("grouping by a binary column is unsupported")
+    inner: list[tuple[str, str]] = []
+    for fn, col in aggs:
+        if fn not in ("count", "min", "max", "sum", "avg"):
+            raise ValueError(
+                f"unsupported grouped agg fn {fn!r} "
+                "(supported: count/min/max/sum/avg)")
+        if col == "*" and fn != "count":
+            raise ValueError(f"{fn}(*) is not defined; only count(*)")
+        if col != "*" and col not in schema:
+            raise KeyError(f"column {col!r} not in snapshot schema")
+        if fn == "sum" and schema.get(col) not in ("int64", "double"):
+            raise TypeError(f"sum over {schema.get(col)} column {col!r}")
+        if fn == "avg":
+            inner.extend([("sum", col), ("count", col)])
+        else:
+            inner.append((fn, col))
+    inner = list(dict.fromkeys(inner))
+    norm = zonemap.normalize_filters(filters or [], schema)
+    blocks = manifest.block_stats(out_dir, m)
+    committed = list(m.get("committed_buckets", []))
+    surviving = zonemap.prune_buckets(m, norm, blocks=blocks) if norm \
+        else committed
+    if norm:
+        surviving = bloom_prune_filters(out_dir, m, norm, surviving)
+
+    def _single_group(bs: list[dict]) -> tuple | None:
+        """The bucket's one (g1, g2, ...) tuple, or None if any group
+        column may vary / hold nulls / miss rows."""
+        rows = _bucket_rows(bs, key)
+        vals = []
+        for g in group_by:
+            ents = _entries(bs, g)
+            if sum(int(s.get("n_rows", 0)) for s in ents) != rows:
+                return None
+            seen = set()
+            for s in ents:
+                if s.get("znull") != 0 or "zmin" not in s:
+                    return None
+                if schema[g] == "double" and s.get("znan") != 0:
+                    return None
+                if s["zmin"] != s["zmax"]:
+                    return None
+                seen.add(s["zmin"])
+            if len(seen) != 1:
+                return None
+            if schema[g] == "string":
+                # bounds are width-truncated: a truncated bound is a
+                # PREFIX, not the value — only values shorter than the
+                # cap are exact
+                from ..zonemap import STR_BOUND_WIDTH
+
+                v = next(iter(seen))
+                if len(v) >= STR_BOUND_WIDTH:
+                    return None
+            vals.append(_stats_value_to_py(next(iter(seen)), schema[g]))
+        return tuple(vals)
+
+    def _bucket_partials(bs: list[dict], rows: int) -> list | None:
+        """Stats-proven partial per inner agg, or None -> decode."""
+        out = []
+        for fn, col in inner:
+            if fn == "count" and col == "*":
+                out.append(rows)
+                continue
+            ents = _entries(bs, col)
+            typ = schema[col]
+            if fn == "count":
+                if sum(int(s.get("n_rows", 0)) for s in ents) != rows or \
+                        any(s.get("znull") is None for s in ents):
+                    return None
+                out.append(sum(int(s["n_rows"]) - int(s["znull"])
+                               for s in ents))
+                continue
+            if fn == "sum":
+                if not ents or not all(
+                    "zsum" in s or s.get("znull") == s.get("n_rows")
+                    for s in ents
+                ):
+                    return None
+                vals = [int(s["zsum"]) for s in ents if "zsum" in s]
+                out.append(sum(vals) if vals else None)
+                continue
+            # min / max
+            if typ == "string" or typ not in _EXACT_BOUND_TYPES:
+                return None  # truncated / unsupported bounds: decode
+            best = None
+            for s in ents:
+                if s.get("znull") == s.get("n_rows"):
+                    continue
+                if "zmin" not in s:
+                    return None
+                if typ == "double" and (s.get("znan") is None
+                                        or s["znan"] != 0):
+                    return None  # NaN-greatest needs the decode path
+                v = s["zmin"] if fn == "min" else s["zmax"]
+                best = v if best is None else _combine_extreme(fn, best, v)
+            out.append(None if best is None
+                       else _stats_value_to_py(best, typ))
+        return out
+
+    stats_rows: list[tuple] = []
+    decode_buckets: list[int] = []
+    for b in surviving:
+        bs = blocks.get(str(b), [])
+        if not bs:
+            continue  # committed-empty bucket: no rows, no groups
+        if norm and not _bucket_contained(bs, key, norm, schema):
+            decode_buckets.append(b)
+            continue
+        g = _single_group(bs)
+        if g is None:
+            decode_buckets.append(b)
+            continue
+        rows = _bucket_rows(bs, key)
+        if rows == 0:
+            continue
+        partials = _bucket_partials(bs, rows)
+        if partials is None:
+            decode_buckets.append(b)
+            continue
+        stats_rows.append(g + tuple(partials))
+
+    def _pname(fn: str, col: str) -> str:
+        return "p_count_star" if col == "*" else f"p_{fn}_{col}"
+
+    pnames = [_pname(fn, col) for fn, col in inner]
+    fields = [f"`{g}` {manifest.SPARK_DDL_TYPES[schema[g]]}"
+              for g in group_by]
+    for (fn, col), pn in zip(inner, pnames):
+        t = ("bigint" if fn == "count"
+             else "bigint" if fn == "sum" and schema[col] == "int64"
+             else "double" if fn == "sum"
+             else manifest.SPARK_DDL_TYPES[schema[col]])
+        fields.append(f"`{pn}` {t}")
+    parts = spark.createDataFrame(stats_rows, ", ".join(fields))
+
+    if decode_buckets:
+        need = sorted(set(group_by)
+                      | {c for _f, c in inner if c != "*"}
+                      | {c for c, _o, _b, _v in norm}) or [key]
+        if version is None:
+            df = decode_colocated(spark, out_dir, columns=need,
+                                  filters=filters,
+                                  buckets=sorted(decode_buckets),
+                                  snapshot=m)
+        else:
+            df = decode_table(spark, out_dir, buckets=sorted(decode_buckets),
+                              columns=need, version=pin or None,
+                              filters=filters)
+        if norm:
+            df = df.filter(_filters_expr(norm, schema))
+        exprs = []
+        for (fn, col), pn in zip(inner, pnames):
+            if fn == "count" and col == "*":
+                exprs.append(F.count(F.lit(1)).alias(pn))
+            else:
+                exprs.append(getattr(F, fn)(F.col(col)).alias(pn))
+        decoded = df.groupBy(*group_by).agg(*exprs)
+        parts = parts.unionByName(decoded)
+
+    merged = parts.groupBy(*group_by).agg(*[
+        (F.sum(pn) if fn in ("count", "sum")
+         else getattr(F, fn)(pn)).alias(pn)
+        for (fn, _c), pn in zip(inner, pnames)
+    ])
+    # project the requested aggs (avg derived from its partials)
+    out_cols = [F.col(g) for g in group_by]
+    for fn, col in aggs:
+        name = "count_star" if col == "*" else f"{fn}_{col}"
+        if fn == "avg":
+            s, c = F.col(_pname("sum", col)), F.col(_pname("count", col))
+            out_cols.append(
+                F.when(c > 0, s / c).otherwise(F.lit(None)).alias(name))
+        elif fn == "count":
+            out_cols.append(
+                F.coalesce(F.col(_pname(fn, col)), F.lit(0)).alias(name))
+        else:
+            out_cols.append(F.col(_pname(fn, col)).alias(name))
+    return merged.select(*out_cols)
+
+
 def agg_table_df(spark: SparkSession, out_dir: str,
                  aggs: list[tuple[str, str]],
                  filters: list[tuple] | None = None,

@@ -585,3 +585,122 @@ def test_count_distinct_after_mutations(spark, multiset, tmp_path,
     r = agg_table(spark, out, [("count_distinct", "url"), ("count", "*")])
     assert r["count_distinct_url"] == 200 + 1
     assert r["count_star"] == survivors.count() + 1
+
+
+# ------------------------------------------------------------ grouped
+
+def test_grouped_matches_spark_truth_all_layouts(spark, tmp_path):
+    from kmers_spark.operators.agg import agg_table_grouped
+
+    df = spark.range(3000).select(
+        F.format_string("k-%05d", F.col("id")).alias("k"),
+        F.element_at(
+            F.array(F.lit("de"), F.lit("en"), F.lit("fr"), F.lit("pl")),
+            (F.col("id") % 4 + 1).cast("int")).alias("lang"),
+        F.when(F.col("id") % 11 == 0, None)
+         .otherwise(F.col("id") % 500).alias("n"),
+    ).cache()
+    truth = sorted(
+        tuple(r) for r in df.groupBy("lang").agg(
+            F.count(F.lit(1)), F.count("n"), F.sum("n"),
+            F.min("n"), F.max("n"), F.avg("n")).collect())
+    aggs = [("count", "*"), ("count", "n"), ("sum", "n"),
+            ("min", "n"), ("max", "n"), ("avg", "n")]
+    for name, kw in [("hash", {}), ("rangelang", {"cluster_by": "lang"}),
+                     ("rangen", {"cluster_by": "n"}),
+                     ("zorder", {"cluster_by": ["lang", "n"]})]:
+        out = str(tmp_path / name)
+        encode_table(df, out, key="k", num_buckets=8, detect_skew=False,
+                     **kw)
+        got = sorted(tuple(r) for r in agg_table_grouped(
+            spark, out, ["lang"], aggs).collect())
+        assert got == truth, name
+
+
+def test_grouped_stats_only_on_group_clustered_store(spark, tmp_path,
+                                                     monkeypatch):
+    """range-on-group-column store: every bucket is single-group, so
+    GROUP BY answers with ZERO decode calls — a manifest walk."""
+    from kmers_spark.operators.agg import agg_table_grouped
+
+    df = spark.range(2000).select(
+        F.format_string("k-%05d", F.col("id")).alias("k"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int")).alias("g"),
+        (F.col("id") % 100).alias("n"),
+    ).cache()
+    out = str(tmp_path / "snap")
+    encode_table(df, out, key="k", num_buckets=6, cluster_by="g",
+                 detect_skew=False)
+    truth = sorted(
+        (r["g"], r["count(1)"], r["sum(n)"]) for r in
+        df.groupBy("g").agg(F.count(F.lit(1)), F.sum("n")).collect())
+    _no_decode(monkeypatch)
+    got = sorted(tuple(r) for r in agg_table_grouped(
+        spark, out, ["g"], [("count", "*"), ("sum", "n")]).collect())
+    assert got == truth
+
+
+def test_grouped_filtered_and_null_groups(spark, tmp_path):
+    from kmers_spark.operators.agg import agg_table_grouped
+
+    df = spark.createDataFrame(
+        [(f"k{i}", None if i % 5 == 0 else f"g{i % 3}", i)
+         for i in range(300)],
+        "k string, g string, n bigint").cache()
+    out = str(tmp_path / "snap")
+    encode_table(df, out, key="k", num_buckets=4, detect_skew=False)
+    truth = {
+        r["g"]: r["count(1)"] for r in
+        df.filter(F.col("n") >= 100).groupBy("g")
+        .agg(F.count(F.lit(1))).collect()}
+    got = {r["g"]: r["count_star"] for r in agg_table_grouped(
+        spark, out, ["g"], [("count", "*")],
+        filters=[("n", ">=", 100)]).collect()}
+    assert got == truth and None in got  # NULL group survives
+
+
+def test_grouped_multi_column_and_timestamps(spark, pages, hash_store):
+    from kmers_spark.operators.agg import agg_table_grouped
+
+    truth = sorted(
+        tuple(r) for r in pages.groupBy("lang").agg(
+            F.count(F.lit(1)), F.min("warc_ts"), F.max("warc_ts")
+        ).collect())
+    got = sorted(tuple(r) for r in agg_table_grouped(
+        spark, hash_store, ["lang"],
+        [("count", "*"), ("min", "warc_ts"), ("max", "warc_ts")]).collect())
+    assert got == truth
+
+
+def test_grouped_nan_doubles_decode_exact(spark, tmp_path):
+    """a group's double extreme with NaN rows must follow NaN-greatest
+    SQL semantics — the stats path refuses NaN buckets, the decode path
+    (uncached Spark) provides it."""
+    from kmers_spark.operators.agg import agg_table_grouped
+
+    df = spark.createDataFrame(
+        [("k1", "a", 1.0), ("k2", "a", float("nan")), ("k3", "b", 2.0),
+         ("k4", "b", 5.0)],
+        "k string, g string, d double")
+    out = str(tmp_path / "snap")
+    encode_table(df, out, key="k", num_buckets=2, detect_skew=False)
+    got = {r["g"]: r["max_d"] for r in agg_table_grouped(
+        spark, out, ["g"], [("max", "d")]).collect()}
+    import math
+    assert math.isnan(got["a"]) and got["b"] == 5.0
+
+
+def test_grouped_validation(spark, hash_store):
+    from kmers_spark.operators.agg import agg_table_grouped
+
+    with pytest.raises(ValueError, match="group_by"):
+        agg_table_grouped(spark, hash_store, [], [("count", "*")])
+    with pytest.raises(ValueError, match="unsupported grouped"):
+        agg_table_grouped(spark, hash_store, ["lang"],
+                          [("count_distinct", "url")])
+    with pytest.raises(TypeError, match="binary"):
+        agg_table_grouped(spark, hash_store, ["html"], [("count", "*")])
+    with pytest.raises(KeyError):
+        agg_table_grouped(spark, hash_store, ["nope"], [("count", "*")])
