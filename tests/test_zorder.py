@@ -222,3 +222,21 @@ def test_count_distinct_not_stats_added_on_zorder(spark, zdf, zstore,
     r = agg_table(spark, zstore, [("count_distinct", "k")])
     assert r["count_distinct_k"] == 40000
     assert calls, "zorder store must decode for exact count_distinct"
+
+
+def test_three_column_zorder(spark, zdf, tmp_path):
+    """the interleave generalizes: k columns get every k-th z-bit."""
+    out = str(tmp_path / "z3")
+    encode_table(zdf, out, key="k", num_buckets=32,
+                 cluster_by=["ts", "uid", "host"])
+    m = manifest.load(out)
+    assert m["cluster_by"] == ["ts", "uid", "host"]
+    for col, lo, hi in (("ts", 1000, 1400), ("uid", 100, 200),
+                        ("host", "h-100", "h-150")):
+        kept = _surviving(out, m, [(col, ">=", lo), (col, "<", hi)])
+        assert len(kept) < 32, (col, kept)  # every dim prunes SOMETHING
+    got = sorted(r["k"] for r in scan_table(
+        spark, out, [("uid", ">=", 100), ("uid", "<", 120)]).collect())
+    want = sorted(r["k"] for r in zdf.filter(
+        (F.col("uid") >= 100) & (F.col("uid") < 120)).collect())
+    assert got == want and got
