@@ -384,6 +384,18 @@ def encode_table(
     only extra cost. Resume reuses the recorded boundaries, so
     re-assignment is exact.
 
+    `cluster_by=[a, b]` (2+ columns) switches to Z-ORDER bucketing
+    (scheme "zorder"): each column is quantized into 256
+    equal-frequency cells, cell indexes bit-interleave into a z-value
+    (pure JVM expressions — partitioning.zorder_value_expr), and
+    buckets are cut at the z-distribution's quantiles through the same
+    range assignment kernel. Every bucket then holds a compact z-range,
+    so per-block zone bounds become tight on ALL cluster columns and
+    scans prune on any of them (measured 7/128 buckets for a 2-D window
+    vs 44/128 single-column range vs 128/128 hashed — BENCH/ROUND5.md).
+    Each dimension gets 1/k of the z-bits: prefer the single-column
+    range scheme when only one column is ever filtered.
+
     `commit_every` splits the pending buckets into waves of that size,
     each written AND manifest-committed before the next starts: a job
     killed (even kill -9) mid-run loses only the in-flight wave — its
