@@ -599,6 +599,18 @@ def _parse_bloom_columns(options, table_schema: dict, key: str,
             raise ValueError(
                 f"bloomColumns column {c!r} has type {table_schema[c]!r}; "
                 "Bloom sidecars support string and int64 columns")
+    from . import manifest
+
+    m = manifest.load(path)
+    recorded = (m or {}).get("bloom_columns") or []
+    if m is not None and cols != recorded:
+        # snapshot-format pinning, same rule as encode_table: a sink
+        # writing a DIFFERENT filter set would create per-generation
+        # coverage gaps the recorded config silently lies about
+        raise ValueError(
+            f"bloomColumns={cols!r} but snapshot {path} records "
+            f"bloom_columns={recorded!r}; the filter set is part of the "
+            "snapshot format (omit the option to inherit, or rebuild)")
     return cols
 
 
@@ -611,10 +623,10 @@ def _parse_ndv_columns(options, table_schema: dict,
     overlap-insensitive). Unset -> inherit the snapshot's recorded
     ndv_columns (appends must not create coverage gaps that silently
     demote the aggregate to a decode)."""
+    from . import manifest
+
     raw = options.get("ndvcolumns") or options.get("ndv_columns")
     if not raw:
-        from . import manifest
-
         m = manifest.load(path)
         return (m or {}).get("ndv_columns") or None
     cols = sorted({c.strip() for c in raw.split(",") if c.strip()})
@@ -626,6 +638,16 @@ def _parse_ndv_columns(options, table_schema: dict,
             raise ValueError(
                 f"ndvColumns column {c!r} has type {table_schema[c]!r}; "
                 "distinct sketches support string and int64 columns")
+    m = manifest.load(path)
+    recorded = (m or {}).get("ndv_columns") or []
+    if m is not None and cols != recorded:
+        # pinning, same rationale as encode_table's guard: partial
+        # sketch coverage silently demotes approx_count_distinct from
+        # stats-only to a decode
+        raise ValueError(
+            f"ndvColumns={cols!r} but snapshot {path} records "
+            f"ndv_columns={recorded!r}; the sketch set is part of the "
+            "snapshot format (omit the option to inherit, or rebuild)")
     return cols
 
 

@@ -655,6 +655,48 @@ def evolve_schema(out_dir: str, add: dict[str, str]) -> dict[str, Any]:
     return commit(out_dir, mutate)
 
 
+def amend_surviving_stats_files(out_dir: str, m: dict[str, Any],
+                                retired_set: set, affected: set,
+                                new_rel: str) -> dict[str, str | None]:
+    """Mutation support: a merge-on-write rewrite of `affected` buckets
+    must not leave their STALE stat entries readable anywhere — and a
+    spill MIGRATION (commit_buckets) may have parked one wave's bucket
+    entries inside another wave's _block_stats.json, so retiring the
+    data waves does not retire every file mentioning the bucket.
+    (Reproduced before this existed: delete on a spill-migrated store
+    left the absorbing wave's stale entries live — count(*) answered
+    from them was wrong whichever way block_stats merged.)
+
+    Every surviving stats file (owner wave not retired) that mentions
+    an affected bucket is rewritten WITHOUT those buckets into the
+    mutation's new wave dir under a distinct name — never amended in
+    place, so older manifest versions keep time-traveling against the
+    original files. Returns {old_rel: replacement_rel_or_None}; the
+    caller applies it inside its CAS swap (idempotent under retry)."""
+    swaps: dict[str, str | None] = {}
+    aff = {str(b) for b in affected}
+    for i, rel in enumerate(m.get("stats_files", [])):
+        if rel.rsplit("/", 1)[0] in retired_set:
+            continue
+        with open(os.path.join(out_dir, rel)) as f:
+            payload = json.load(f)
+        if not aff & payload.keys():
+            continue
+        cleaned = {b: v for b, v in payload.items() if b not in aff}
+        if cleaned:
+            new_name = f"{new_rel}/_block_stats_amend{i}.json"
+            path = os.path.join(out_dir, new_name)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(cleaned, f, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
+            swaps[rel] = new_name
+        else:
+            swaps[rel] = None  # file held only affected buckets: drop
+    return swaps
+
+
 def block_stats(out_dir: str, m: dict[str, Any],
                 buckets: list | set | None = None) -> dict[str, list]:
     """Merged per-(bucket)->[per-column block stats]: root-inline
@@ -692,21 +734,34 @@ def block_stats(out_dir: str, m: dict[str, Any],
                 f"manifest references missing stats file {rel} in {out_dir} "
                 "(wave dir reclaimed under a live reader?)"
             )
-        # EXTEND, never replace: batch sources are bucket-disjoint
-        # (commit-once; mutations keep a bucket in exactly one place),
-        # so extend ≡ the old replace there — but STREAMED stores spill
-        # per-wave generation stats (commit_wave_append) and a bucket's
-        # entries then span the root inline plus several wave files;
-        # replacing would hide earlier generations from pruning/aggs
-        for b, entries in payload.items():
-            if b in out:
-                if b not in merged:  # copy-on-extend: m's list untouched
-                    out[b] = list(out[b])
+        # Merge rule is PER-STORE-KIND, deliberately:
+        #   * STREAMED stores EXTEND — commit_wave_append spills each
+        #     generation's stats to its own wave file, so a bucket's
+        #     entries legitimately span the root inline plus several
+        #     files; replacing would hide earlier generations from
+        #     pruning/aggs. Mutations are refused on streamed stores,
+        #     so no consolidation can ever leave a stale duplicate.
+        #   * BATCH stores REPLACE (last file wins) — commit_buckets'
+        #     spill MIGRATION absorbs other waves' inline entries into
+        #     the absorbing wave's file, and a later delete/upsert
+        #     consolidation rewrites an affected bucket's stats into
+        #     its own NEW file without retiring the absorbing wave;
+        #     extending would then double-count the stale migrated
+        #     entries (reproduced: count(*) inflated post-delete).
+        #     Mutations append their file last, so replace keeps the
+        #     fresh stats authoritative.
+        if m.get("streamed"):
+            for b, entries in payload.items():
+                if b in out:
+                    if b not in merged:  # copy-on-extend: m's untouched
+                        out[b] = list(out[b])
+                        merged.add(b)
+                    out[b].extend(entries)
+                else:
+                    out[b] = entries
                     merged.add(b)
-                out[b].extend(entries)
-            else:
-                out[b] = entries
-                merged.add(b)
+        else:
+            out.update(payload)
     return out
 
 

@@ -128,34 +128,49 @@ def _bucket_contained(stats: list[dict], key: str,
     return True
 
 
-def _hll_registers_df(df: DataFrame, col: str, typ: str):
-    """HLL registers over a DataFrame column, built with the engine's
-    OWN sketch kernel (NOT Spark's approx_count_distinct, which is a
-    different sketch and would break the merged-estimate determinism):
-    one mapInArrow pass emits per-partition registers (1 KB each), the
-    driver max-merges. Nulls are dropped JVM-side so int64 batches
-    reach Arrow exact (a null-bearing long column would round through
-    float64 at 2^53)."""
+def _hll_registers_multi(df: DataFrame, col_types: dict[str, str]
+                         ) -> dict:
+    """{column: merged HLL registers} over a DataFrame, built with the
+    engine's OWN sketch kernel (NOT Spark's approx_count_distinct — a
+    different sketch would break the merged-estimate determinism): ONE
+    mapInArrow pass computes every requested column's registers
+    (per-partition 1 KB blobs), the driver max-merges. Batches stay
+    Arrow end-to-end, so null-bearing int64 columns keep exact values
+    (no pandas float64 round-trip); hll_build_arrow drops nulls like
+    count_distinct does."""
     import numpy as np
 
     from ..kernels import sketch as sketchkern
 
-    src = df.select(col).where(F.col(col).isNotNull())
+    cols = sorted(col_types)
+    src = df.select(*cols)
 
     def build(batches):
         import pyarrow as pa
 
-        regs = None
+        regs: dict[str, object] = {}
         for batch in batches:
-            r = sketchkern.hll_build_arrow(batch.column(0), typ)
-            if r is not None:
-                regs = r if regs is None else sketchkern.merge([regs, r])
-        if regs is not None:
-            yield pa.record_batch([pa.array([regs.tobytes()])], ["regs"])
+            for ci, c in enumerate(cols):
+                r = sketchkern.hll_build_arrow(batch.column(ci),
+                                               col_types[c])
+                if r is not None:
+                    regs[c] = r if c not in regs else \
+                        sketchkern.merge([regs[c], r])
+        if regs:
+            items = sorted(regs.items())
+            yield pa.record_batch(
+                [pa.array([c for c, _r in items]),
+                 pa.array([r.tobytes() for _c, r in items])],
+                ["col", "regs"],
+            )
 
-    rows = src.mapInArrow(build, "regs binary").collect()
-    parts = [np.frombuffer(r["regs"], np.uint8) for r in rows]
-    return sketchkern.merge(parts) if parts else None
+    rows = src.mapInArrow(build, "col string, regs binary").collect()
+    out: dict = {}
+    for r in rows:
+        regs = np.frombuffer(r["regs"], np.uint8)
+        out[r["col"]] = regs if r["col"] not in out else \
+            sketchkern.merge([out[r["col"]], regs])
+    return out
 
 
 def agg_table(spark: SparkSession, out_dir: str,
@@ -257,6 +272,7 @@ def agg_table(spark: SparkSession, out_dir: str,
     # the bucket set whose rows must be decoded for agg i.
     results: list[Any] = [None] * len(aggs)
     decode_of: list[set[int]] = [set(straddling) for _ in aggs]
+    pending_hll: list[tuple] = []  # deferred sketch decodes, grouped below
 
     for i, (fn, col) in enumerate(aggs):
         typ = schema.get(col) if col != "*" else None
@@ -331,7 +347,8 @@ def agg_table(spark: SparkSession, out_dir: str,
             # re-covering a sketched value via decode cannot move a
             # union). Contained buckets' sketches are exact for the
             # filtered set (every row matches); straddlers decode with
-            # the filters applied.
+            # the filters applied. The decode itself is DEFERRED: all
+            # approx aggs sharing a bucket subset run as one job below.
             from ..kernels import sketch as sketchkern
 
             decode_of[i] = set()  # this branch runs its own decode —
@@ -352,25 +369,7 @@ def agg_table(spark: SparkSession, out_dir: str,
                         # column not in ndv_columns, foreign algo):
                         # decode the bucket — still pruned, never wrong
                         hll_decode.add(b)
-            if hll_decode:
-                need = sorted({col} | {c for c, _o, _b, _v in norm})
-                bsel = sorted(hll_decode)
-                if version is None:
-                    df = decode_colocated(spark, out_dir, columns=need,
-                                          filters=filters, buckets=bsel,
-                                          snapshot=m)
-                else:
-                    df = decode_table(spark, out_dir, buckets=bsel,
-                                      columns=need, version=pin or None,
-                                      filters=filters)
-                if norm:
-                    df = df.filter(_filters_expr(norm, schema))
-                decoded = _hll_registers_df(df, col, schema[col])
-                if decoded is not None:
-                    merged = decoded if merged is None else \
-                        sketchkern.merge([merged, decoded])
-            results[i] = 0 if merged is None else \
-                int(round(sketchkern.estimate(merged)))
+            pending_hll.append((i, col, frozenset(hll_decode), merged))
             continue
         if fn == "sum":
             total, saw = 0, False
@@ -466,6 +465,45 @@ def agg_table(spark: SparkSession, out_dir: str,
             # unless every bucket may match)
             decode_of[i].update(contained)
             results[i] = None
+
+    # Sketch-decode pass: approx aggs grouped by identical bucket
+    # subsets — ONE job per subset computes every needed column's
+    # registers in a single mapInArrow pass (N approx aggs over the
+    # same straddlers must not decode those buckets N times).
+    if pending_hll:
+        from ..kernels import sketch as sketchkern
+
+        hll_groups: dict[frozenset, list] = {}
+        for item in pending_hll:
+            i, col, bset, merged = item
+            if bset:
+                hll_groups.setdefault(bset, []).append(item)
+            else:
+                results[i] = 0 if merged is None else \
+                    int(round(sketchkern.estimate(merged)))
+        for bset, items in hll_groups.items():
+            need_cols = {c: schema[c] for _i, c, _b, _m in items}
+            need = sorted(set(need_cols)
+                          | {c for c, _o, _bv, _v in norm})
+            bsel = sorted(bset)
+            if version is None:
+                df = decode_colocated(spark, out_dir, columns=need,
+                                      filters=filters, buckets=bsel,
+                                      snapshot=m)
+            else:
+                df = decode_table(spark, out_dir, buckets=bsel,
+                                  columns=need, version=pin or None,
+                                  filters=filters)
+            if norm:
+                df = df.filter(_filters_expr(norm, schema))
+            reg_map = _hll_registers_multi(df, need_cols)
+            for i, col, _b, merged in items:
+                decoded = reg_map.get(col)
+                if decoded is not None:
+                    merged = decoded if merged is None else \
+                        sketchkern.merge([merged, decoded])
+                results[i] = 0 if merged is None else \
+                    int(round(sketchkern.estimate(merged)))
 
     # Decode pass: group aggs by identical bucket subsets so each
     # subset costs ONE Spark job decoding the union of needed columns.

@@ -597,15 +597,21 @@ def lookup_keys(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame
 
     def candidates(k: str) -> list[int]:
         """Buckets that could hold key k under the snapshot's scheme."""
-        if scheme == partitioning.EXTERNAL_SCHEME:
-            # caller-bucketed (DataSource sink without a declared
-            # scheme): no hash rule is trustworthy, so every committed
-            # bucket is a candidate and the recorded per-bucket key
-            # ranges below do the pruning
-            return list(m.get("committed_buckets", []))
-        if scheme != partitioning.RANGE_SCHEME:
+        if scheme in (partitioning.BUCKET_SCHEME, partitioning.LEGACY_SCHEME):
+            # explicit ALLOWLIST for hash-deriving a single bucket: any
+            # scheme this code has never seen must fall to the
+            # all-committed-buckets path below — hash-deriving under a
+            # zorder/external layout silently reports present keys
+            # absent (the key does not determine the bucket there)
             return [partitioning.bucket_for_key(k, m["num_buckets"], hot,
                                                 scheme=scheme)]
+        if scheme != partitioning.RANGE_SCHEME:
+            # external (caller-bucketed sink), zorder (bucket is a
+            # function of the cluster columns' z-value), or a future
+            # scheme: no key rule is trustworthy — every committed
+            # bucket is a candidate and the recorded per-bucket key
+            # ranges + Bloom sidecars below do the pruning
+            return list(m.get("committed_buckets", []))
         if m.get("cluster_by") == key_col and m["schema"][key_col] == "string":
             # range-bucketed ON the key: exact bucket via the same
             # searchsorted rule encode used (driver-side bisect),

@@ -114,10 +114,18 @@ def make_encode_fn(schema: dict[str, str], key: str,
                 # distinct-key count — see make_encode_fn_arrow
                 meta = {**meta, "zndv": int(s.nunique())}
             if ndv_cols and col in ndv_cols and typ in ("string", "int64"):
-                # ndv_columns= HLL sketch — see make_encode_fn_arrow
-                regs = sketchkern.hll_build_pandas(s, typ)
-                if regs is not None:
-                    meta = {**meta, "zhll": sketchkern.pack(regs)}
+                # ndv_columns= HLL sketch — see make_encode_fn_arrow.
+                # Same pandas honesty rule as zsum: a nullable int64
+                # arrives as float64 and values >= 2^53 would hash
+                # ROUNDED bits (breaking the sketch==decode determinism
+                # invariant) — omit the sketch; the bucket decodes
+                # through the exact kernel instead
+                if typ == "int64" and s.dtype.kind != "i":
+                    pass
+                else:
+                    regs = sketchkern.hll_build_pandas(s, typ)
+                    if regs is not None:
+                        meta = {**meta, "zhll": sketchkern.pack(regs)}
             if col == key and len(s) and typ in ("string", "int64"):
                 # Iceberg file-stats analogue: the block's key range rides
                 # in the key column's meta and lands in the manifest at
@@ -427,6 +435,11 @@ def encode_table(
     if zorder_cols is not None:
         if len(zorder_cols) != len(set(zorder_cols)):
             raise ValueError(f"cluster_by={zorder_cols!r} repeats a column")
+        if len(zorder_cols) > partitioning.ZORDER_MAX_COLS:
+            raise ValueError(
+                f"cluster_by={zorder_cols!r}: zorder supports at most "
+                f"{partitioning.ZORDER_MAX_COLS} columns (the interleaved "
+                "z-value must fit a signed int64)")
         for c in zorder_cols:
             if c not in schema:
                 raise KeyError(

@@ -362,6 +362,8 @@ def with_bucket_range(df: DataFrame, col: str, typ: str,
 # (65536 / num_buckets) cells.
 ZORDER_BITS = 8
 ZORDER_CELLS = 1 << ZORDER_BITS
+# working column for the computed z-value during assignment/sampling
+ZORDER_TMP_COL = "__kmers_zvalue__"
 
 
 def _spread_table(k: int) -> list[int]:
@@ -385,14 +387,19 @@ def _cell_expr(col: str, typ: str, cell_bounds: list):
     expression path, NULL (and NaN doubles) pinned to cell 0."""
     v = F.col(col) if typ != "string" else \
         F.substring(F.col(col), 1, RANGE_STR_BOUND)
-    if typ.startswith("timestamp"):
-        v = F.col(col)
     arr = F.array(*[_bound_lit(b, typ) for b in cell_bounds])
     expr = F.size(F.filter(arr, lambda b: b <= v)).cast("long")
     cond = F.col(col).isNull()
     if typ == "double":
         cond = cond | F.isnan(F.col(col))
     return F.when(cond, F.lit(0).cast("long")).otherwise(expr)
+
+
+# interleaving k 8-bit cells uses bits up to (ZORDER_BITS-1)*k + (k-1);
+# k=7 tops out at bit 54 (safe in a signed int64 everywhere: the JVM
+# long, the driver mirror, numpy). k=8 reaches bit 63 (sign) and the
+# expression/mirror would diverge — encode_table validates the cap.
+ZORDER_MAX_COLS = 7
 
 
 def zorder_value_expr(cols: list[str], typs: list[str],
@@ -402,6 +409,11 @@ def zorder_value_expr(cols: list[str], typs: list[str],
     array-filter counts + two table lookups for the 2-column case) —
     no UDF, no shuffle."""
     k = len(cols)
+    if k > ZORDER_MAX_COLS:
+        raise ValueError(
+            f"zorder supports at most {ZORDER_MAX_COLS} cluster columns "
+            f"(got {k}): bit {8 * k - 1} would overflow the signed int64 "
+            "z-value")
     tab = _spread_table(k)
     z = F.lit(0).cast("long")
     spread_arr = F.array(*[F.lit(v).cast("long") for v in tab])
@@ -420,13 +432,18 @@ def zorder_boundaries(df: DataFrame, cols: list[str], typs: list[str],
     determinism contract as the range scheme's boundaries). Cost: one
     GK-sketch pass per column for the cells plus one for the z cuts —
     constant driver cost at any table size."""
+    if ZORDER_TMP_COL in df.columns:
+        raise ValueError(
+            f"input column {ZORDER_TMP_COL!r} collides with the zorder "
+            "assignment's working column; rename it")
     cells = {
         c: range_boundaries(df, c, t, ZORDER_CELLS)
         for c, t in zip(cols, typs)
     }
-    zdf = df.withColumn("_z", zorder_value_expr(cols, typs, cells)) \
-        .select("_z")
-    zb = range_boundaries(zdf, "_z", "int64", num_buckets)
+    zdf = df.withColumn(ZORDER_TMP_COL,
+                        zorder_value_expr(cols, typs, cells)) \
+        .select(ZORDER_TMP_COL)
+    zb = range_boundaries(zdf, ZORDER_TMP_COL, "int64", num_buckets)
     return cells, zb
 
 
@@ -437,9 +454,14 @@ def with_bucket_zorder(df: DataFrame, cols: list[str], typs: list[str],
     range scheme's assignment kernel on the computed z column —
     including its heavy-z-value overflow salting by xxhash64(key), so a
     cell combination wider than one bucket still splits."""
-    zdf = df.withColumn("_z", zorder_value_expr(cols, typs, cells))
-    return with_bucket_range(zdf, "_z", "int64", z_bounds, key=key) \
-        .drop("_z")
+    if ZORDER_TMP_COL in df.columns:
+        raise ValueError(
+            f"input column {ZORDER_TMP_COL!r} collides with the zorder "
+            "assignment's working column; rename it")
+    zdf = df.withColumn(ZORDER_TMP_COL,
+                        zorder_value_expr(cols, typs, cells))
+    return with_bucket_range(zdf, ZORDER_TMP_COL, "int64", z_bounds,
+                             key=key).drop(ZORDER_TMP_COL)
 
 
 def zorder_bucket_for_row(values: list, typs: list[str],

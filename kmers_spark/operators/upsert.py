@@ -372,6 +372,11 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
     inline_updates = {
         str(b): fresh[b] for b in affected if str(b) not in spill_payload
     }
+    # spill MIGRATION may have parked affected buckets' entries in a
+    # SURVIVING wave's stats file; purge them (manifest helper) so no
+    # read path can see the pre-rewrite stats
+    stats_swaps = manifest.amend_surviving_stats_files(
+        out_dir, m, retired_set, set(affected), new_rel)
 
     def swap(cur: dict | None) -> dict:
         if cur is None:
@@ -401,8 +406,10 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
             inline[b_str] = st
         if "stats_files" in cur:
             cur["stats_files"] = [
-                rel for rel in cur["stats_files"]
+                stats_swaps.get(rel, rel)
+                for rel in cur["stats_files"]
                 if _owner(rel) not in retired_set
+                and stats_swaps.get(rel, rel) is not None
             ]
             if new_stats_rel:
                 cur["stats_files"].append(new_stats_rel)

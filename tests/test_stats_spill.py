@@ -331,3 +331,49 @@ def test_streamed_spilled_store_reads_identically(spark, tmp_path):
     assert m2["blocks"] == {} and len(m2["stats_files"]) == 2
 
     assert snapshot_answers() == before
+
+
+def test_mutation_purges_migrated_stats(spark, tmp_path, monkeypatch):
+    """A spill MIGRATION parks wave1's bucket entries inside wave2's
+    stats file; deleting keys that live in wave1's buckets must not
+    leave the stale migrated entries readable (reproduced pre-fix:
+    count(*) answered from them was wrong, rows_deleted went negative).
+    The mutation now rewrites contaminated surviving files without the
+    affected buckets (manifest.amend_surviving_stats_files)."""
+    from kmers_spark.operators.agg import agg_table
+    from kmers_spark.operators.delete import delete_keys
+
+    df = spark.createDataFrame(
+        [(f"k{i:04d}", f"g{i % 5}", i) for i in range(400)],
+        "url string, g string, n bigint").cache()
+    out = str(tmp_path / "snap")
+    # wave1 (4 buckets x 3 cols = 12 entries) stays inline at thr=20;
+    # wave2 crosses cumulatively and MIGRATES wave1's inline entries
+    # into its own spill file
+    monkeypatch.setattr(manifest, "STATS_SPILL_ENTRIES", 20)
+    encode_table(df, out, num_buckets=8, key="url", detect_skew=False,
+                 commit_every=4)
+    m = manifest.load(out)
+    assert len(m.get("stats_files", [])) == 1  # wave2's absorbing file
+    spill_rel = m["stats_files"][0]
+    with open(os.path.join(out, spill_rel)) as f:
+        absorbed = json.load(f)
+    assert len(absorbed) == 8, "migration should have absorbed wave1"
+
+    doomed = [f"k{i:04d}" for i in range(0, 400, 4)]  # every bucket
+    res = delete_keys(spark, out, doomed)
+    assert res["rows_deleted"] == 100
+
+    m = manifest.load(out)
+    blocks = manifest.block_stats(out, m)
+    # every bucket's stats appear EXACTLY once (no stale duplicates)
+    total = sum(
+        int(s["n_rows"]) for bs in blocks.values() for s in bs
+        if s["column"] == "url")
+    assert total == 300
+    r = agg_table(spark, out, [("count", "*"), ("sum", "n")])
+    truth = df.filter(~F.col("url").isin(doomed))
+    assert r["count_star"] == 300
+    assert r["sum_n"] == truth.agg(F.sum("n")).collect()[0][0]
+    got = sorted(r["url"] for r in decode_table(spark, out).select("url").collect())
+    assert got == sorted(r["url"] for r in truth.select("url").collect())

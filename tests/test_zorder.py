@@ -240,3 +240,16 @@ def test_three_column_zorder(spark, zdf, tmp_path):
     want = sorted(r["k"] for r in zdf.filter(
         (F.col("uid") >= 100) & (F.col("uid") < 120)).collect())
     assert got == want and got
+
+
+def test_lookup_keys_on_zorder_store(spark, zdf, zstore):
+    """REGRESSION: lookup_keys must not hash-derive a bucket on zorder
+    stores (the key does not determine the bucket) — present keys were
+    reported absent. Candidates fall back to committed buckets pruned
+    by key ranges + Bloom sidecars."""
+    from kmers_spark.operators.decode import lookup_keys
+
+    probes = ["k-000001", "k-020000", "k-039999"]
+    got = lookup_keys(spark, zstore, probes).collect()
+    assert sorted(r["k"] for r in got) == probes
+    assert lookup_keys(spark, zstore, ["k-999999"]).count() == 0
