@@ -343,3 +343,30 @@ def test_stream_sink_ndv_overlapping_generations(spark, tmp_path,
     _no_decode(monkeypatch)
     r = agg_table(spark, out, [("approx_count_distinct", "host")])
     assert r["approx_count_distinct_host"] == _direct(truth_vals, "string")
+
+
+def test_approx_decodes_grouped_one_job(spark, ndv_store, monkeypatch):
+    """N approx aggs over the same straddling buckets must decode them
+    ONCE (single mapInArrow pass computing every column's registers),
+    and the shared decode must not change the answers."""
+    df, out = ndv_store
+    seen_cols = []
+    real = aggmod.decode_colocated
+
+    def spy(spark_, out_dir, columns=None, filters=None, buckets=None,
+            snapshot=None):
+        seen_cols.append(list(columns or []))
+        return real(spark_, out_dir, columns=columns, filters=filters,
+                    buckets=buckets, snapshot=snapshot)
+
+    monkeypatch.setattr(aggmod, "decode_colocated", spy)
+    # n < 50 makes every bucket straddle (hash store scatters n)
+    r = agg_table(spark, out, [("approx_count_distinct", "host"),
+                               ("approx_count_distinct", "grp")],
+                  filters=[("n", "<", 50)])
+    assert len(seen_cols) == 1 and set(seen_cols[0]) >= {"host", "grp"}
+    match = df.filter(F.col("n") < 50)
+    hosts = [x[0] for x in match.select("host").collect()]
+    grps = [x[0] for x in match.select("grp").collect() if x[0] is not None]
+    assert r["approx_count_distinct_host"] == _direct(hosts, "string")
+    assert r["approx_count_distinct_grp"] == _direct(grps, "int64")
