@@ -291,6 +291,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_bloom_eq": _scan_bloom_eq,
         "scan_zorder_2d": _scan_zorder_2d,
         "topk_latest_events": _topk_latest_events,
+        "scan_semijoin_dim": _scan_semijoin_dim,
     }
 
 
@@ -367,6 +368,35 @@ def _scan_bloom_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
                  bloom_columns=["user_id"])
     lo = df.agg(F.min("user_id")).first()[0]
     return scan_table(spark, out, [("user_id", "in", [lo, lo - 1])])
+
+
+def _scan_semijoin_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join pruned scan (operators/semijoin.py): the dynamic-
+    partition-pruning analog — a small dim table's distinct keys are
+    collected driver-bounded, store buckets are pruned through the same
+    zone + Bloom layers with ZERO Spark jobs, only holder buckets
+    decode, and a broadcast inner join attaches the dim's payload. At
+    100 TB this is "join the crawl against a blocklist" reading ~|dim|
+    buckets instead of the table. Shares _scan_bloom_eq's cached store
+    (same config, resume no-ops). Oracle: the equivalent SQL JOIN."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kmers_spark.operators.encode import encode_table
+    from kmers_spark.operators.semijoin import semijoin_scan
+
+    out = ("/tmp/kmers_scan_store_bloom_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    encode_table(df, out, key="event_id", num_buckets=8, detect_skew=False,
+                 bloom_columns=["user_id"])
+    dim = (df.select("user_id").where("user_id % 7 = 3").distinct()
+           .withColumn("tag", F.col("user_id") * 2))
+    return semijoin_scan(
+        spark, out, "user_id", dim, how="inner",
+        columns=["event_id", "user_id", "event_type"],
+    )
 
 
 def _agg_store_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1041,6 +1071,11 @@ def extra_oracle_sql() -> dict[str, str]:
             "SELECT * FROM events "
             "ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST "
             "LIMIT 500"
+        ),
+        "scan_semijoin_dim": (
+            "SELECT e.event_id, e.user_id, e.event_type, d.tag "
+            "FROM events e JOIN (SELECT DISTINCT user_id, user_id * 2 "
+            "AS tag FROM events WHERE user_id % 7 = 3) d USING (user_id)"
         ),
         "minhash_signatures": (
             f"WITH dd AS ({_DOCS_DUP}), sh AS ({_SHINGLES}) "

@@ -412,7 +412,8 @@ def scan_table(spark: SparkSession, out_dir: str, filters: list[tuple],
     # the JVM residual re-asserts it over the surviving rows — near-free
     # (codegen over matches only) and keeps the query's semantics
     # visible to Catalyst for anything stacked on top
-    df = df.filter(_filters_expr(norm, schema))
+    if norm:  # an empty filter list is a plain scan — nothing to assert
+        df = df.filter(_filters_expr(norm, schema))
     if columns is not None and set(out_cols) != set(decode_cols or out_cols):
         df = df.select(*out_cols)
     return df

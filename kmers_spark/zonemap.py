@@ -154,6 +154,14 @@ def may_match(rng: tuple[Any, Any] | list | None, op: str, value: Any) -> bool:
     if op == "=":
         return lo <= value <= hi
     if op == "in":
+        if isinstance(value, tuple) and len(value) > 32:
+            # normalize_filters sorts NaN-free in-lists into tuples, so
+            # interval overlap is one bisect — O(log K) per bucket keeps
+            # a 10^5-key semijoin probe over 10^5 buckets driver-cheap
+            import bisect
+
+            i = bisect.bisect_left(value, lo)
+            return i < len(value) and value[i] <= hi
         return any(lo <= v <= hi for v in value)
     if op == "<":
         return lo < value
@@ -245,6 +253,17 @@ def normalize_filters(filters: list[tuple], schema: dict[str, str]) -> list[tupl
         typ = schema[col]
         if op == "in":
             bv = [to_bound_space(v, typ) for v in value]
+            # dedupe + sort ONCE so may_match can bisect long lists
+            # (semijoin key sets). NaN members break total order and
+            # prune_buckets special-cases NaN-holding lists anyway, so
+            # those (and any unsortable mix) keep their given order.
+            if not any(isinstance(b, float) and math.isnan(b) for b in bv):
+                try:
+                    # tuple = "sorted" marker may_match keys off; an
+                    # unsortable mix stays a list and scans linearly
+                    bv = tuple(sorted(set(bv)))
+                except TypeError:
+                    pass
         else:
             bv = to_bound_space(value, typ)
         out.append((col, op, bv, value))
