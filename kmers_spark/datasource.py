@@ -466,7 +466,10 @@ class KmersStreamReader(DataSourceStreamReader):
             # regress offsets across a driver restart (duplicates).
             # A catch-up batch is big but SAFE: one partition per
             # (bucket, new waves), each bounded at a bucket's blocks.
-            return {"buckets": done, "waves": len(m.get("wave_dirs", []))}
+            # The count is in GENERATION-SEQUENCE space (survives
+            # compact_stream, which merges old generations and advances
+            # stream_wave_base — manifest.stream_seq_end).
+            return {"buckets": done, "waves": manifest.stream_seq_end(m)}
         return {"buckets": done}
 
     def partitions(self, start: dict, end: dict):
@@ -484,11 +487,19 @@ class KmersStreamReader(DataSourceStreamReader):
                     "fresh checkpoint (bucket-set offsets cannot say "
                     "which generations were already emitted)"
                 )
-            # every row added between the offsets lives in the wave dirs
-            # appended at [start.waves, end.waves) — the list is append-
-            # only for streamed stores (compact_waves refuses them)
-            s0, e0 = int(start.get("waves", 0)), int(end["waves"])
-            new_dirs = m.get("wave_dirs", [])[s0:e0]
+            # every row added between the offsets lives in the wave
+            # dirs appended at sequences [start.waves, end.waves) —
+            # manifest.stream_dirs_between maps sequence numbers to
+            # live dirs across compact_stream rewrites: a virgin
+            # checkpoint (no committed batch yet) reads merged history
+            # + tail exactly once, a checkpoint at/after the
+            # compaction watermark slices the surviving tail, and one
+            # strictly inside the merged range raises (an exact
+            # generation slice no longer exists).
+            virgin = "waves" not in start and not start.get("buckets")
+            s0 = None if virgin else int(start.get("waves", 0))
+            e0 = int(end["waves"])
+            new_dirs = manifest.stream_dirs_between(m, s0, e0)
             wb = m.get("wave_buckets", {})
             missing = manifest.missing_columns(m, list(self.full_schema))
             gen_allow = manifest.wave_allowance(m, list(self.full_schema))

@@ -566,6 +566,58 @@ def commit_wave_append(out_dir: str, bucket_stats: dict[int, list[dict]],
 STREAM_EPOCHS_KEEP = 128  # recent batchIds kept for replay detection
 
 
+def stream_seq_end(m: dict[str, Any]) -> int:
+    """End of the streamed store's generation-sequence space (the
+    stream reader's `waves` offset). For a never-compacted store every
+    wave_dirs entry is one appended generation, so it's the list
+    length; after compact_stream merged a prefix, wave_dirs[0] is the
+    merged pre-history wave (no sequence number of its own) and the
+    tail entry at index j carries sequence base + j - 1."""
+    base = m.get("stream_wave_base")
+    n = len(m.get("wave_dirs", []))
+    if base is None:
+        return n
+    return base + max(0, n - 1)
+
+
+def stream_dirs_between(m: dict[str, Any], s0: int | None, e0: int) -> list[str]:
+    """Wave dirs holding exactly the rows appended at sequence numbers
+    [s0, e0) — the stream reader's incremental slice. `s0=None` means
+    "from the beginning of history", which includes the merged
+    pre-history wave of a compacted store (virgin checkpoints and
+    their replays).
+
+    Raises when the request cannot be served EXACTLY: a checkpoint
+    whose position predates `stream_wave_base` needs generations that
+    now exist only merged — re-emitting the merged wave would
+    duplicate rows the reader already consumed, skipping it would drop
+    rows it hasn't. Iceberg's incremental-read-across-rewrite rule:
+    the reader must restart with a fresh checkpoint (full re-read)."""
+    L = m.get("wave_dirs", [])
+    base = m.get("stream_wave_base")
+    if base is None:
+        return L[(s0 or 0):e0]
+    if s0 is None:
+        if e0 < base:
+            raise ValueError(
+                f"checkpointed offset {e0} predates this store's "
+                f"compaction watermark {base}: the exact generation "
+                "slice no longer exists (compact_stream merged it). "
+                "Restart the stream with a fresh checkpoint."
+            )
+        return L[0 : 1 + (e0 - base)]
+    if s0 < base:
+        raise ValueError(
+            f"checkpointed offset {s0} predates this store's compaction "
+            f"watermark {base}: the generations it still needed were "
+            "merged by compact_stream (re-emitting the merged wave "
+            "would duplicate rows already consumed). Restart the "
+            "stream with a fresh checkpoint, or compact with a "
+            "keep_last that outlasts reader lag."
+        )
+    return L[1 + (s0 - base) : 1 + (e0 - base)]
+
+
 def is_replayed_epoch(epochs: dict[str, str], epoch: int,
                       stream_id: str = "stream") -> bool:
     """The ONE replay predicate (sink pre-check + commit mutate share

@@ -342,8 +342,9 @@ def delete_keys(spark: SparkSession, out_dir: str,
     if m.get("streamed"):
         raise ValueError(
             f"{out_dir} is a streamed (multi-generation) snapshot; a key's "
-            "rows may span generations — rebuild_snapshot merges them "
-            "(the streamed-store compactor), then delete_keys applies"
+            "rows may span generations — compact_stream + to_batch (in "
+            "place) or rebuild_snapshot (fresh dir) merge them, then "
+            "delete_keys applies"
         )
     m = migrate_legacy_layout(out_dir, m)
     sweep_orphan_waves(out_dir)

@@ -939,11 +939,13 @@ def compact_waves(spark: SparkSession, out_dir: str) -> dict:
         # per wave file; this rewrite packs a bucket's rows into one
         # file, which collapses generations into duplicate (bucket,
         # column) block rows the readers reject. Stream compaction
-        # needs a re-encode (decode generations -> merge -> encode), a
-        # different maintenance job.
+        # needs a re-encode (decode generations -> merge -> encode):
+        # operators/compact.compact_stream, which also keeps running
+        # stream readers' offsets valid via stream_wave_base.
         raise ValueError(
             f"{out_dir} is a streamed (multi-generation) snapshot; "
-            "compact_waves only supports batch snapshots"
+            "compact_stream merges its generations in place "
+            "(compact_waves only supports batch snapshots)"
         )
     m = migrate_legacy_layout(out_dir, m)  # legacy flat stores compact too
     sweep_orphan_waves(out_dir)  # incl. leftovers of a crashed compact

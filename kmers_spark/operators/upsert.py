@@ -200,7 +200,8 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
     if m.get("streamed"):
         raise ValueError(
             f"{out_dir} is a streamed (multi-generation) snapshot; "
-            "rebuild_snapshot merges generations, then upsert_table applies"
+            "compact_stream + to_batch (in place) or rebuild_snapshot "
+            "(fresh dir) merge generations, then upsert_table applies"
         )
     m = migrate_legacy_layout(out_dir, m)
     sweep_orphan_waves(out_dir)

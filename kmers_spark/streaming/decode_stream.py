@@ -71,6 +71,18 @@ def decode_new_waves(spark: SparkSession, out_dir: str, sink_dir: str,
     m = manifest.load(out_dir)
     if m is None:
         return []
+    if m.get("streamed"):
+        # a streamed store adds GENERATIONS to already-delivered
+        # buckets; this follower's bucket-set dedup (built for batch
+        # stores, where buckets commit once and compact_waves only
+        # rewrites delivered data) would skip them as already-shipped.
+        # The generation-aware follower is the native source:
+        # spark.readStream.format("kmers") (KmersStreamReader).
+        raise ValueError(
+            f"{out_dir} is a streamed (multi-generation) snapshot; "
+            "follow it with spark.readStream.format('kmers') — "
+            "decode_stream's wave tracking cannot express generations"
+        )
     schema = manifest.ordered_schema(m)  # writer column order, like batch
     assert_utc_session(spark, schema)
     out_schema = ", ".join(f"`{c}` {_SPARK_TYPE[t]}" for c, t in schema.items())
