@@ -285,6 +285,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_store_ivf_topk": ann.store_ivf_topk,
         "delete_prune_roundtrip": _delete_prune_roundtrip,
         "upsert_merge_roundtrip": _upsert_merge_roundtrip,
+        "compact_stream_roundtrip": _compact_stream_roundtrip,
         "agg_store_range": _agg_store_range,
         "agg_group_by_lang": _agg_group_by_lang,
         "agg_approx_ndv": _agg_approx_ndv,
@@ -541,6 +542,54 @@ def _delete_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  commit_every=4)
     doomed = df.select("doc_id").filter(F.col("doc_id") % 7 == 0)
     delete_keys(spark, out, doomed)
+    return decode_table(spark, out)
+
+
+def _compact_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest retirement surface: ingest documents as THREE
+    writeStream micro-batches (3 generations per touched bucket), merge
+    them in place with compact_stream (decode -> concat in generation
+    order -> re-encode through the encode kernel), freeze with to_batch,
+    decode the single-generation store. Oracle: the table itself —
+    compaction must be invisible to readers. Idempotent per sf_dir: a
+    finished store (batch, one wave) short-circuits to the decode."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kmers_spark import datasource, manifest
+    from kmers_spark.operators.compact import compact_stream, to_batch
+    from kmers_spark.operators.decode import decode_table
+
+    root = ("/tmp/kmers_cstream_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    src, out, ckpt = f"{root}/src", f"{root}/snap", f"{root}/ckpt"
+    m = manifest.load(out)
+    if m is None or m.get("streamed") or len(m.get("wave_dirs", [])) != 1:
+        shutil.rmtree(root, ignore_errors=True)
+        datasource.register(spark)
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        third = F.abs(F.xxhash64(F.col("doc_id"))) % 3
+        for i in range(3):
+            df.filter(third == i).write.mode("append").parquet(src)
+            sdf = spark.readStream.schema(df.schema).parquet(src)
+            q = (
+                sdf.withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8)).cast("int"),
+                )
+                .repartition("bucket")
+                .writeStream.format("kmers")
+                .option("checkpointLocation", ckpt)
+                .option("numBuckets", "8")
+                .option("key", "doc_id")
+                .trigger(availableNow=True)
+                .start(out)
+            )
+            q.awaitTermination(300)
+        compact_stream(spark, out)
+        to_batch(out)
     return decode_table(spark, out)
 
 
@@ -1030,6 +1079,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "ann_store_ivf_topk": oracle_sql()["ann_ivf_lloyd_topk"],
         "delete_prune_roundtrip":
             "SELECT * FROM documents WHERE doc_id % 7 <> 0",
+        # compaction + batch freeze must be invisible to readers
+        "compact_stream_roundtrip": "SELECT * FROM documents",
         "upsert_merge_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents "
             "WHERE doc_id % 10 <> 0 "
