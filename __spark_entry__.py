@@ -293,7 +293,44 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_zorder_2d": _scan_zorder_2d,
         "topk_latest_events": _topk_latest_events,
         "scan_semijoin_dim": _scan_semijoin_dim,
+        "join_colocated_scores": _join_colocated_scores,
     }
+
+
+def _join_colocated_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioned join surface (operators/join.py): encode
+    documents into a block store, derive a per-doc scores table (2/3 of
+    the docs), encode it with `layout_from=` the documents store so the
+    two snapshots are bucket-ALIGNED twins, then join_colocated them
+    inner on doc_id with a left-side filter — num_buckets independent
+    bucket-local Arrow joins, zero Exchange nodes (plan-asserted in
+    tests/test_join.py). Oracle: the equivalent filtered SQL join.
+    Idempotent per sf_dir: both encodes resume as no-ops and the join
+    re-plans from the committed manifests."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kmers_spark.operators.encode import encode_table
+    from kmers_spark.operators.join import join_colocated
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    left = f"/tmp/kmers_join_docs_{tag}"
+    right = f"/tmp/kmers_join_scores_{tag}"
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    encode_table(df, left, key="doc_id", num_buckets=8, detect_skew=False,
+                 commit_every=4)
+    scores = df.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", (F.col("n_chars") * 2).alias("score")
+    )
+    encode_table(scores, right, key="doc_id", num_buckets=8,
+                 detect_skew=False, layout_from=left)
+    return join_colocated(
+        spark, left, right, how="inner",
+        columns_left=["doc_id", "lang", "n_chars"],
+        columns_right=["doc_id", "score"],
+        filters_left=[("n_chars", ">=", 100)],
+    )
 
 
 def _scan_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1108,6 +1145,12 @@ def extra_oracle_sql() -> dict[str, str]:
             "TRUE AS docid_within_band FROM documents"
         ),
         "codec_plain_doubles": "SELECT event_id, value FROM events",
+        "join_colocated_scores": (
+            "SELECT l.doc_id, l.lang, l.n_chars, r.score "
+            "FROM documents l JOIN (SELECT doc_id, n_chars * 2 AS score "
+            "FROM documents WHERE doc_id % 3 <> 0) r "
+            "ON l.doc_id = r.doc_id WHERE l.n_chars >= 100"
+        ),
         "scan_bloom_eq": (
             "SELECT * FROM events WHERE user_id IN "
             "((SELECT min(user_id) FROM events), "

@@ -351,6 +351,7 @@ def encode_table(
     cluster_by: str | None = None,
     bloom_columns: list[str] | None = None,
     ndv_columns: list[str] | None = None,
+    layout_from: str | None = None,
 ) -> dict:
     """Run the encode job; returns the updated manifest dict.
 
@@ -404,6 +405,15 @@ def encode_table(
     Each dimension gets 1/k of the z-bits: prefer the single-column
     range scheme when only one column is ever filtered.
 
+    `layout_from=<dir>` copies an existing snapshot's bucket layout
+    (scheme, num_buckets, hot-key salts, range/zorder boundaries)
+    instead of deriving one from this input — the two stores become
+    bucket-aligned, which is what `operators.join.join_colocated`
+    requires for a shuffle-free store-to-store equi-join (Hive's
+    "CLUSTERED BY ... INTO n BUCKETS" on both tables). Mutually
+    exclusive with cluster_by=; resume validates the existing
+    snapshot still matches the donor's layout.
+
     `commit_every` splits the pending buckets into waves of that size,
     each written AND manifest-committed before the next starts: a job
     killed (even kill -9) mid-run loses only the in-flight wave — its
@@ -419,6 +429,46 @@ def encode_table(
     spark = df.sparkSession
     schema = {f.name: selector.spark_type_name(f.dataType) for f in df.schema.fields}
     assert_utc_session(spark, schema)
+
+    # layout_from=<dir>: copy an existing snapshot's bucket layout
+    # (scheme, num_buckets, hot-key salt table, range/zorder
+    # boundaries) so the two stores become bucket-ALIGNED — the
+    # precondition join_colocated verifies (the Hive/Iceberg
+    # "CLUSTERED BY ... INTO n BUCKETS" DDL twin). The donor's
+    # equal-frequency cuts reflect the DONOR's distribution; a skewed
+    # twin keeps correctness and alignment, only block-size balance
+    # can differ.
+    donor = None
+    if layout_from is not None:
+        if cluster_by is not None:
+            raise ValueError(
+                "layout_from= and cluster_by= are mutually exclusive — "
+                "the donor snapshot already fixes the layout")
+        donor = manifest.load(layout_from)
+        if donor is None:
+            raise FileNotFoundError(f"layout_from: no manifest in {layout_from}")
+        donor_scheme = donor.get("bucket_scheme", partitioning.LEGACY_SCHEME)
+        if donor_scheme == partitioning.EXTERNAL_SCHEME:
+            raise ValueError(
+                "layout_from: donor snapshot was caller-bucketed "
+                "(scheme 'external') — it records no reproducible "
+                "assignment rule to copy")
+        num_buckets = donor["num_buckets"]
+        if donor_scheme in (partitioning.RANGE_SCHEME,
+                            partitioning.ZORDER_SCHEME):
+            cluster_by = donor["cluster_by"]
+            d_cols = cluster_by if isinstance(cluster_by, list) else [cluster_by]
+            for c in d_cols:
+                if c not in schema:
+                    raise KeyError(
+                        f"layout_from: donor cluster column {c!r} not in "
+                        "input schema")
+                if schema[c] != donor["schema"].get(c):
+                    raise ValueError(
+                        f"layout_from: cluster column {c!r} type "
+                        f"{schema[c]!r} differs from donor "
+                        f"{donor['schema'].get(c)!r} — boundaries are in "
+                        "the donor's bound space")
 
     # cluster_by=[a, b] (2+ columns) switches to the zorder scheme;
     # a 1-element list is the plain range scheme
@@ -479,26 +529,38 @@ def encode_table(
         # hot-host detection from a sample: hot keys are, by definition,
         # the ones a 5% sample cannot miss. Range bucketing needs no
         # salting: equal-frequency boundaries bound skew by construction.
-        hot = (
-            partitioning.detect_hot_keys(df, num_buckets, key, sample_fraction=0.05)
-            if detect_skew and cluster_by is None and zorder_cols is None
-            else {}
-        )
-        boundaries = (
-            partitioning.range_boundaries(
-                df, cluster_by, schema[cluster_by], num_buckets
+        if donor is not None:
+            # copy, never resample: alignment needs the donor's exact
+            # salt table and cut points, not equivalent ones
+            hot = donor.get("hot_keys", {})
+            boundaries = donor.get("range_boundaries") \
+                if cluster_by is not None else None
+            z_cells, z_bounds = (
+                (donor["zorder_cells"], donor["zorder_boundaries"])
+                if zorder_cols is not None else (None, None)
             )
-            if cluster_by is not None
-            else None
-        )
-        z_cells, z_bounds = (
-            partitioning.zorder_boundaries(
-                df, zorder_cols, [schema[c] for c in zorder_cols],
-                num_buckets,
+        else:
+            hot = (
+                partitioning.detect_hot_keys(df, num_buckets, key,
+                                             sample_fraction=0.05)
+                if detect_skew and cluster_by is None and zorder_cols is None
+                else {}
             )
-            if zorder_cols is not None
-            else (None, None)
-        )
+            boundaries = (
+                partitioning.range_boundaries(
+                    df, cluster_by, schema[cluster_by], num_buckets
+                )
+                if cluster_by is not None
+                else None
+            )
+            z_cells, z_bounds = (
+                partitioning.zorder_boundaries(
+                    df, zorder_cols, [schema[c] for c in zorder_cols],
+                    num_buckets,
+                )
+                if zorder_cols is not None
+                else (None, None)
+            )
 
         def create_or_config(cur: dict | None) -> dict:
             if cur is None:
@@ -522,7 +584,12 @@ def encode_table(
                     # bucket); resume/lookups must reproduce whatever
                     # scheme wrote the committed blocks.
                     "bucket_scheme": (
-                        partitioning.RANGE_SCHEME if cluster_by is not None
+                        # a layout donor's scheme carries verbatim (a
+                        # legacy host_only donor must stay host_only —
+                        # the two schemes hash non-url keys differently)
+                        donor.get("bucket_scheme", partitioning.LEGACY_SCHEME)
+                        if donor is not None
+                        else partitioning.RANGE_SCHEME if cluster_by is not None
                         else partitioning.ZORDER_SCHEME
                         if zorder_cols is not None
                         else partitioning.BUCKET_SCHEME
@@ -574,6 +641,28 @@ def encode_table(
             "then encode with the evolved schema"
         )
     hot = m["hot_keys"]
+
+    if donor is not None:
+        # resume under layout_from must hit a snapshot that actually
+        # carries the donor's layout — silently encoding new waves
+        # under a different salt table / cut list would break the
+        # alignment guarantee the caller asked for
+        def _layout(x: dict) -> dict:
+            return {
+                "bucket_scheme": x.get("bucket_scheme",
+                                       partitioning.LEGACY_SCHEME),
+                "num_buckets": x["num_buckets"],
+                "hot_keys": x.get("hot_keys") or {},
+                "range_boundaries": x.get("range_boundaries"),
+                "zorder_cells": x.get("zorder_cells"),
+                "zorder_boundaries": x.get("zorder_boundaries"),
+            }
+
+        if _layout(m) != _layout(donor):
+            raise ValueError(
+                f"layout_from: existing snapshot in {out_dir} has a "
+                "different bucket layout than the donor — resume without "
+                "layout_from, or encode into a fresh directory")
 
     m = migrate_legacy_layout(out_dir, m)
 
