@@ -45,6 +45,14 @@ def main() -> None:
         "distribution — range scans then prune on EITHER column",
     )
     ap.add_argument(
+        "--layout-from", default=None, metavar="SNAPSHOT",
+        help="copy SNAPSHOT's bucket layout (scheme, bucket count, salt "
+        "table, range/zorder boundaries) instead of deriving one: the "
+        "two stores become bucket-aligned twins, which jobs/join.py "
+        "requires for a shuffle-free store-to-store equi-join. "
+        "Mutually exclusive with --cluster-by",
+    )
+    ap.add_argument(
         "--bloom-column", action="append", default=[], metavar="COL",
         help="build per-bucket Bloom sidecars over this non-key "
         "string/int64 column (repeatable): scans with = / IN predicates "
@@ -89,6 +97,7 @@ def main() -> None:
         cluster_by=args.cluster_by,
         bloom_columns=args.bloom_column or None,
         ndv_columns=args.ndv_column or None,
+        layout_from=args.layout_from,
     )
     totals = {"raw": 0, "enc": 0}
     from kmers_spark import manifest

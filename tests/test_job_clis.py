@@ -212,3 +212,47 @@ def test_agg_job(cli_snapshot, spark):
 
     code, _ = run_job("jobs/agg.py", "--snapshot", snap, "--agg", "bad")
     assert code != 0
+
+
+def test_join_job(cli_snapshot, spark, tmp_path):
+    """jobs/join.py over a --layout-from twin: aligned encode, zero-
+    shuffle join, misalignment refusal carries the reason."""
+    src, snap, _base = cli_snapshot
+    from pyspark.sql import functions as F
+
+    scores_src = str(tmp_path / "scores_parquet")
+    twin = str(tmp_path / "scores_snap")
+    out = str(tmp_path / "joined")
+    df = spark.read.parquet(src)
+    df.select("url", F.length("text").alias("score")).filter(
+        F.xxhash64("url") % 4 != 0
+    ).write.mode("overwrite").parquet(scores_src)
+
+    code, o = run_job(
+        "jobs/encode.py", "--input", scores_src, "--output", twin,
+        "--key", "url", "--no-skew-detect", "--layout-from", snap,
+    )
+    assert code == 0, o
+
+    code, o = run_job(
+        "jobs/join.py", "--left", snap, "--right", twin, "--output", out,
+        "--columns-left", "url,lang", "--columns-right", "url,score",
+    )
+    assert code == 0, o
+    want = spark.read.parquet(scores_src).count()
+    assert json.loads(o)["rows"] == want
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == ["lang", "score", "url"]
+    assert got.count() == want
+
+    # misaligned right (different bucket count): refused with the reason
+    bad = str(tmp_path / "bad_snap")
+    code, o = run_job(
+        "jobs/encode.py", "--input", scores_src, "--output", bad,
+        "--key", "url", "--num-buckets", "5", "--no-skew-detect",
+    )
+    assert code == 0, o
+    code, o = run_job(
+        "jobs/join.py", "--left", snap, "--right", bad, "--output", out,
+    )
+    assert code != 0 and "num_buckets differ" in o
