@@ -105,8 +105,15 @@ def semijoin_scan(spark: SparkSession, out_dir: str, on: str,
         raise KeyError(f"join column {on!r} not in snapshot schema")
 
     if overflow:
-        # dim too big to collect: full scan (other filters still prune)
-        # + Spark join; AQE decides broadcast vs shuffle
+        # dim too big to prune with: full scan (other filters still
+        # prune) + Spark join; AQE decides broadcast vs shuffle. A
+        # literal iterable is already driver-held in full, so it
+        # becomes the join's dim frame (dropping the IN here would
+        # silently return the unfiltered scan).
+        if dim_df is None:
+            dim_df = spark.createDataFrame(
+                ((k,) for k in keys),
+                f"`{dim_on}` {_SPARK_TYPE[schema[on]]}")
         base = _dec.scan_table(spark, out_dir, filters, columns=_need(
             schema, columns, filters, on))
         return _finish(base, dim_df, on, dim_on, how, schema, columns,

@@ -151,6 +151,18 @@ def test_overflow_fallback_exact(spark, docs, store):
     assert _rows(got_i, cols) == _rows(want_i, cols)
 
 
+def test_overflow_literal_dim_still_filters(spark, docs, store):
+    """Regression: a literal key iterable past keys_max used to fall
+    through to _finish with no dim frame and NO keys — the semi filter
+    silently vanished and the full store came back. The driver already
+    holds the iterable, so overflow turns it into the join's dim."""
+    keys = ["host-0003", "host-0500", "host-9999"]
+    got = semijoin_scan(spark, store, "host", keys, keys_max=2)
+    want = docs.where(F.col("host").isin(keys))
+    assert _rows(got) == _rows(want)
+    assert got.count() == 2  # not 900
+
+
 def test_int_keys_zone_pruning_on_clustered(spark, tmp_path, monkeypatch):
     """On a store range-clustered BY the join column, zone bounds alone
     prune — no blooms needed; big sorted key list bisects per bucket."""
