@@ -3,11 +3,14 @@
 # (pathology + protocol: BENCH/ROUND5.md). Prefers two consecutive
 # HEALTHY canary probes (first-touch > 1 GB/s); after MAX_WAIT_S
 # without one, settles for a MODERATE window (first-touch >= 0.15
-# GB/s — 40x above the pathological floor) so the round records a
-# complete, canary-annotated full-scale run either way.
+# GB/s — 40x above the pathological floor); after ABS_MAX_S, runs
+# unconditionally (canary-annotated DEGRADED numbers beat no full-
+# scale run — ratio/bit-identity results are host-independent) so
+# the round records a complete run either way.
 cd /root/repo
 LOG=/tmp/sf1_watcher.log
 MAX_WAIT_S=${MAX_WAIT_S:-9000}
+ABS_MAX_S=${ABS_MAX_S:-14400}
 start=$(date +%s)
 streak=0
 echo "watcher started at $(date -Is)" >> "$LOG"
@@ -26,6 +29,8 @@ while :; do
   elif [ $((now - start)) -ge "$MAX_WAIT_S" ] && \
        awk -v f="$ft" 'BEGIN{exit !(f >= 0.15)}'; then
     go="moderate fallback (first_touch=$ft)"
+  elif [ $((now - start)) -ge "$ABS_MAX_S" ]; then
+    go="unconditional fallback (first_touch=$ft, DEGRADED-annotated)"
   fi
   if [ -n "$go" ]; then
     echo "launching sf1 at $(date -Is): $go" >> "$LOG"
