@@ -397,3 +397,44 @@ def test_layout_from_resume_mismatch(spark, ldf, rdf, stores,
     with pytest.raises(ValueError, match="incompatible|different bucket layout"):
         encode_table(rdf, mine, key="k", num_buckets=4,
                      layout_from=stores[0])
+
+
+# ------------------------------------------------------- NULL join keys
+
+def test_null_keys_match_spark(spark, tmp_path_factory):
+    """SQL equality never matches NULL: inner/semi drop NULL-key rows on
+    both sides, left/anti keep left NULLs unmatched. NULL keys hash to
+    one deterministic bucket (xxhash64(NULL) = seed) on BOTH aligned
+    sides, so the bucket-local join sees them — semantics must still be
+    Spark's."""
+    root = tmp_path_factory.mktemp("join_nulls")
+    l = spark.range(60).select(
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("k-"), F.format_string("%03d", "id"))).alias("k"),
+        F.col("id").alias("n"),
+    ).cache()
+    r = spark.range(30, 90).select(
+        F.when(F.col("id") % 4 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("k-"), F.format_string("%03d", "id"))).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    ).cache()
+    left, right = str(root / "l"), str(root / "r")
+    encode_table(l, left, key="k", num_buckets=4, detect_skew=False)
+    encode_table(r, right, key="k", num_buckets=4, detect_skew=False,
+                 layout_from=left)
+
+    def rows(df, cols):  # None-tolerant deterministic order
+        key = lambda t: tuple("\x00" if v is None else str(v) for v in t)
+        return sorted((tuple(r) for r in df.select(*cols).collect()), key=key)
+
+    for how, cols, spark_how in [
+        ("inner", ["k", "n", "v"], "inner"),
+        ("left", ["k", "n", "v"], "left"),
+        ("semi", ["k", "n"], "leftsemi"),
+        ("anti", ["k", "n"], "leftanti"),
+    ]:
+        got = rows(join_colocated(spark, left, right, how=how), cols)
+        want = rows(l.join(r, "k", spark_how), cols)
+        assert got == want, how
+        if how == "anti":  # left NULL keys survive anti (NOT EXISTS)
+            assert sum(1 for t in got if t[0] is None) == 12
