@@ -290,6 +290,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_group_by_lang": _agg_group_by_lang,
         "agg_approx_ndv": _agg_approx_ndv,
         "scan_bloom_eq": _scan_bloom_eq,
+        "scan_prefix_ds": _scan_prefix_ds,
         "scan_zorder_2d": _scan_zorder_2d,
         "topk_latest_events": _topk_latest_events,
         "scan_semijoin_dim": _scan_semijoin_dim,
@@ -406,6 +407,30 @@ def _scan_bloom_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
                  bloom_columns=["user_id"])
     lo = df.agg(F.min("user_id")).first()[0]
     return scan_table(spark, out, [("user_id", "in", [lo, lo - 1])])
+
+
+def _scan_prefix_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The url-prefix crawl staple ("every page under this host path")
+    through the DataSource: documents range-clustered by `source`, read
+    with spark.read.format('kmers') under a LIKE 'src1%' predicate.
+    Catalyst rewrites the trailing-%% LIKE to StringStartsWith,
+    pushFilters (datasource.py) translates it to the exact
+    [prefix, prefix-with-last-char-incremented) range pair, the string
+    zone bounds on the cluster column prune non-holding buckets
+    driver-side, and Spark's residual LIKE keeps semantics exact.
+    Idempotent per sf_dir (encode resume no-ops)."""
+    import hashlib
+
+    from kmers_spark import datasource
+    from kmers_spark.operators.encode import encode_table
+
+    out = ("/tmp/kmers_docs_bysource_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    encode_table(df, out, key="doc_id", num_buckets=8, detect_skew=False,
+                 cluster_by="source")
+    datasource.register(spark)
+    return spark.read.format("kmers").load(out).filter("source LIKE 'src1%'")
 
 
 def _scan_semijoin_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,6 +1180,9 @@ def extra_oracle_sql() -> dict[str, str]:
             "SELECT * FROM events WHERE user_id IN "
             "((SELECT min(user_id) FROM events), "
             "(SELECT min(user_id) - 1 FROM events))"
+        ),
+        "scan_prefix_ds": (
+            "SELECT * FROM documents WHERE source LIKE 'src1%'"
         ),
         "scan_zorder_2d": (
             "SELECT * FROM events "
