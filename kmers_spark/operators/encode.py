@@ -396,7 +396,8 @@ def encode_table(
     `cluster_by=[a, b]` (2+ columns) switches to Z-ORDER bucketing
     (scheme "zorder"): each column is quantized into 256
     equal-frequency cells, cell indexes bit-interleave into a z-value
-    (pure JVM expressions — partitioning.zorder_value_expr), and
+    (one Arrow-vectorized searchsorted UDF over all cluster columns —
+    partitioning.zorder_value_udf), and
     buckets are cut at the z-distribution's quantiles through the same
     range assignment kernel. Every bucket then holds a compact z-range,
     so per-block zone bounds become tight on ALL cluster columns and

@@ -381,20 +381,6 @@ def _spread_table(k: int) -> list[int]:
     return out
 
 
-def _cell_expr(col: str, typ: str, cell_bounds: list):
-    """Equal-frequency cell index of `col` (count of cell boundaries <=
-    value) as a JVM expression — the same rule as with_bucket_range's
-    expression path, NULL (and NaN doubles) pinned to cell 0."""
-    v = F.col(col) if typ != "string" else \
-        F.substring(F.col(col), 1, RANGE_STR_BOUND)
-    arr = F.array(*[_bound_lit(b, typ) for b in cell_bounds])
-    expr = F.size(F.filter(arr, lambda b: b <= v)).cast("long")
-    cond = F.col(col).isNull()
-    if typ == "double":
-        cond = cond | F.isnan(F.col(col))
-    return F.when(cond, F.lit(0).cast("long")).otherwise(expr)
-
-
 # interleaving k 8-bit cells uses bits up to (ZORDER_BITS-1)*k + (k-1);
 # k=7 tops out at bit 54 (safe in a signed int64 everywhere: the JVM
 # long, the driver mirror, numpy). k=8 reaches bit 63 (sign) and the
@@ -402,26 +388,87 @@ def _cell_expr(col: str, typ: str, cell_bounds: list):
 ZORDER_MAX_COLS = 7
 
 
-def zorder_value_expr(cols: list[str], typs: list[str],
-                      cells: dict[str, list]):
-    """int64 z-value of a row: per-column equal-frequency cell index,
-    bits interleaved across columns. Entirely JVM expressions (two
-    array-filter counts + two table lookups for the 2-column case) —
-    no UDF, no shuffle."""
+def zorder_value_udf(cols: list[str], typs: list[str],
+                     cells: dict[str, list]):
+    """int64 z-value of a row: per-column equal-frequency cell index
+    (np.searchsorted over the recorded cell boundaries — same rule as
+    the driver mirror zorder_bucket_for_row, NULL/NaN pinned to cell
+    0), bits
+    interleaved via the spread table. ONE Arrow-batched pandas_udf over
+    all cluster columns.
+
+    This replaced a pure-expression implementation (array-filter count
+    + element_at spread lookup per column): Spark's higher-order
+    functions are CodegenFallback — interpreted, per-row, per-element —
+    and the zorder encode evaluates the z-value over the whole table
+    TWICE (GK boundary sketch + assignment), which measured 789 s for a
+    4M-row 2-column (timestamp, string) layout at sf0.1 vs ~30 s for
+    the whole rest of the encode. The vectorized form is O(log 256)
+    per row per column in numpy with no interpreter in the loop.
+
+    int64 columns ship as (coalesced value, is-null flag) pairs so the
+    Arrow batch stays exact int64 (a null would arrive as float64 and
+    round values > 2^53 — with_bucket_range's documented rule)."""
     k = len(cols)
     if k > ZORDER_MAX_COLS:
         raise ValueError(
             f"zorder supports at most {ZORDER_MAX_COLS} cluster columns "
             f"(got {k}): bit {8 * k - 1} would overflow the signed int64 "
             "z-value")
-    tab = _spread_table(k)
-    z = F.lit(0).cast("long")
-    spread_arr = F.array(*[F.lit(v).cast("long") for v in tab])
-    for j, (c, t) in enumerate(zip(cols, typs)):
-        cell = _cell_expr(c, t, cells[c])
-        z = z + F.shiftleft(F.element_at(spread_arr, (cell + 1).cast("int")),
-                            j).cast("long")
-    return z
+    from pyspark.sql.functions import pandas_udf
+
+    tab = np.asarray(_spread_table(k), dtype="int64")
+    bounds = [
+        np.asarray(list(cells[c]), dtype=object if t == "string" else None)
+        for c, t in zip(cols, typs)
+    ]
+    args = []
+    spec = []  # (typ, bounds index, consumes null-flag arg)
+    for i, (c, t) in enumerate(zip(cols, typs)):
+        if t == "int64":
+            args.append(F.coalesce(F.col(c), F.lit(0)))
+            args.append(F.col(c).isNull())
+            spec.append((t, i, True))
+        else:
+            args.append(F.col(c))
+            spec.append((t, i, False))
+
+    @pandas_udf("long")
+    def _z(*series: pd.Series) -> pd.Series:
+        z = np.zeros(len(series[0]), dtype="int64")
+        si = 0
+        for j, (t, bi, has_flag) in enumerate(spec):
+            s = series[si]
+            si += 1
+            if t.startswith("timestamp"):
+                valid = s.notna().to_numpy(dtype=bool)
+                vals = s.to_numpy(dtype="datetime64[us]").astype("int64")
+            elif t == "string":
+                valid = s.notna().to_numpy(dtype=bool)
+                vals = (s.fillna("").str.slice(0, RANGE_STR_BOUND)
+                        .to_numpy(dtype=object))
+            elif t == "double":
+                # pandas conflates null and NaN here; both cell 0 (the
+                # documented rule, same as the expression + mirror)
+                vals = s.to_numpy(dtype="float64")
+                valid = s.notna().to_numpy(dtype=bool)
+            else:  # int64, coalesced by the caller — exact
+                if s.dtype.kind == "f":
+                    raise ValueError(
+                        "int64 zorder cell batch arrived as float "
+                        "(nulls uncoalesced?); values over 2^53 would "
+                        "round")
+                vals = s.to_numpy(dtype="int64")
+                valid = ~series[si].to_numpy(dtype=bool)
+            if has_flag:
+                si += 1
+            codes = np.searchsorted(
+                bounds[bi], vals, side="right").astype("int64")
+            codes[~valid] = 0
+            z = z + (tab[codes] << j)
+        return pd.Series(z)
+
+    return _z(*args)
 
 
 def zorder_boundaries(df: DataFrame, cols: list[str], typs: list[str],
@@ -441,7 +488,7 @@ def zorder_boundaries(df: DataFrame, cols: list[str], typs: list[str],
         for c, t in zip(cols, typs)
     }
     zdf = df.withColumn(ZORDER_TMP_COL,
-                        zorder_value_expr(cols, typs, cells)) \
+                        zorder_value_udf(cols, typs, cells)) \
         .select(ZORDER_TMP_COL)
     zb = range_boundaries(zdf, ZORDER_TMP_COL, "int64", num_buckets)
     return cells, zb
@@ -459,7 +506,7 @@ def with_bucket_zorder(df: DataFrame, cols: list[str], typs: list[str],
             f"input column {ZORDER_TMP_COL!r} collides with the zorder "
             "assignment's working column; rename it")
     zdf = df.withColumn(ZORDER_TMP_COL,
-                        zorder_value_expr(cols, typs, cells))
+                        zorder_value_udf(cols, typs, cells))
     return with_bucket_range(zdf, ZORDER_TMP_COL, "int64", z_bounds,
                              key=key).drop(ZORDER_TMP_COL)
 
