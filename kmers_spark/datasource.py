@@ -182,16 +182,10 @@ class KmersReader(DataSourceReader):
                     and isinstance(f.value, str)
                     and f.value
                 ):
-                    # upper bound: prefix with its last incrementable
-                    # char bumped (truncate_max's increment at exactly
-                    # the prefix width) — every string starting with
-                    # the prefix sorts below it
-                    upper = zonemap.truncate_max(
-                        f.value + "\x00", width=len(f.value)
-                    )
-                    self.triples.append((attr[0], ">=", f.value))
-                    if upper is not None:
-                        self.triples.append((attr[0], "<", upper))
+                    # the shared exact rewrite (zonemap.prefix_filters):
+                    # [prefix, prefix-with-last-char-incremented)
+                    self.triples.extend(
+                        zonemap.prefix_filters(attr[0], f.value))
                 yield f
                 continue
             op = _OPS.get(type(f))

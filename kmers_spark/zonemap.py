@@ -213,7 +213,10 @@ def must_match(rng: tuple[Any, Any] | list | None, op: str, value: Any,
 def parse_cli_filters(specs: list[str], schema: dict[str, str]) -> list[tuple]:
     """COL:OP:VALUE strings (the jobs' --filter syntax) -> (col, op,
     value) triples typed by the snapshot schema. `in` takes a
-    comma-separated value list; timestamps parse ISO-8601."""
+    comma-separated value list; timestamps parse ISO-8601; `prefix`
+    (string columns) matches values starting with VALUE — the url-
+    prefix crawl staple, `--filter "url:prefix:https://host/"` —
+    rewritten by normalize_filters into its exact range pair."""
     def one(raw: str, typ: str):
         if typ == "int64":
             return int(raw)
@@ -238,11 +241,46 @@ def parse_cli_filters(specs: list[str], schema: dict[str, str]) -> list[tuple]:
     return out
 
 
+def prefix_filters(col: str, prefix: str) -> list[tuple]:
+    """`col LIKE 'prefix%'` as the EXACT equivalent range pair
+    [prefix, prefix-with-last-char-incremented) — the url-prefix crawl
+    staple expressed in ops every layer already prunes (zone bounds,
+    containment, kernels, JVM residual). The same rewrite the
+    DataSource applies to Spark's StringStartsWith pushdown
+    (datasource.py pushFilters); over-covers only across the surrogate
+    gap, where no valid string sorts anyway."""
+    if prefix == "":
+        return []  # every string matches; NULLs never match LIKE either
+    upper = truncate_max(prefix + "\x00", width=len(prefix))
+    out = [(col, ">=", prefix)]
+    if upper is not None:
+        out.append((col, "<", upper))
+    return out
+
+
 def normalize_filters(filters: list[tuple], schema: dict[str, str]) -> list[tuple]:
     """Validate (col, op, value) triples and map literals into bound
-    space; returns [(col, op, bound_value, original_value), ...]."""
-    out = []
+    space; returns [(col, op, bound_value, original_value), ...].
+
+    Accepts the sugar op "prefix" on string columns (value = the
+    prefix) and rewrites it to its exact range pair before
+    normalization, so every downstream consumer sees only OPS."""
+    expanded = []
     for f in filters:
+        if len(f) == 3 and f[1] == "prefix":
+            col, _, value = f
+            if schema.get(col) != "string":
+                raise ValueError(
+                    f"filter op 'prefix' needs a string column; "
+                    f"{col!r} is {schema.get(col)!r}")
+            if not isinstance(value, str):
+                raise ValueError(
+                    f"filter op 'prefix' needs a string value: {value!r}")
+            expanded.extend(prefix_filters(col, value))
+        else:
+            expanded.append(f)
+    out = []
+    for f in expanded:
         if len(f) != 3:
             raise ValueError(f"filter must be (column, op, value): {f!r}")
         col, op, value = f

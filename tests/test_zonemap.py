@@ -471,3 +471,58 @@ def test_decode_preserves_input_column_order(spark, events_store):
     assert decode_table(spark, out).columns == df.columns
     m2 = manifest.load(out)
     assert m2["columns"] == df.columns
+
+
+# -------------------------------------------------------------- op: prefix
+
+def test_prefix_filters_exact_rewrite():
+    """(col, "prefix", p) is sugar for the EXACT range pair
+    [p, p-with-last-char-incremented): same match set as startswith on
+    arbitrary strings, including prefixes ending in U+10FFFF (open
+    upper bound) and the empty prefix (no filter)."""
+    rng = random.Random(11)
+    alphabet = "ab\x00é中\U0010FFFF"
+    for _ in range(300):
+        p = "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 5)))
+        pairs = zonemap.prefix_filters("c", p)
+        vals = ["".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(0, 7)))
+                for _ in range(40)] + [p, p + "a", p[:-1]]
+        for v in vals:
+            want = v.startswith(p)
+            got = all(
+                (v >= bv) if op == ">=" else (v < bv)
+                for _c, op, bv in pairs
+            )
+            # the surrogate-gap skip may over-cover (keep extra rows);
+            # the residual/kernel mask re-filters — soundness means
+            # never DROPPING a match
+            if want:
+                assert got, (p, v)
+            elif got:
+                assert any(0xD800 <= ord(ch) <= 0xDFFF + 1
+                           for ch in p[-1:]) or "\U0010FFFF" in p, (p, v)
+    assert zonemap.prefix_filters("c", "") == []
+
+
+def test_scan_prefix_op_matches_like(spark, events_store):
+    """scan_table((col, 'prefix', p)) == the LIKE 'p%' result; CLI
+    spelling COL:prefix:VALUE parses to the same triples; non-string
+    columns refuse."""
+    out, df, m = events_store
+    want = sorted(
+        r["event_id"]
+        for r in df.filter(F.col("event_type").startswith("pu")).collect()
+    )
+    got = sorted(
+        r["event_id"]
+        for r in scan_table(spark, out,
+                            [("event_type", "prefix", "pu")]).collect()
+    )
+    assert got == want and want
+    schema = manifest.ordered_schema(m)
+    cli = zonemap.parse_cli_filters(["event_type:prefix:pu"], schema)
+    assert zonemap.normalize_filters(cli, schema) == \
+        zonemap.normalize_filters([("event_type", "prefix", "pu")], schema)
+    with pytest.raises(ValueError, match="string column"):
+        zonemap.normalize_filters([("event_id", "prefix", "3")], schema)
