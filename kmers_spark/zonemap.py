@@ -250,7 +250,9 @@ def prefix_filters(col: str, prefix: str) -> list[tuple]:
     (datasource.py pushFilters); over-covers only across the surrogate
     gap, where no valid string sorts anyway."""
     if prefix == "":
-        return []  # every string matches; NULLs never match LIKE either
+        # every non-null string matches, but NULL must NOT (SQL LIKE):
+        # >= "" keeps exactly the non-null rows
+        return [(col, ">=", "")]
     upper = truncate_max(prefix + "\x00", width=len(prefix))
     out = [(col, ">=", prefix)]
     if upper is not None:

@@ -502,7 +502,9 @@ def test_prefix_filters_exact_rewrite():
             elif got:
                 assert any(0xD800 <= ord(ch) <= 0xDFFF + 1
                            for ch in p[-1:]) or "\U0010FFFF" in p, (p, v)
-    assert zonemap.prefix_filters("c", "") == []
+    # empty prefix: every NON-NULL string matches (SQL LIKE semantics
+    # exclude NULL), expressed as >= ""
+    assert zonemap.prefix_filters("c", "") == [("c", ">=", "")]
 
 
 def test_scan_prefix_op_matches_like(spark, events_store):
