@@ -253,6 +253,38 @@ def heavy_boundary_values(boundaries: list) -> dict:
     return out
 
 
+def _np_values_valid(s: pd.Series, typ: str):
+    """(numpy values in bound space, non-null mask) for one pandas
+    Series — THE per-type soundness rules every searchsorted
+    assignment UDF shares (with_bucket_range and zorder_value_udf),
+    kept in one place so they can never diverge from each other or
+    the driver mirrors:
+
+      * timestamps compare as epoch-us int64 (bound space),
+      * strings null-fill then truncate to RANGE_STR_BOUND (matching
+        the expression path's substring and the recorded boundaries),
+      * doubles conflate NULL and NaN (both invalid -> cell/bucket 0,
+        the documented rule),
+      * int64 must arrive as an exact-int batch (callers coalesce
+        nulls away; a float batch would round values > 2^53 — raise).
+    """
+    if typ.startswith("timestamp"):
+        return (s.to_numpy(dtype="datetime64[us]").astype("int64"),
+                s.notna().to_numpy(dtype=bool))
+    if typ == "string":
+        return (s.fillna("").str.slice(0, RANGE_STR_BOUND)
+                .to_numpy(dtype=object),
+                s.notna().to_numpy(dtype=bool))
+    if typ == "double":
+        return (s.to_numpy(dtype="float64"),
+                s.notna().to_numpy(dtype=bool))
+    if s.dtype.kind == "f":  # defensive: precision-lossy path
+        raise ValueError(
+            "int64 range assignment received a float batch "
+            "(nulls uncoalesced?); values over 2^53 would round")
+    return s.to_numpy(dtype="int64"), np.ones(len(s), dtype=bool)
+
+
 def with_bucket_range(df: DataFrame, col: str, typ: str,
                       boundaries: list, key: str | None = None) -> DataFrame:
     """Add a `bucket` column: count of boundaries <= value. NULL cluster
@@ -311,28 +343,7 @@ def with_bucket_range(df: DataFrame, col: str, typ: str,
 
     @pandas_udf("int")
     def _searchsorted(s: pd.Series) -> pd.Series:
-        if typ.startswith("timestamp"):
-            vals = s.to_numpy(dtype="datetime64[us]").astype("int64")
-            valid = s.notna().to_numpy(dtype=bool)
-        elif typ == "string":
-            valid = s.notna().to_numpy(dtype=bool)
-            vals = s.fillna("").str.slice(0, RANGE_STR_BOUND).to_numpy(dtype=object)
-        elif typ == "double":
-            # NULL and NaN are indistinguishable in the pandas float
-            # column; both bucket 0 (the documented rule)
-            vals = s.to_numpy(dtype="float64")
-            valid = s.notna().to_numpy(dtype=bool)
-        else:
-            # int64: the caller feeds a COALESCED column (no nulls in
-            # any batch), so pandas keeps exact int64 — a batch with a
-            # null would arrive as float64 and round values > 2^53
-            if s.dtype.kind == "f":  # defensive: precision-lossy path
-                raise ValueError(
-                    "int64 range assignment received a float batch "
-                    "(nulls uncoalesced?); values over 2^53 would round"
-                )
-            vals = s.to_numpy(dtype="int64")
-            valid = np.ones(len(s), dtype=bool)
+        vals, valid = _np_values_valid(s, typ)
         out = np.searchsorted(arr_np, vals, side="right").astype("int32")
         out[~valid] = 0
         return pd.Series(out)
@@ -354,9 +365,8 @@ def with_bucket_range(df: DataFrame, col: str, typ: str,
 # ---------------------------------------------------------------- zorder
 
 # cells per cluster column: 8 bits each keeps the interleaved z-value a
-# small exact int (2 cols -> 16-bit z) and the per-column cell
-# assignment a pure JVM array-filter expression (255 boundaries <<
-# RANGE_EXPR_MAX). 256 equal-frequency cells per dimension is plenty of
+# small exact int (2 cols -> 16-bit z) with one O(log 256) searchsorted
+# per column per row. 256 equal-frequency cells per dimension is plenty of
 # resolution for any practical bucket count: buckets are cut from the
 # z-distribution, and each holds a compact z-range spanning ~
 # (65536 / num_buckets) cells.
@@ -369,8 +379,8 @@ ZORDER_TMP_COL = "__kmers_zvalue__"
 def _spread_table(k: int) -> list[int]:
     """spread[x] = the 8-bit value x with its bits re-spaced k apart
     (bit i -> bit i*k) — interleaving k columns is then
-    sum(spread[cell_j] << j). Pure int table, shipped as an array
-    literal so the whole z computation stays JVM-side."""
+    sum(spread[cell_j] << j). Pure int table; zorder_value_udf ships it
+    as a numpy closure and the driver mirror indexes it directly."""
     out = []
     for x in range(ZORDER_CELLS):
         v = 0
@@ -438,29 +448,10 @@ def zorder_value_udf(cols: list[str], typs: list[str],
         z = np.zeros(len(series[0]), dtype="int64")
         si = 0
         for j, (t, bi, has_flag) in enumerate(spec):
-            s = series[si]
+            vals, valid = _np_values_valid(series[si], t)
             si += 1
-            if t.startswith("timestamp"):
-                valid = s.notna().to_numpy(dtype=bool)
-                vals = s.to_numpy(dtype="datetime64[us]").astype("int64")
-            elif t == "string":
-                valid = s.notna().to_numpy(dtype=bool)
-                vals = (s.fillna("").str.slice(0, RANGE_STR_BOUND)
-                        .to_numpy(dtype=object))
-            elif t == "double":
-                # pandas conflates null and NaN here; both cell 0 (the
-                # documented rule, same as the expression + mirror)
-                vals = s.to_numpy(dtype="float64")
-                valid = s.notna().to_numpy(dtype=bool)
-            else:  # int64, coalesced by the caller — exact
-                if s.dtype.kind == "f":
-                    raise ValueError(
-                        "int64 zorder cell batch arrived as float "
-                        "(nulls uncoalesced?); values over 2^53 would "
-                        "round")
-                vals = s.to_numpy(dtype="int64")
+            if has_flag:  # int64: the shipped null flag is the truth
                 valid = ~series[si].to_numpy(dtype=bool)
-            if has_flag:
                 si += 1
             codes = np.searchsorted(
                 bounds[bi], vals, side="right").astype("int64")

@@ -32,7 +32,11 @@ def main() -> None:
 
     wait_s = 0
     if "--wait-healthy" in sys.argv:
-        wait_s = int(sys.argv[sys.argv.index("--wait-healthy") + 1])
+        i = sys.argv.index("--wait-healthy") + 1
+        if i >= len(sys.argv) or not sys.argv[i].isdigit():
+            sys.exit("--wait-healthy needs an integer seconds value")
+        wait_s = int(sys.argv[i])
+    b.ensure_pages()  # BEFORE the wait: don't sleep an hour into a crash
     deadline = time.time() + wait_s
     while time.time() < deadline:
         p = hostcheck.probe()
