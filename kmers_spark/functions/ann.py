@@ -5,14 +5,30 @@ variant (random hyperplane signs -> bucket equi-join) is the scale path:
 at 10^12 rows the all-pairs score is infeasible, but hyperplane LSH
 keeps the same DataFrame shape — bucket key join + per-bucket rescore.
 
-Dot products use F.aggregate/zip_with (JVM-side, no Python); sums are
-in double precision and rounded before comparison so the DuckDB oracle
-(list_* free, explicit unnest arithmetic) hashes identically.
+Vector math (r6): the dot/norm/plane-sign expressions used to be Spark
+higher-order functions (F.aggregate/zip_with/transform) — CodegenFallback,
+i.e. per-row per-element interpreted evaluation, the exact pattern the
+engine's own zorder measurement showed 33x slower than a vectorized
+Arrow UDF at 4M rows (operators/partitioning.py). They now run as
+Arrow-batched numpy kernels (kernels/vec.py) that accumulate in the
+SAME left-fold order over dimensions, so every score is bit-identical
+and the DuckDB oracles (list_* free, explicit unnest arithmetic in
+double precision, rounded before comparison) hash-match unchanged.
+The expression forms are kept below (_dot/_norm/_signed_dot) as the
+executable spec the kernel tests cross-check against.
+
+Bounded driver transfers only: a 1-row query vector, n_cents centroid
+rows, n_cents x dims k-means partials — never anything that scales
+with the corpus.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..kernels import vec as veck
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -20,6 +36,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a, b):
+    """Expression-form reference (interpreted HOF — see module doc;
+    query paths use the bit-identical kernels/vec.py twins)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -28,6 +46,7 @@ def _dot(a, b):
 
 
 def _norm(a):
+    """Expression-form reference — see _dot."""
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -37,32 +56,87 @@ def _norm(a):
     )
 
 
+def _cosine_q_udf(q_vec):
+    """pandas_udf: cosine of each embedding against the fixed query
+    vector (closure — only the embedding column crosses the boundary).
+    Null embeddings stay null (zip_with's null propagation)."""
+    q = np.asarray(q_vec, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def cos(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        valid = emb.notna().to_numpy()
+        out = np.full(len(emb), np.nan, dtype=np.float64)
+        if valid.any():
+            A = veck.stack_embeddings(emb[valid])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[valid] = veck.cosine_vs_query(A, q)
+        if valid.all():
+            return pd.Series(out)  # plain float64: computed NaN stays NaN
+        # masked array: null in -> null out (zip_with's propagation);
+        # computed NaN in unmasked slots survives the Arrow conversion
+        return pd.Series(pd.arrays.FloatingArray(out, ~valid))
+
+    return cos
+
+
+def _cosine_pair_udf():
+    """pandas_udf: row-wise cosine of two embedding columns (pair
+    rescoring)."""
+
+    @F.pandas_udf("double")
+    def cos2(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        valid = (a.notna() & b.notna()).to_numpy()
+        out = np.full(len(a), np.nan, dtype=np.float64)
+        if valid.any():
+            A = veck.stack_embeddings(a[valid])
+            B = veck.stack_embeddings(b[valid])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[valid] = veck.cosine_pairs(A, B)
+        if valid.all():
+            return pd.Series(out)
+        return pd.Series(pd.arrays.FloatingArray(out, ~valid))
+
+    return cos2
+
+
+def _take_query_embedding(e: DataFrame, query_id: int):
+    """The 1-row bounded collect of the query vector (the broadcast twin:
+    the old plan crossJoined a broadcast 1-row DataFrame; shipping the
+    same floats through the UDF closure removes the join)."""
+    rows = e.filter(F.col("vec_id") == query_id).select("embedding").take(1)
+    if not rows or rows[0][0] is None:
+        return None
+    return rows[0][0]
+
+
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "vec_id bigint, cosine double")
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10) -> DataFrame:
     """Top-k most-similar vectors to vec_id=query_id (brute force, exact).
 
-    The query vector is a 1-row broadcast — the scan over N vectors is
-    embarrassingly parallel, no shuffle until the final top-k (which is
-    a TakeOrdered, not a full sort).
-    """
+    The query vector is a bounded 1-row transfer — the scan over N
+    vectors is embarrassingly parallel, no shuffle until the final top-k
+    (which is a TakeOrdered, not a full sort)."""
     return cosine_topk_df(_emb(spark, sf_dir), query_id, k)
 
 
 def cosine_topk_df(e: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
     """cosine_topk over ANY (vec_id, embedding) DataFrame — raw parquet
     or the compressed store (store_cosine_topk)."""
-    q = e.filter(F.col("vec_id") == query_id).select(
-        F.col("embedding").alias("q_emb")
-    )
+    q_emb = _take_query_embedding(e, query_id)
+    if q_emb is None:
+        return _empty_topk(e.sparkSession)
     scored = (
         e.filter(F.col("vec_id") != query_id)
-        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("q_emb"))
-                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
-                6,
-            ).alias("cosine"),
+            F.round(_cosine_q_udf(q_emb)(F.col("embedding")), 6).alias("cosine"),
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
@@ -100,12 +174,10 @@ def store_cosine_topk(spark: SparkSession, sf_dir: str, query_id: int = 0,
 
 
 def _signed_dot(emb, plane):
-    """dot(embedding, hyperplane) where weight(p, d) = +1 if
-    (31p + 17d) % 7 < 3 else -1 (fixed, documented, seedless —
-    determinism requirement from SURVEY §2.5 H4). Computed with
-    F.transform's element INDEX, so no dimension probe or weight-array
-    literal is needed — the whole thing is one codegen'd JVM expression
-    and works for any embedding width."""
+    """Expression-form reference of the plane-sign dot: weight(p, d) =
+    +1 if (31p + 17d) % 7 < 3 else -1 (fixed, documented, seedless —
+    determinism requirement from SURVEY §2.5 H4). Kernel twin:
+    vec.plane_weights + vec.signed_bits."""
     return F.aggregate(
         F.transform(
             emb,
@@ -117,17 +189,48 @@ def _signed_dot(emb, plane):
     )
 
 
+def _grouped_buckets_udf(plane_ids: list[int], group_size: int):
+    """pandas_udf: embedding -> array of per-group bucket keys, group g
+    covering planes plane_ids[g*group_size : (g+1)*group_size], key =
+    sum of sign-bit << bit-position (exact integer math, identical to
+    the old crossJoin+groupBy sum). One batch computes every plane's
+    sign in numpy; the n_planes-row broadcast join, the n_planes x N
+    interpreted aggregates, AND the groupBy shuffle all disappear."""
+    n_groups = len(plane_ids) // group_size
+
+    @F.pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        A = veck.stack_embeddings(emb)
+        W = veck.plane_weights(plane_ids, A.shape[1])
+        bits = veck.signed_bits(A, W)  # (n, len(plane_ids))
+        shifts = 1 << np.arange(group_size, dtype=np.int64)
+        keys = np.empty((A.shape[0], n_groups), dtype=np.int64)
+        for g in range(n_groups):
+            keys[:, g] = bits[:, g * group_size : (g + 1) * group_size] @ shifts
+        return pd.Series(list(keys))
+
+    return buckets
+
+
+def _bucket_keys_np(q_vec, plane_ids: list[int], group_size: int) -> list[int]:
+    """Driver-side bucket keys of one vector (same kernel, 1 row)."""
+    A = np.asarray(q_vec, dtype=np.float64)[None, :]
+    W = veck.plane_weights(plane_ids, A.shape[1])
+    bits = veck.signed_bits(A, W)[0]
+    shifts = 1 << np.arange(group_size, dtype=np.int64)
+    n_groups = len(plane_ids) // group_size
+    return [int(bits[g * group_size : (g + 1) * group_size] @ shifts)
+            for g in range(n_groups)]
+
+
 def lsh_buckets(spark: SparkSession, sf_dir: str, n_planes: int = 8) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (single band)."""
     e = _emb(spark, sf_dir)
-    planes_df = spark.range(n_planes).select(F.col("id").cast("int").alias("plane"))
-    scored = e.crossJoin(F.broadcast(planes_df)).select(
-        "vec_id",
-        "plane",
-        (_signed_dot(F.col("embedding"), F.col("plane")) > 0).cast("int").alias("bit"),
-    )
-    return scored.groupBy("vec_id").agg(
-        F.sum(F.expr("bit * shiftleft(1, plane)")).alias("bucket")
+    udf = _grouped_buckets_udf(list(range(n_planes)), n_planes)
+    return e.select(
+        "vec_id", udf(F.col("embedding")).getItem(0).alias("bucket")
     )
 
 
@@ -141,23 +244,23 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 1
     n_planes+1 of the 2^n_planes buckets; exact cosine inside. At
     scale, size n_planes with :func:`planes_for` so the expected bucket
     population stays bounded."""
-    buckets = lsh_buckets(spark, sf_dir, n_planes)
-    e = _emb(spark, sf_dir).join(buckets, "vec_id")
-    qb = e.filter(F.col("vec_id") == query_id).select(
-        F.col("bucket").alias("q_bucket"), F.col("embedding").alias("q_emb")
+    e = _emb(spark, sf_dir)
+    q_emb = _take_query_embedding(e, query_id)
+    if q_emb is None:
+        return _empty_topk(spark)
+    q_bucket = _bucket_keys_np(q_emb, list(range(n_planes)), n_planes)[0]
+    udf = _grouped_buckets_udf(list(range(n_planes)), n_planes)
+    withb = e.select(
+        "vec_id", "embedding", udf(F.col("embedding")).getItem(0).alias("bucket")
     )
-    cand = e.crossJoin(F.broadcast(qb)).filter(
-        (F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) <= probe_radius)
+    cand = withb.filter(
+        (F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= probe_radius)
         & (F.col("vec_id") != query_id)
     )
     return (
         cand.select(
             "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("q_emb"))
-                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
-                6,
-            ).alias("cosine"),
+            F.round(_cosine_q_udf(q_emb)(F.col("embedding")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
@@ -183,49 +286,82 @@ def ann_topk_lsh_multi(spark: SparkSession, sf_dir: str, query_id: int = 0,
     recall budget is tuned by (n_tables, probe_radius) against that
     scan bound; IVF stays the better top-k path on unstructured
     vectors, LSH the near-dup/bucketing tool. Exact-cosine rescore
-    inside the candidate set; one distinct on vec_id dedups
-    cross-table hits before rescoring."""
+    inside the candidate set; the per-table keys live in ONE array per
+    vector, so the cross-table OR needs no union or distinct."""
     e = _emb(spark, sf_dir)
-    total = n_tables * n_planes
-    planes_df = spark.range(total).select(F.col("id").cast("int").alias("gplane"))
-    buckets = (
-        e.crossJoin(F.broadcast(planes_df))
-        .select(
-            "vec_id",
-            (F.col("gplane") / n_planes).cast("int").alias("tbl"),
-            (F.col("gplane") % n_planes).alias("tbit"),
-            (_signed_dot(F.col("embedding"), F.col("gplane")) > 0).cast("long").alias("bit"),
+    q_emb = _take_query_embedding(e, query_id)
+    if q_emb is None:
+        return _empty_topk(spark)
+    plane_ids = list(range(n_tables * n_planes))
+    q_keys = _bucket_keys_np(q_emb, plane_ids, n_planes)
+    udf = _grouped_buckets_udf(plane_ids, n_planes)
+    withb = e.select("vec_id", "embedding", udf(F.col("embedding")).alias("bks"))
+    hit_any = None
+    for t, qk in enumerate(q_keys):
+        hit = (
+            F.bit_count(F.col("bks").getItem(t).bitwiseXOR(F.lit(qk)))
+            <= probe_radius
         )
-        .groupBy("vec_id", "tbl")
-        .agg(F.sum(F.expr("bit * shiftleft(1L, cast(tbit as int))")).alias("bucket"))
-    )
-    qb = buckets.filter(F.col("vec_id") == query_id).select(
-        "tbl", F.col("bucket").alias("q_bucket")
-    )
-    cand_ids = (
-        buckets.join(F.broadcast(qb), "tbl")
-        .filter(
-            (F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) <= probe_radius)
-            & (F.col("vec_id") != query_id)
-        )
-        .select("vec_id")
-        .distinct()
-    )
-    q = e.filter(F.col("vec_id") == query_id).select(F.col("embedding").alias("q_emb"))
+        hit_any = hit if hit_any is None else (hit_any | hit)
+    cand = withb.filter(hit_any & (F.col("vec_id") != query_id))
     return (
-        e.join(cand_ids, "vec_id")
-        .crossJoin(F.broadcast(q))
-        .select(
+        cand.select(
             "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("q_emb"))
-                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
-                6,
-            ).alias("cosine"),
+            F.round(_cosine_q_udf(q_emb)(F.col("embedding")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def _collect_centroids(cents: DataFrame):
+    """Bounded collect of the (cent_id, cent_emb) table — n_cents rows,
+    the same bytes the old plan broadcast to every executor."""
+    rows = sorted(
+        ((int(r["cent_id"]), np.asarray(r["cent_emb"], dtype=np.float64))
+         for r in cents.select("cent_id", "cent_emb").collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows], dtype=np.int64)
+    C = np.stack([t[1] for t in rows]) if rows else np.zeros((0, 0))
+    return ids, C
+
+
+def _assign_udf(ids: np.ndarray, C: np.ndarray):
+    """pandas_udf: embedding -> nearest cent_id (argmax of cosine, ties
+    -> smaller cent_id, NaN greatest — bit-identical to the old
+    crossJoin + max(struct(ccos, -cent_id)) plan, without the n_cents x
+    N row blowup or the groupBy shuffle)."""
+
+    @F.pandas_udf("long")
+    def assign(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        A = veck.stack_embeddings(emb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(veck.argmax_centroid(A, C, ids))
+
+    return assign
+
+
+def _probe_ids(q: np.ndarray, ids: np.ndarray, C: np.ndarray,
+               nprobe: int) -> list[int]:
+    """The nprobe centroids nearest the query by cosine — driver-side
+    numpy on the already-collected n_cents rows, same (qcos DESC,
+    cent_id ASC, NaN first) order as the old ORDER BY ... LIMIT."""
+    nq = veck.seq_norm_scalar(q)
+    scored = []
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(C.shape[0]):
+            c = C[i]
+            qcos = veck.seq_dot_scalar(q, c) / (nq * veck.seq_norm_scalar(c))
+            scored.append((int(ids[i]), qcos))
+    scored.sort(key=lambda t: (
+        0 if np.isnan(t[1]) else 1,           # NaN sorts greatest (first)
+        -t[1] if not np.isnan(t[1]) else 0.0,  # then cosine DESC
+        t[0],                                  # then cent_id ASC
+    ))
+    return [cid for cid, _ in scored[:nprobe]]
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10,
@@ -238,12 +374,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 1
     vec_id < n_cents) rather than Lloyd-trained: sampling from the data
     distribution is the standard zero-training IVF baseline and keeps
     the whole operator SQL-expressible for the oracle. At scale:
-    centroid count grows ~sqrt(N); assignment is one broadcast
-    join + per-vector argmax via max(struct) — a hash aggregate with a
-    map-side PARTIAL (a window would sort-shuffle all N * n_cents
-    scored rows; the partial agg reduces them to N before the
-    exchange). The probe prunes (n_cents - nprobe)/n_cents of the
-    corpus from the rescore. Ties break by centroid id."""
+    centroid count grows ~sqrt(N); assignment is one Arrow-batched
+    argmax over the corpus (zero shuffle — the old broadcast-join +
+    max-struct partial aggregate shape collapsed into the kernel). The
+    probe prunes (n_cents - nprobe)/n_cents of the corpus from the
+    rescore. Ties break by centroid id."""
     e = _emb(spark, sf_dir)
     cents = e.filter(F.col("vec_id") < n_cents).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
@@ -254,53 +389,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 1
 def _ivf_topk_from_cents(e: DataFrame, cents: DataFrame, query_id: int, k: int,
                          nprobe: int) -> DataFrame:
     """IVF probe + rescore against a given (cent_id, cent_emb) table
-    (shared by the sampled and the Lloyd-trained paths)."""
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        (
-            _dot(F.col("embedding"), F.col("cent_emb"))
-            / (_norm(F.col("embedding")) * _norm(F.col("cent_emb")))
-        ).alias("ccos"),
-    )
-    # argmax(ccos, tie -> min cent_id) == max of struct(ccos, -cent_id)
-    assign = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max(F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))).alias("m"),
-            F.first("embedding").alias("embedding"),  # identical across the group
-        )
-        .select("vec_id", "embedding", (-F.col("m.nc")).alias("cent_id"))
-    )
-    q = e.filter(F.col("vec_id") == query_id).select(
-        F.col("embedding").alias("q_emb")
-    )
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .select(
-            "cent_id",
-            (
-                _dot(F.col("q_emb"), F.col("cent_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("cent_emb")))
-            ).alias("qcos"),
-        )
-        .orderBy(F.col("qcos").desc(), F.col("cent_id"))
-        .limit(nprobe)
-        .select("cent_id")
-    )
-    cand = assign.join(F.broadcast(probe), "cent_id").filter(
-        F.col("vec_id") != query_id
+    (shared by the sampled, Lloyd-trained, and persisted-index paths).
+
+    The centroid table is a bounded collect (n_cents rows — the same
+    bytes the old plan broadcast); probe selection happens driver-side;
+    assignment + rescore is ONE pass over the corpus with two Arrow
+    UDFs and no shuffle before the final TakeOrdered."""
+    q_emb = _take_query_embedding(e, query_id)
+    if q_emb is None:
+        return _empty_topk(e.sparkSession)
+    ids, C = _collect_centroids(cents)
+    if not len(ids):
+        return _empty_topk(e.sparkSession)
+    q = np.asarray(q_emb, dtype=np.float64)
+    probe = _probe_ids(q, ids, C, nprobe)
+    cand = e.filter(F.col("vec_id") != query_id).filter(
+        _assign_udf(ids, C)(F.col("embedding")).isin(probe)
     )
     return (
-        cand.crossJoin(F.broadcast(q))
-        .select(
+        cand.select(
             "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("q_emb"))
-                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))),
-                6,
-            ).alias("cosine"),
+            F.round(_cosine_q_udf(q_emb)(F.col("embedding")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
@@ -311,21 +420,20 @@ def ivf_centroids(spark: SparkSession, sf_dir: str, n_cents: int = 16,
                   iters: int = 2) -> DataFrame:
     """Lloyd-refined IVF centroids (VERDICT r2: sampled centroids
     degrade on clustered real embeddings): start from the deterministic
-    sampled baseline (vec_id < n_cents) and run `iters` k-means steps
-    entirely as DataFrame aggregations.
+    sampled baseline (vec_id < n_cents) and run `iters` k-means steps.
 
-    Each step: (1) assign every vector to its nearest centroid by
-    cosine — broadcast centroids, max-struct argmax, the same
-    partial-agg shape as ann_ivf_topk's assignment; (2) recompute each
-    centroid as the element-wise mean of its members via posexplode +
-    groupBy(cent_id, pos). The (cent_id, pos) key space is
-    n_cents * dims, so map-side partial aggregation reduces the
-    shuffle to that many rows per task regardless of corpus size.
-    Deterministic: assignment ties break toward the lower cent_id and
-    a cluster that loses every member keeps its previous centroid.
-    localCheckpoint truncates the per-iteration lineage (same caveat
-    as dedup.dedup_clusters: on a real cluster use reliable
-    checkpointing for fault tolerance).
+    Each step is ONE Spark job: an Arrow-batched nearest-centroid
+    argmax (kernels/vec.py, centroids carried in the UDF closure) feeds
+    posexplode + groupBy(cent_id, pos) + avg — map-side partial
+    aggregation reduces the shuffle to n_cents * dims rows per task
+    regardless of corpus size — and the n_cents x dims means are
+    collected driver-side (bounded, the same magnitude as the old
+    per-iteration centroid broadcast). Deterministic: assignment ties
+    break toward the lower cent_id and a cluster that loses every
+    member keeps its previous centroid. The old plan's per-iteration
+    broadcast join, max-struct aggregate, embedding re-join, and eager
+    localCheckpoint are all gone — lineage never grows because the
+    centroids live driver-side between steps.
 
     Returns (cent_id, cent_emb array<double>).
     """
@@ -338,50 +446,44 @@ def ivf_centroids_df(emb: DataFrame, n_cents: int = 16,
                      iters: int = 2) -> DataFrame:
     """ivf_centroids over ANY (vec_id, embedding) DataFrame — raw
     parquet or the compressed store (build_ivf_index)."""
-    # each iteration scans the corpus twice (assignment + mean); persist
-    # once instead of re-reading the source 2*iters times
+    spark = emb.sparkSession
+    # each iteration scans the corpus once; persist so the source
+    # (possibly a store decode) is not re-read iters+1 times
     e = emb.select("vec_id", "embedding").persist()
-    cents = e.filter(F.col("vec_id") < n_cents).select(
-        F.col("vec_id").alias("cent_id"),
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cent_emb"),
+    try:
+        ids, C = _collect_centroids(
+            e.filter(F.col("vec_id") < n_cents).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_emb"),
+            )
+        )
+        for _ in range(iters):
+            means = (
+                e.select(
+                    _assign_udf(ids, C)(F.col("embedding")).alias("cent_id"),
+                    F.posexplode("embedding").alias("pos", "x"),
+                )
+                .groupBy("cent_id", "pos")
+                .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                .collect()  # bounded: n_cents x dims rows
+            )
+            by_cent: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cent.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = r["m"]
+            newC = C.copy()
+            for i, cid in enumerate(ids):
+                got = by_cent.get(int(cid))
+                if got:  # a cluster that loses every member keeps its centroid
+                    newC[i] = np.array(
+                        [got[p] for p in sorted(got)], dtype=np.float64
+                    )
+            C = newC
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in C[i]]) for i, cid in enumerate(ids)],
+        "cent_id bigint, cent_emb array<double>",
     )
-    for _ in range(iters):
-        scored = e.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "cent_id",
-            (
-                _dot(F.col("embedding"), F.col("cent_emb"))
-                / (_norm(F.col("embedding")) * _norm(F.col("cent_emb")))
-            ).alias("ccos"),
-        )
-        assign = (
-            scored.groupBy("vec_id")
-            .agg(F.max(F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nc"))).alias("m"))
-            .select("vec_id", (-F.col("m.nc")).alias("cent_id"))
-        )
-        means = (
-            e.join(assign, "vec_id")
-            .select("cent_id", F.posexplode("embedding").alias("pos", "x"))
-            .groupBy("cent_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("cent_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("new_emb")
-            )
-        )
-        cents = (
-            cents.join(means, "cent_id", "left")
-            .select(
-                "cent_id",
-                F.coalesce(F.col("new_emb"), F.col("cent_emb")).alias("cent_emb"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    e.unpersist()
-    return cents
 
 
 def ann_ivf_lloyd_topk(spark: SparkSession, sf_dir: str, query_id: int = 0,
@@ -423,7 +525,7 @@ def build_ivf_index(spark: SparkSession, store_dir: str, *,
     `indexes/ivf_<column>_<uuid>/` parquet (cent_id, cent_emb) —
     registered in the manifest via a CAS commit under m["indexes"], so
     the index shares the store's snapshot/versioning discipline and
-    ANN queries stop re-training per run (2 corpus scans per k-means
+    ANN queries stop re-training per run (a corpus scan per k-means
     iteration each time). Idempotent: a registered index for the same
     (column, n_cents, iters) returns without retraining. A crash
     between the parquet write and the commit leaves an unreferenced
@@ -591,24 +693,20 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str, n_planes: int = 16,
     then grows with the corpus and expected bucket size stays O(1).
 
     Plane weights are the fixed deterministic pattern
-    w(p, d) = +1 if (31p + 17d) % 7 < 3 else -1 (computed from the
-    element index — no dims probe; the SQL oracle recomputes the
-    identical planes)."""
+    w(p, d) = +1 if (31p + 17d) % 7 < 3 else -1 (kernels/vec.py
+    plane_weights — no dims probe; the SQL oracle recomputes the
+    identical planes). All band keys of a vector come from ONE Arrow
+    batch (vec.signed_bits), so only (band, band_key) ints reach the
+    self-join shuffle — the payloads join in only for the surviving
+    candidate pairs."""
     if n_planes % n_bands:
         raise ValueError(f"n_bands ({n_bands}) must evenly divide n_planes ({n_planes})")
     band_planes = n_planes // n_bands
     e = _emb_with_dups(spark, sf_dir)
-    planes_df = spark.range(n_planes).select(F.col("id").cast("int").alias("plane"))
-    band_keys = (
-        e.crossJoin(F.broadcast(planes_df))
-        .select(
-            "vec_id",
-            (F.col("plane") / band_planes).cast("int").alias("band"),
-            (F.col("plane") % band_planes).alias("bandbit"),
-            (_signed_dot(F.col("embedding"), F.col("plane")) > 0).cast("long").alias("bit"),
-        )
-        .groupBy("vec_id", "band")
-        .agg(F.sum(F.expr("bit * shiftleft(1L, cast(bandbit as int))")).alias("band_key"))
+    udf = _grouped_buckets_udf(list(range(n_planes)), band_planes)
+    band_keys = e.select(
+        "vec_id",
+        F.posexplode(udf(F.col("embedding"))).alias("band", "band_key"),
     )
     a = band_keys.select(F.col("vec_id").alias("vec_a"), "band", "band_key")
     b = band_keys.select(F.col("vec_id").alias("vec_b"), "band", "band_key")
@@ -627,9 +725,7 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str, n_planes: int = 16,
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("emb_a"), F.col("emb_b"))
-                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
-                6,
+                _cosine_pair_udf()(F.col("emb_a"), F.col("emb_b")), 6
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -63,13 +63,23 @@ def test_encode_input_scan_not_wider_than_needed(spark):
     assert "text" not in read and "lang" in read
 
 
-def test_ann_query_vector_is_broadcast(spark):
+def test_ann_cosine_plan_vectorized_no_shuffle(spark):
+    """r6: the query vector rides in the Arrow UDF's closure (bounded
+    1-row transfer, the broadcast-crossJoin twin), scoring is ONE
+    vectorized ArrowEvalPython over the scan — no row-at-a-time
+    BatchEvalPython, no Exchange before the TakeOrdered — and the
+    vec_id predicate now reaches the parquet scan (the old crossJoin
+    blocked pushdown)."""
     from kmers_spark.functions import ann
 
     plan = _plan(ann.cosine_topk(spark, SF, 0, 5))
-    assert "Broadcast" in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
     # the final top-k is a TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in plan
+    read = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "vec_id" in read
 
 
 def test_embedding_lsh_buckets_bounded_and_no_cartesian(spark):
