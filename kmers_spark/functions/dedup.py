@@ -65,13 +65,41 @@ def _shingles(d: DataFrame, w: int = SHINGLE_W) -> DataFrame:
     ).distinct()
 
 
-def _signatures_from_shingles(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
-    perms = sh.sparkSession.range(n_perm).select(F.col("id").cast("int").alias("perm"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("perm"), F.col("shingle")))).alias("sig"))
+def _signatures_wide(sh: DataFrame, n_perm: int = N_PERM,
+                     with_count: bool = False) -> DataFrame:
+    """(doc_id, s0..s{n_perm-1}[, n_sh]): every permutation's min-hash
+    computed in ONE groupBy(doc_id) pass — n_perm min() aggregates over
+    the same shingle rows. The old shape crossJoined the shingle table
+    with the perm table (n_perm x row blowup) and aggregated on
+    (doc_id, perm): same md5 count, but n_perm times the rows through
+    the partial aggregate and a shuffle keyed n_perm times wider
+    (guide §2.3: aggregate before you shuffle / shuffle fewer bytes).
+    Values are identical — min over the doc's shingles of
+    md5('<p>:<shingle>'). `with_count` rides the per-doc shingle count
+    on the same pass (ngram_jaccard's |A| sizes — no second aggregate
+    over the shingle table)."""
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(p), F.col("shingle")))
+        ).alias(f"s{p}")
+        for p in range(n_perm)
+    ]
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _wide_to_long(wide: DataFrame, n_perm: int) -> DataFrame:
+    """(doc_id, s0..) -> (doc_id, perm, sig) — minhash_signatures'
+    declared output shape (stack is a generator, no shuffle)."""
+    pairs = ", ".join(f"{p}, s{p}" for p in range(n_perm))
+    return wide.select(
+        "doc_id", F.expr(f"stack({n_perm}, {pairs}) as (perm, sig)")
     )
+
+
+def _signatures_from_shingles(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    return _wide_to_long(_signatures_wide(sh, n_perm), n_perm)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str, n_perm: int = N_PERM) -> DataFrame:
@@ -85,11 +113,23 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, n_perm: int = N_PERM) -
     return _signatures_from_shingles(sh, n_perm)
 
 
-def _pairs_from_sigs(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
-    bands = (
-        sigs.withColumn("band", (F.col("perm") / band_rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list("sig"))).alias("band_key"))
+def _pairs_from_wide(wide: DataFrame, n_perm: int = N_PERM,
+                     band_rows: int = BAND_ROWS) -> DataFrame:
+    """LSH candidate pairs from the WIDE signature table: each band's
+    key is assembled directly from its signature columns (identical to
+    the old collect_list+array_sort — array_sort normalizes the
+    nondeterministic collect order), so the per-band groupBy shuffle
+    disappears; only (band, band_key) rows reach the self-join."""
+    n_bands = n_perm // band_rows
+    keys = [
+        F.concat_ws("|", F.array_sort(F.array(*[
+            F.col(f"s{b * band_rows + r}") for r in range(band_rows)
+        ]))).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    pairs = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    bands = wide.select("doc_id", *keys).select(
+        "doc_id", F.expr(f"stack({n_bands}, {pairs}) as (band, band_key)")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -107,7 +147,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n_perm: int = N_PERM,
     band key = concat of the band's signature rows; equi-join on
     (band, key) — never an all-pairs comparison.
     """
-    return _pairs_from_sigs(minhash_signatures(spark, sf_dir, n_perm), band_rows)
+    sh = _shingles(_docs_with_dups(spark, sf_dir).filter(F.col("text").isNotNull()))
+    return _pairs_from_wide(_signatures_wide(sh, n_perm), n_perm, band_rows)
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
@@ -125,8 +166,10 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> D
     sh = _shingles(
         _docs_with_dups(spark, sf_dir).filter(F.col("text").isNotNull())
     ).localCheckpoint(eager=True)
-    pairs = _pairs_from_sigs(_signatures_from_shingles(sh))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # the signature aggregate and the |A| sizes share one groupBy pass
+    wide = _signatures_wide(sh, with_count=True).localCheckpoint(eager=True)
+    pairs = _pairs_from_wide(wide)
+    sizes = wide.select("doc_id", "n_sh")
 
     # intersection size via equi-join on shingle, restricted to candidates
     sa = sh.withColumnRenamed("doc_id", "doc_a")
@@ -165,24 +208,24 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = toks.select(
         "doc_id", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long").alias("h16")
     )
-    bits = h.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
-        "h16",
-    ).select(
-        "doc_id",
-        "bit",
-        F.expr("(shiftright(h16, bit::int) & 1) * 2 - 1").alias("vote"),
-    )
-    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return (
-        votes.withColumn(
-            "bitval",
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit::int)")).otherwise(F.lit(0)),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    # all 16 per-bit votes in ONE groupBy(doc_id) pass (16 sum()
+    # aggregates over the same token rows), then bits -> int in the
+    # projection. The old shape exploded every token 16x and aggregated
+    # twice (per (doc_id, bit), then per doc_id) — 16x the rows through
+    # the partial aggregate and an extra shuffle for identical integer
+    # sums (guide §2.3).
+    votes = h.groupBy("doc_id").agg(*[
+        F.sum(F.expr(f"(shiftright(h16, {b}) & 1) * 2 - 1")).alias(f"v{b}")
+        for b in range(16)
+    ])
+    bitvals = [
+        F.when(F.col(f"v{b}") > 0, F.expr(f"shiftleft(1L, {b})")).otherwise(F.lit(0))
+        for b in range(16)
+    ]
+    total = bitvals[0]
+    for bv in bitvals[1:]:
+        total = total + bv
+    return votes.select("doc_id", total.alias("simhash"))
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> DataFrame:
