@@ -164,12 +164,14 @@ def _make_delete_fn_arrow(schema: dict[str, str], key: str,
         })
         # same kernel encode_table runs: codec re-selection, zone maps,
         # and key-range meta regenerate for the survivors. The filter
-        # preserved row order and Arrow's sort is stable, so the
-        # re-sort inside is a no-op on already-sorted survivors.
+        # preserved the stored row order, which IS the sort_by order
+        # (order is part of the block format), so presorted=True skips
+        # the in-kernel re-sort and its full-table take() copy.
         return make_encode_fn_arrow(sub, key, overrides, sort_by,
                                     bloom_dir=bloom_dir,
                                     bloom_cols=bloom_cols,
-                                    ndv_cols=ndv_cols)(tbl)
+                                    ndv_cols=ndv_cols,
+                                    presorted=True)(tbl)
 
     return fn
 

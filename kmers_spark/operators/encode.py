@@ -184,13 +184,18 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
                          sort_by: list[str] | None = None,
                          bloom_dir: str | None = None,
                          bloom_cols: list[str] | None = None,
-                         ndv_cols: list[str] | None = None):
+                         ndv_cols: list[str] | None = None,
+                         presorted: bool = False):
     """Arrow-native group encoder (the hot path): rows stay in Arrow
     buffers end-to-end; sort/dictionary/token work happens in C++ and
     the bit-level kernels in numpy. ~10x less allocator traffic than the
     pandas path, which is what lets 32 cores actually scale (BENCH).
     `sort_by`: see make_encode_fn — [cluster_col, key] for range-
-    clustered stores so segment skipping composes with bucket pruning."""
+    clustered stores so segment skipping composes with bucket pruning.
+    `presorted=True` skips the in-kernel sort AND its full-table take()
+    copy — for callers whose rows already arrive in sort_by order (the
+    encode job's JVM sortWithinPartitions pre-sort; delete's survivors,
+    which keep the stored block order)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -201,10 +206,11 @@ def make_encode_fn_arrow(schema: dict[str, str], key: str,
 
     def encode_group(table: "pa.Table") -> "pa.Table":
         arrowcodecs.pin_worker_threads()
-        idx = pc.sort_indices(
-            table, sort_keys=[(c, "ascending") for c in sort_cols]
-        )
-        table = table.take(idx)
+        if not presorted:
+            idx = pc.sort_indices(
+                table, sort_keys=[(c, "ascending") for c in sort_cols]
+            )
+            table = table.take(idx)
         bucket = table.column("bucket")[0].as_py() if table.num_rows else -1
         rows = {k: [] for k in ("bucket", "column", "codec", "n_rows",
                                 "raw_nbytes", "enc_nbytes", "payload", "meta")}
@@ -312,7 +318,16 @@ def encode_blocks_df(bucketed: DataFrame, schema: dict[str, str], key: str,
                      bloom_dir: str | None = None,
                      bloom_cols: list[str] | None = None,
                      ndv_cols: list[str] | None = None) -> DataFrame:
-    """groupBy(bucket) -> block rows, preferring the Arrow path."""
+    """groupBy(bucket) -> block rows, preferring the Arrow path.
+
+    Measured dead end (r6, kept as a record): pre-sorting rows JVM-side
+    (repartition(bucket) + sortWithinPartitions(bucket, *sort_by) +
+    mapInArrow with presorted=True) to skip the in-kernel
+    pc.sort_indices + take() copy was an interleaved-A/B WASH at 4
+    cores (old min 27.9s vs new 28.4s over 3 pairs, 4M rows): the JVM
+    string sort over whole partitions costs what the per-bucket Arrow
+    sort saved. The groupBy path stays; presorted=True remains the win
+    where order already exists (delete's survivors)."""
     grouped = bucketed.groupBy("bucket")
     if hasattr(grouped, "applyInArrow"):
         return grouped.applyInArrow(
