@@ -381,18 +381,33 @@ def delete_keys(spark: SparkSession, out_dir: str,
         .dropna().distinct()
     )
 
-    pairs = _candidate_pairs(spark, kdf, m, key_col, ktype)
-    committed = {int(b) for b in m.get("committed_buckets", [])}
-    # the one driver collect: distinct candidate buckets, <= num_buckets
-    affected = sorted(
-        {int(r["bucket"]) for r in pairs.select("bucket").distinct().collect()}
-        & committed
-    )
-    if not affected:
-        return {"rows_deleted": 0, "buckets_rewritten": [],
-                "waves_rewritten": [], "manifest": m}
-    pairs = pairs.filter(F.col("bucket").isin(affected))
+    # persisted: the placement pipeline (upstream dedup output + bucket
+    # rule) otherwise re-runs for the bucket-id collect AND the cogroup
+    # rewrite below (guide §5: reused + expensive to recompute;
+    # MEMORY_AND_DISK spills, so a 10^9-key doomed set stays bounded)
+    pairs = _candidate_pairs(spark, kdf, m, key_col, ktype).persist()
+    try:
+        committed = {int(b) for b in m.get("committed_buckets", [])}
+        # the one driver collect: distinct candidate buckets, <= num_buckets
+        affected = sorted(
+            {int(r["bucket"]) for r in pairs.select("bucket").distinct().collect()}
+            & committed
+        )
+        if not affected:
+            return {"rows_deleted": 0, "buckets_rewritten": [],
+                    "waves_rewritten": [], "manifest": m}
+        return _delete_rewrite(spark, out_dir, m, key_col,
+                               pairs.filter(F.col("bucket").isin(affected)),
+                               affected)
+    finally:
+        pairs.unpersist()
 
+
+def _delete_rewrite(spark: SparkSession, out_dir: str, m: dict, key_col: str,
+                    pairs: DataFrame, affected: list[int]) -> dict:
+    """The rewrite half of delete_keys: cogroup the affected buckets'
+    block rows with their doomed keys, re-encode survivors, swap the
+    manifest (pairs arrives persisted and bucket-filtered)."""
     aset = set(affected)
     wb = m.get("wave_buckets", {})
     # a wave without a recorded bucket list may hold anything: rewrite it

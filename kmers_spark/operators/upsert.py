@@ -252,10 +252,28 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
             F.lit(True).alias("__delete_only"),
         )
         bdf = bdf.unionByName(probes.select(*bdf.columns))
-    # the one driver collect: distinct incoming buckets, <= num_buckets
-    affected = sorted(
-        int(r["bucket"]) for r in bdf.select("bucket").distinct().collect()
-    )
+    # persisted: the placement pipeline (incoming batch + bucket rule +
+    # probe derivation) otherwise re-runs for the bucket-id collect AND
+    # the cogroup below (guide §5: reused + expensive to recompute;
+    # MEMORY_AND_DISK spills, so batch size stays bounded)
+    bdf = bdf.persist()
+    try:
+        # the one driver collect: distinct incoming buckets, <= num_buckets
+        affected = sorted(
+            int(r["bucket"]) for r in bdf.select("bucket").distinct().collect()
+        )
+        return _upsert_rewrite(spark, out_dir, m, schema, key_col, bdf,
+                               n_in, affected)
+    finally:
+        bdf.unpersist()
+
+
+def _upsert_rewrite(spark: SparkSession, out_dir: str, m: dict,
+                    schema: dict[str, str], key_col: str, bdf: DataFrame,
+                    n_in: int, affected: list[int]) -> dict:
+    """The rewrite half of upsert_table: cogroup affected buckets' block
+    rows with the placed incoming rows (bdf arrives persisted), merge +
+    re-encode, swap the manifest."""
     committed = {int(b) for b in m.get("committed_buckets", [])}
     born = [b for b in affected if b not in committed]
     if born:
