@@ -271,6 +271,12 @@ def normalize_filters(filters: list[tuple], schema: dict[str, str]) -> list[tupl
     for f in filters:
         if len(f) == 3 and f[1] == "prefix":
             col, _, value = f
+            if col not in schema:
+                # same unknown-column diagnostic every other op gets
+                # (ADVICE r5: a typo'd column used to surface as a
+                # misleading "needs a string column; 'x' is None")
+                raise KeyError(
+                    f"filter column {col!r} not in snapshot schema")
             if schema.get(col) != "string":
                 raise ValueError(
                     f"filter op 'prefix' needs a string column; "

@@ -500,7 +500,12 @@ def test_prefix_filters_exact_rewrite():
             if want:
                 assert got, (p, v)
             elif got:
-                assert any(0xD800 <= ord(ch) <= 0xDFFF + 1
+                # over-coverage happens when the last char's +1
+                # INCREMENT lands in the surrogate gap, i.e. last char
+                # in [U+D7FF, U+DFFE] (ADVICE r5: the old condition
+                # tested whether the char itself was a surrogate, which
+                # misses U+D7FF and can't occur in valid strings)
+                assert any(0xD7FF <= ord(ch) <= 0xDFFE
                            for ch in p[-1:]) or "\U0010FFFF" in p, (p, v)
     # empty prefix: every NON-NULL string matches (SQL LIKE semantics
     # exclude NULL), expressed as >= ""
