@@ -16,14 +16,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token count + distinct-token count per doc."""
+    """Whitespace token count + distinct-token count per doc.
+
+    A doc's tokens all live in its own row, so both counts are array
+    projections (size(array_remove(split)), size(array_distinct)) —
+    ZERO exchanges. The old explode + groupBy + count_distinct shape
+    shuffled every token row twice (count_distinct expands to a
+    two-phase aggregate) to compute a per-row quantity (guide §2.4:
+    remove shuffles outright). Same rows out: docs whose tokens are
+    all empty strings never produced a group, so the size>0 filter
+    keeps the surface identical."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull() & (F.col("text") != ""))
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    return toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.count_distinct(F.col("tok")).alias("n_distinct"),
+    return (
+        d.select(
+            "doc_id",
+            F.array_remove(F.split(F.col("text"), " "), "").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        )
+        .filter(F.col("n_tokens") > 0)
     )
 
 
