@@ -249,6 +249,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> Data
     ).localCheckpoint(eager=True)
     nodes = edges.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
+    # convergence check: labels are NON-INCREASING (least of self and
+    # min-neighbor), so any change strictly lowers sum(label) — one
+    # cheap aggregate over the fresh checkpoint replaces the old
+    # join-labels-against-new-labels count job per iteration (r6;
+    # guide §2.4: the join existed only to detect a scalar)
+    prev_sum = None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -263,13 +269,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iter: int = 10) -> Data
             )
         )
         new_labels = new_labels.localCheckpoint()  # truncate the iterative lineage
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "doc_id")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("doc_id", F.col("label").alias("cluster"))
