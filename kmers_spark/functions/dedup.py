@@ -66,7 +66,8 @@ def _shingles(d: DataFrame, w: int = SHINGLE_W) -> DataFrame:
 
 
 def _signatures_wide(sh: DataFrame, n_perm: int = N_PERM,
-                     with_count: bool = False) -> DataFrame:
+                     with_count: bool = False,
+                     with_array: bool = False) -> DataFrame:
     """(doc_id, s0..s{n_perm-1}[, n_sh]): every permutation's min-hash
     computed in ONE groupBy(doc_id) pass — n_perm min() aggregates over
     the same shingle rows. The old shape crossJoined the shingle table
@@ -77,7 +78,9 @@ def _signatures_wide(sh: DataFrame, n_perm: int = N_PERM,
     Values are identical — min over the doc's shingles of
     md5('<p>:<shingle>'). `with_count` rides the per-doc shingle count
     on the same pass (ngram_jaccard's |A| sizes — no second aggregate
-    over the shingle table)."""
+    over the shingle table); `with_array` rides the doc's distinct
+    shingle set as an array (ngram_jaccard's exact-intersection
+    operand — bounded by the document's own length)."""
     aggs = [
         F.min(
             F.md5(F.concat_ws(":", F.lit(p), F.col("shingle")))
@@ -86,6 +89,8 @@ def _signatures_wide(sh: DataFrame, n_perm: int = N_PERM,
     ]
     if with_count:
         aggs.append(F.count(F.lit(1)).alias("n_sh"))
+    if with_array:
+        aggs.append(F.collect_list("shingle").alias("sh_arr"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -155,34 +160,37 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> D
     """Verify LSH candidates with exact shingle Jaccard (the verify stage
     of the dedup pipeline; joins only candidate pairs).
 
-    The shingle table — the expensive artifact, feeding both the minhash
-    signatures AND the exact-intersection join — is computed ONCE via an
-    eager localCheckpoint; without this the whole explode+hash pipeline
-    runs three times (at a 100 TB corpus that triples the dominant cost;
-    in a real deployment the signature table would be written through to
-    storage). localCheckpoint (not persist): its blocks are released
-    when the returned DataFrame is garbage-collected, while a persist'd
-    plan would sit in the CacheManager for the session's lifetime."""
+    One groupBy over the shingle table produces the minhash signature
+    columns, the |A| sizes, AND the per-doc distinct-shingle ARRAY (all
+    bounded by the doc's own length); the wide table is checkpointed
+    once and serves the band self-join and both sides of the candidate
+    join. The exact intersection is then size(array_intersect(A, B))
+    per candidate pair — a projection — instead of the old shape's two
+    extra shuffles of the full shingle table (by doc_a, then by
+    (doc_b, shingle)) plus a count aggregate over every matched
+    shingle row (guide §2.3/§2.4: the shuffled artifact shrinks from
+    the exploded shingle rows to one array per doc, moved only for
+    candidate pairs). localCheckpoint (not persist): its blocks are
+    released when the returned DataFrame is garbage-collected, while a
+    persist'd plan would sit in the CacheManager for the session's
+    lifetime."""
     sh = _shingles(
         _docs_with_dups(spark, sf_dir).filter(F.col("text").isNotNull())
-    ).localCheckpoint(eager=True)
-    # the signature aggregate and the |A| sizes share one groupBy pass
-    wide = _signatures_wide(sh, with_count=True).localCheckpoint(eager=True)
-    pairs = _pairs_from_wide(wide)
-    sizes = wide.select("doc_id", "n_sh")
-
-    # intersection size via equi-join on shingle, restricted to candidates
-    sa = sh.withColumnRenamed("doc_id", "doc_a")
-    sb = sh.withColumnRenamed("doc_id", "doc_b")
-    inter = (
-        pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na")
-    nb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb")
+    wide = _signatures_wide(
+        sh, with_count=True, with_array=True
+    ).localCheckpoint(eager=True)
+    pairs = _pairs_from_wide(wide)
+    a = wide.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n_sh").alias("na"), F.col("sh_arr").alias("arr_a"))
+    b = wide.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n_sh").alias("nb"), F.col("sh_arr").alias("arr_b"))
     return (
-        inter.join(na, "doc_a").join(nb, "doc_b")
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        # shingle sets are distinct by construction, so the intersect
+        # size is exactly |A ∩ B| — same integers as the old join+count
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .filter(F.col("n_inter") > 0)
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
