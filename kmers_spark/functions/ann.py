@@ -704,10 +704,14 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str, n_planes: int = 16,
     band_planes = n_planes // n_bands
     e = _emb_with_dups(spark, sf_dir)
     udf = _grouped_buckets_udf(list(range(n_planes)), band_planes)
+    # lazy localCheckpoint: the self-join reads band_keys on BOTH sides
+    # and the new UDF subtree has no Exchange for ReuseExchange to
+    # match, so without it the scan + Arrow batch would run twice; the
+    # checkpointed artifact is (vec_id, band, band_key) ints only
     band_keys = e.select(
         "vec_id",
         F.posexplode(udf(F.col("embedding"))).alias("band", "band_key"),
-    )
+    ).localCheckpoint(eager=False)
     a = band_keys.select(F.col("vec_id").alias("vec_a"), "band", "band_key")
     b = band_keys.select(F.col("vec_id").alias("vec_b"), "band", "band_key")
     cand = (
