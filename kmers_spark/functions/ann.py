@@ -458,15 +458,28 @@ def ivf_centroids_df(emb: DataFrame, n_cents: int = 16,
             )
         )
         for _ in range(iters):
-            means = (
-                e.select(
-                    _assign_udf(ids, C)(F.col("embedding")).alias("cent_id"),
-                    F.posexplode("embedding").alias("pos", "x"),
+            # persist barrier: in one Project, ExtractPythonUDFs places
+            # the Arrow UDF ABOVE the posexplode Generate — the argmax
+            # would run per EXPLODED row, d times the boundary traffic
+            # and kernel work (verified in the plan; asNondeterministic
+            # does not move it). Materializing the assignment first
+            # keeps the UDF per input row; the cache is (cent_id,
+            # embedding) for one iteration and is dropped right after.
+            assigned = e.select(
+                _assign_udf(ids, C)(F.col("embedding")).alias("cent_id"),
+                "embedding",
+            ).persist()
+            try:
+                means = (
+                    assigned.select(
+                        "cent_id", F.posexplode("embedding").alias("pos", "x")
+                    )
+                    .groupBy("cent_id", "pos")
+                    .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                    .collect()  # bounded: n_cents x dims rows
                 )
-                .groupBy("cent_id", "pos")
-                .agg(F.avg(F.col("x").cast("double")).alias("m"))
-                .collect()  # bounded: n_cents x dims rows
-            )
+            finally:
+                assigned.unpersist()
             by_cent: dict[int, dict[int, float]] = {}
             for r in means:
                 by_cent.setdefault(int(r["cent_id"]), {})[int(r["pos"])] = r["m"]

@@ -32,27 +32,44 @@ def stack_embeddings(values) -> np.ndarray:
     return np.stack([np.asarray(v) for v in values]).astype(np.float64)
 
 
-def seq_dot(A: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Left fold over dims of acc + A[:, j] * b[j] — twin of _dot."""
+def seq_dot(A: np.ndarray, b: np.ndarray,
+            tmp: np.ndarray | None = None) -> np.ndarray:
+    """Left fold over dims of acc + A[:, j] * b[j] — twin of _dot.
+
+    Allocation-lean: `np.multiply(out=tmp)` + `acc += tmp` are the same
+    IEEE ops in the same order (bit-identical to the naive form), but
+    touch 2 buffers instead of allocating 2 fresh arrays per dimension.
+    Under the sandbox host's first-touch-memory pathology the per-dim
+    allocations were a 2-3x wall-clock tax on the ANN surface
+    (measured at the 20k-vector sfx1 scale); on a healthy host it is
+    simply less allocator traffic per batch."""
     acc = np.zeros(A.shape[0], dtype=np.float64)
+    if tmp is None:
+        tmp = np.empty(A.shape[0], dtype=np.float64)
     for j in range(A.shape[1]):
-        acc = acc + A[:, j] * b[j]
+        np.multiply(A[:, j], b[j], out=tmp)
+        acc += tmp
     return acc
 
 
 def seq_dot_pair(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """Row-wise left-fold dot of two (n, d) matrices (pair rescoring)."""
     acc = np.zeros(A.shape[0], dtype=np.float64)
+    tmp = np.empty(A.shape[0], dtype=np.float64)
     for j in range(A.shape[1]):
-        acc = acc + A[:, j] * B[:, j]
+        np.multiply(A[:, j], B[:, j], out=tmp)
+        acc += tmp
     return acc
 
 
-def seq_norm(A: np.ndarray) -> np.ndarray:
+def seq_norm(A: np.ndarray, tmp: np.ndarray | None = None) -> np.ndarray:
     """sqrt of the left fold of acc + x_j * x_j — twin of _norm."""
     acc = np.zeros(A.shape[0], dtype=np.float64)
+    if tmp is None:
+        tmp = np.empty(A.shape[0], dtype=np.float64)
     for j in range(A.shape[1]):
-        acc = acc + A[:, j] * A[:, j]
+        np.multiply(A[:, j], A[:, j], out=tmp)
+        acc += tmp
     return np.sqrt(acc)
 
 
@@ -90,22 +107,22 @@ def argmax_centroid(A: np.ndarray, cents: np.ndarray,
     any number — exactly max(struct(ccos, -cent_id)) under Spark's
     ordering. `cents` rows must be sorted by cent_id ascending."""
     n = A.shape[0]
-    norms = seq_norm(A)
+    tmp = np.empty(n, dtype=np.float64)
+    norms = seq_norm(A, tmp=tmp)
     best_val = np.full(n, -np.inf, dtype=np.float64)
     best_nan = np.zeros(n, dtype=bool)
     best_id = np.full(n, -1, dtype=np.int64)
     for i in range(cents.shape[0]):
         c = cents[i].astype(np.float64)
-        ccos = seq_dot(A, c) / (norms * seq_norm_scalar(c))
+        ccos = seq_dot(A, c, tmp=tmp)
+        ccos /= norms * seq_norm_scalar(c)  # in place: same IEEE divide
         isnan = np.isnan(ccos)
         # strictly-greater keeps the earliest (smallest) cent_id on ties
-        better = np.where(
-            best_nan, np.zeros(n, dtype=bool),
-            isnan | (ccos > best_val),
-        )
-        best_val = np.where(better, ccos, best_val)
-        best_nan = best_nan | (better & isnan)
-        best_id = np.where(better, cent_ids[i], best_id)
+        better = isnan | (ccos > best_val)
+        better &= ~best_nan
+        np.copyto(best_val, ccos, where=better)
+        best_nan |= better & isnan
+        np.copyto(best_id, cent_ids[i], where=better)
     return best_id
 
 
@@ -123,10 +140,13 @@ def signed_bits(A: np.ndarray, W: np.ndarray) -> np.ndarray:
     plane — twin of (_signed_dot(emb, plane) > 0).cast('long')."""
     n, d = A.shape
     bits = np.empty((n, W.shape[0]), dtype=np.int64)
+    acc = np.empty(n, dtype=np.float64)
+    tmp = np.empty(n, dtype=np.float64)
     for p in range(W.shape[0]):
-        acc = np.zeros(n, dtype=np.float64)
+        acc[:] = 0.0
         w = W[p]
         for j in range(d):
-            acc = acc + A[:, j] * w[j]
+            np.multiply(A[:, j], w[j], out=tmp)
+            acc += tmp
         bits[:, p] = acc > 0
     return bits
