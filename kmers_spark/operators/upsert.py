@@ -219,11 +219,6 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
     ])
 
     bdf = _place(df, m, key_col).withColumn("__delete_only", F.lit(False))
-    n_in = bdf.count()
-    if n_in == 0:
-        return {"rows_inserted": 0, "rows_replaced": 0,
-                "buckets_rewritten": [], "waves_rewritten": [],
-                "manifest": m}
     cl = m.get("cluster_by")
     scheme = m.get("bucket_scheme")
     if (scheme == partitioning.RANGE_SCHEME and cl != key_col) or \
@@ -259,9 +254,17 @@ def upsert_table(spark: SparkSession, out_dir: str, df: DataFrame) -> dict:
     bdf = bdf.persist()
     try:
         # the one driver collect: distinct incoming buckets, <= num_buckets
+        # (this action also materializes the cache, so the n_in count —
+        # formerly a separate full pass over the placement pipeline —
+        # is served from it)
         affected = sorted(
             int(r["bucket"]) for r in bdf.select("bucket").distinct().collect()
         )
+        n_in = bdf.filter(~F.col("__delete_only")).count()
+        if n_in == 0:
+            return {"rows_inserted": 0, "rows_replaced": 0,
+                    "buckets_rewritten": [], "waves_rewritten": [],
+                    "manifest": m}
         return _upsert_rewrite(spark, out_dir, m, schema, key_col, bdf,
                                n_in, affected)
     finally:
